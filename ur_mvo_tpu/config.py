@@ -1,0 +1,194 @@
+"""Typed configuration tree.
+
+Mirrors the key surface of the reference's hand-written YAML structs
+(``/root/reference/include/read_configs.h:9-216`` — ``SuperPointConfig``,
+``SuperGlueConfig``, ``KeyframeConfig``, ``OptimizationConfig``,
+``SensorSetup``, master ``Configs``) but as dataclasses with YAML load and
+**in-memory** dotted-key overrides — no rewriting config files on disk
+(the reference mutates and rewrites its YAML in ``main_py.cpp:270-311``)
+and no hardcoded container paths (``read_configs.h:68-70``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import os
+from typing import Any, Optional
+
+import yaml
+
+
+class SensorSetup(enum.Enum):
+    MONO = "mono"
+    STEREO = "stereo"
+    RGBD = "rgbd"
+
+
+@dataclasses.dataclass
+class SuperPointConfig:
+    """Keypoint extraction knobs (``read_configs.h:9-24``)."""
+
+    max_keypoints: int = 1000
+    keypoint_threshold: float = 0.0005
+    remove_borders: int = 4
+    nms_radius: int = 4
+    weights_path: Optional[str] = None  # .npz / .pth; None = random init
+    # Padded keypoint capacity of the fixed-shape feature bank. Must be a
+    # multiple of 128 for MXU-aligned downstream matmuls and >= max_keypoints.
+    capacity: int = 1024
+
+
+@dataclasses.dataclass
+class SuperGlueConfig:
+    """Matcher knobs (``read_configs.h:26-41``)."""
+
+    image_width: int = 640
+    image_height: int = 512
+    matching_threshold: float = 0.5
+    sinkhorn_iterations: int = 20
+    num_layers: int = 9
+    num_heads: int = 4
+    descriptor_dim: int = 256
+    keypoint_encoder_dims: tuple = (32, 64, 128, 256)
+    weights_path: Optional[str] = None
+
+
+@dataclasses.dataclass
+class KeyframeConfig:
+    """Keyframe policy thresholds (``read_configs.h:44-56``; values from
+    ``configs/configs_aqua.yaml``)."""
+
+    min_num_match: int = 1
+    max_num_match: int = 2
+    max_distance: float = 0.5
+    max_angle: float = 0.52
+    max_num_passed_frame: int = 10
+
+
+@dataclasses.dataclass
+class OptimizationConfig:
+    """chi^2 gates for robust optimization (``read_configs.h:58-66``)."""
+
+    mono_point: float = 10.0
+    stereo_point: float = 75.0
+    rate: float = 0.5
+
+
+@dataclasses.dataclass
+class InitializerConfig:
+    """Two-view monocular initialization (``epipolar_geometry.h:20-21``,
+    ``tracking.cc:379-648``)."""
+
+    ransac_iterations: int = 200
+    sigma: float = 1.0
+    min_matches: int = 150
+    min_features_first: int = 200
+    reseed_time: float = 3.0
+    median_depth_scale: float = 4.0
+
+
+@dataclasses.dataclass
+class BackendConfig:
+    """Sliding-window local BA shape (``mapping.cc:260-322, 386-403``)."""
+
+    window_opt_frames: int = 15
+    window_fixed_frames: int = 20
+    fix_older_than: int = 10
+    ba_iterations_phase1: int = 10
+    ba_iterations_phase2: int = 5
+    max_keyframes: int = 512
+    max_mappoints: int = 200_000
+    # Padded BA problem capacities (static shapes for the jitted solver).
+    ba_max_points: int = 4096
+    ba_max_observations: int = 16384
+
+
+@dataclasses.dataclass
+class RuntimeConfig:
+    """Host pipeline + numerics."""
+
+    compute_dtype: str = "float32"  # or "bfloat16" for the nets
+    seed: int = 0
+    pnp_ransac_iterations: int = 100
+    pnp_reprojection_threshold: float = 20.0
+    results_dir: str = "results"
+    save_trajectory: bool = True
+    save_debug_images: bool = False
+
+
+@dataclasses.dataclass
+class Configs:
+    """Master config (``read_configs.h:81-216``)."""
+
+    camera_config_path: Optional[str] = None
+    use_mask: bool = False
+    sensor_setup: SensorSetup = SensorSetup.MONO
+    superpoint: SuperPointConfig = dataclasses.field(default_factory=SuperPointConfig)
+    superglue: SuperGlueConfig = dataclasses.field(default_factory=SuperGlueConfig)
+    keyframe: KeyframeConfig = dataclasses.field(default_factory=KeyframeConfig)
+    tracking_optimization: OptimizationConfig = dataclasses.field(default_factory=OptimizationConfig)
+    backend_optimization: OptimizationConfig = dataclasses.field(default_factory=OptimizationConfig)
+    initializer: InitializerConfig = dataclasses.field(default_factory=InitializerConfig)
+    backend: BackendConfig = dataclasses.field(default_factory=BackendConfig)
+    runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
+
+    # -- loading ------------------------------------------------------------
+
+    @classmethod
+    def from_yaml(cls, path: str, setup: SensorSetup = SensorSetup.MONO, overrides: Optional[dict] = None) -> "Configs":
+        """Load a reference-format YAML (``configs/configs_aqua.yaml`` keys
+        are accepted) and apply dotted-key overrides in memory."""
+        with open(path, "r") as f:
+            raw = yaml.safe_load(f) or {}
+        cfg = cls.from_dict(raw, setup=setup, base_dir=os.path.dirname(os.path.abspath(path)))
+        if overrides:
+            cfg.apply_overrides(overrides)
+        return cfg
+
+    @classmethod
+    def from_dict(cls, raw: dict, setup: SensorSetup = SensorSetup.MONO, base_dir: str = ".") -> "Configs":
+        cfg = cls(sensor_setup=setup)
+        inp = raw.get("input", {})
+        cam_rel = inp.get("camera_config_path")
+        if cam_rel:
+            cfg.camera_config_path = cam_rel if os.path.isabs(cam_rel) else os.path.join(base_dir, cam_rel)
+        cfg.use_mask = bool(inp.get("use_mask", 0))
+        sp = raw.get("superpoint", {})
+        for k in ("max_keypoints", "keypoint_threshold", "remove_borders", "nms_radius", "weights_path", "capacity"):
+            if k in sp:
+                setattr(cfg.superpoint, k, sp[k])
+        sg = raw.get("superglue", {})
+        for k in ("image_width", "image_height", "matching_threshold", "sinkhorn_iterations", "num_layers", "num_heads", "weights_path"):
+            if k in sg:
+                setattr(cfg.superglue, k, sg[k])
+        kf = raw.get("keyframe", {})
+        for k in ("min_num_match", "max_num_match", "max_distance", "max_angle", "max_num_passed_frame"):
+            if k in kf:
+                setattr(cfg.keyframe, k, kf[k])
+        opt = raw.get("optimization", {})
+        for name, target in (("tracking", cfg.tracking_optimization), ("backend", cfg.backend_optimization)):
+            sub = opt.get(name, {})
+            for k in ("mono_point", "stereo_point", "rate"):
+                if k in sub:
+                    setattr(target, k, float(sub[k]))
+        return cfg
+
+    def apply_overrides(self, overrides: dict) -> None:
+        """Dotted-key in-memory overrides, e.g. ``{"superpoint.max_keypoints": 500}``."""
+        for dotted, value in overrides.items():
+            node: Any = self
+            parts = dotted.split(".")
+            for p in parts[:-1]:
+                node = getattr(node, p)
+            leaf = parts[-1]
+            if not hasattr(node, leaf):
+                raise KeyError(f"Unknown config key: {dotted}")
+            setattr(node, leaf, value)
+
+    def validate(self) -> None:
+        sp = self.superpoint
+        if sp.capacity % 128 != 0:
+            raise ValueError("superpoint.capacity must be a multiple of 128 (MXU tile alignment)")
+        if sp.capacity < sp.max_keypoints:
+            raise ValueError("superpoint.capacity must be >= max_keypoints")
