@@ -1,0 +1,199 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ur_mvo_tpu.models import superglue
+from ur_mvo_tpu.ops.keypoints import FeatureBank
+from ur_mvo_tpu.ops.matching import decode_assignment, filter_matches
+from ur_mvo_tpu.ops.ransac import (
+    fit_fundamental_8pt,
+    fit_homography_dlt,
+    ransac_fundamental,
+    ransac_homography,
+    score_fundamental,
+)
+from ur_mvo_tpu.ops.sinkhorn import log_optimal_transport
+
+
+def make_bank(key, n_valid, capacity=64, w=640, h=512):
+    k1, k2, k3 = jax.random.split(key, 3)
+    kpts = jax.random.uniform(k1, (capacity, 2)) * jnp.array([w - 1, h - 1])
+    desc = jax.random.normal(k2, (capacity, 256))
+    desc = desc / jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    scores = jax.random.uniform(k3, (capacity,))
+    valid = jnp.arange(capacity) < n_valid
+    return FeatureBank(
+        scores=jnp.where(valid, scores, 0),
+        kpts=jnp.where(valid[:, None], kpts, 0),
+        desc=jnp.where(valid[:, None], desc, 0),
+        valid=valid,
+    )
+
+
+def test_sinkhorn_doubly_stochastic():
+    key = jax.random.PRNGKey(0)
+    M = N = 16
+    scores = jax.random.normal(key, (M, N))
+    v0 = jnp.ones((M,), bool)
+    v1 = jnp.ones((N,), bool)
+    Z = log_optimal_transport(scores, v0, v1, jnp.asarray(1.0), iterations=100)
+    P = np.exp(np.asarray(Z, np.float64)) / (M + N)
+    # rows 0..M-1 sum (incl. dustbin) to 1/(M+N), row M to N/(M+N)
+    np.testing.assert_allclose(P[:M].sum(axis=1), 1.0 / (M + N), rtol=1e-3)
+    np.testing.assert_allclose(P[:, :N].sum(axis=0), 1.0 / (M + N), rtol=1e-3)
+    np.testing.assert_allclose(P[M].sum(), N / (M + N), rtol=1e-3)
+
+
+def test_sinkhorn_masked_matches_dense():
+    """A padded problem must produce the same transport as its dense
+    (unpadded) equivalent — masking invariance."""
+    key = jax.random.PRNGKey(1)
+    m, n, M, N = 10, 12, 16, 20
+    scores_small = jax.random.normal(key, (m, n))
+    Zs = log_optimal_transport(
+        scores_small, jnp.ones((m,), bool), jnp.ones((n,), bool), jnp.asarray(0.7), 50
+    )
+    scores_big = jnp.full((M, N), 37.0).at[:m, :n].set(scores_small)
+    v0 = jnp.arange(M) < m
+    v1 = jnp.arange(N) < n
+    Zb = log_optimal_transport(scores_big, v0, v1, jnp.asarray(0.7), 50)
+    np.testing.assert_allclose(np.asarray(Zb[:m, :n]), np.asarray(Zs[:m, :n]), atol=1e-4)
+    # dustbin entries for valid rows also agree
+    np.testing.assert_allclose(np.asarray(Zb[:m, N]), np.asarray(Zs[:m, n]), atol=1e-4)
+
+
+def test_decode_mutual_and_threshold():
+    # construct an assignment where 0<->1 is strong and mutual, 2 is weak
+    K = 8
+    Z = jnp.full((K + 1, K + 1), -10.0)
+    Z = Z.at[0, 1].set(0.0)     # p = 1.0 > thr
+    Z = Z.at[2, 3].set(-3.0)    # p = 0.05 < thr
+    v = jnp.arange(K) < 4
+    m = decode_assignment(Z, v, v, threshold=0.5)
+    idx = np.asarray(m.idx1)
+    assert idx[0] == 1
+    assert idx[2] == -1
+    assert int(m.num_valid()) == 1
+
+
+def test_superglue_permutation_equivariance():
+    """The matcher must be permutation-equivariant over keypoint slots:
+    permuting bank1's valid slots permutes the assignment columns
+    identically. This validates attention/Sinkhorn mechanics without
+    depending on trained weights."""
+    params = superglue.init_params(jax.random.PRNGKey(0), num_layers=2)
+    n, cap = 24, 32
+    bank0 = make_bank(jax.random.PRNGKey(3), n_valid=n, capacity=cap)
+    bank1 = make_bank(jax.random.PRNGKey(4), n_valid=n, capacity=cap)
+    perm = np.concatenate([np.random.default_rng(0).permutation(n), np.arange(n, cap)])
+    bank1p = FeatureBank(
+        scores=bank1.scores[perm],
+        kpts=bank1.kpts[perm],
+        desc=bank1.desc[perm],
+        valid=bank1.valid[perm],
+    )
+    Z = np.asarray(superglue.match_scores(params, bank0, bank1, 640, 512, 20))
+    Zp = np.asarray(superglue.match_scores(params, bank0, bank1p, 640, 512, 20))
+    # column j of Z appears at position inv_perm[j] in Zp
+    inv = np.argsort(perm)
+    np.testing.assert_allclose(Zp[:n, inv[:n]], Z[:n, :n], atol=5e-2, rtol=1e-4)
+
+
+def test_superglue_masking_invariance():
+    """Adding padded slots must not change scores for valid pairs."""
+    params = superglue.init_params(jax.random.PRNGKey(0), num_layers=1)
+    small = make_bank(jax.random.PRNGKey(5), n_valid=16, capacity=16)
+    pad = 32
+
+    def pad_bank(b):
+        return FeatureBank(
+            scores=jnp.pad(b.scores, (0, pad)),
+            kpts=jnp.pad(b.kpts, ((0, pad), (0, 0))),
+            desc=jnp.pad(b.desc, ((0, pad), (0, 0))),
+            valid=jnp.pad(b.valid, (0, pad)),
+        )
+
+    Z_small = superglue.match_scores(params, small, small, 640, 512, 20)
+    big = pad_bank(small)
+    Z_big = superglue.match_scores(params, big, big, 640, 512, 20)
+    np.testing.assert_allclose(np.asarray(Z_big[:16, :16]), np.asarray(Z_small[:16, :16]), atol=2e-3)
+
+
+def _synthetic_two_view(key, n=100, noise=0.0, outliers=0):
+    """Points on two views of a known E = [t]x R configuration."""
+    import ur_mvo_tpu.ops.lie as lie
+
+    kp, kn, ko = jax.random.split(key, 3)
+    X = jax.random.uniform(kp, (n, 3), minval=jnp.array([-2, -2, 4.0]), maxval=jnp.array([2, 2, 8.0]))
+    fx = fy = 400.0
+    cx, cy = 320.0, 256.0
+    R = lie.so3_exp(jnp.array([0.02, -0.1, 0.03]))
+    t = jnp.array([0.5, 0.05, 0.02])
+    X2 = X @ R.T + t
+
+    def proj(P):
+        return jnp.stack([fx * P[:, 0] / P[:, 2] + cx, fy * P[:, 1] / P[:, 2] + cy], -1)
+
+    p1 = proj(X)
+    p2 = proj(X2)
+    if noise > 0:
+        p1 += noise * jax.random.normal(kn, p1.shape)
+        p2 += noise * jax.random.normal(kn, p2.shape)
+    if outliers > 0:
+        bad = jax.random.uniform(ko, (outliers, 2)) * jnp.array([640.0, 512.0])
+        p2 = p2.at[:outliers].set(bad)
+    K = jnp.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    return p1, p2, K, R, t
+
+
+def test_fundamental_8pt_exact():
+    p1, p2, K, R, t = _synthetic_two_view(jax.random.PRNGKey(7), n=8)
+    F = fit_fundamental_8pt(p1, p2)
+    x1 = np.concatenate([np.asarray(p1), np.ones((8, 1))], 1)
+    x2 = np.concatenate([np.asarray(p2), np.ones((8, 1))], 1)
+    resid = np.abs(np.einsum("ni,ij,nj->n", x2, np.asarray(F), x1))
+    assert resid.max() < 1e-2
+
+
+def test_ransac_fundamental_rejects_outliers():
+    p1, p2, K, R, t = _synthetic_two_view(jax.random.PRNGKey(8), n=120, noise=0.3, outliers=30)
+    valid = jnp.ones((120,), bool)
+    res = ransac_fundamental(jax.random.PRNGKey(0), p1, p2, valid, iterations=200, sigma=1.0)
+    inl = np.asarray(res.inliers)
+    # outliers occupy slots 0..29
+    assert inl[:30].mean() < 0.2
+    assert inl[30:].mean() > 0.8
+
+
+def test_homography_dlt_exact():
+    key = jax.random.PRNGKey(9)
+    H_true = jnp.array([[1.1, 0.02, 5.0], [-0.03, 0.95, -3.0], [1e-4, -5e-5, 1.0]])
+    p1 = jax.random.uniform(key, (8, 2)) * 300 + 100
+    x1 = jnp.concatenate([p1, jnp.ones((8, 1))], 1)
+    y = x1 @ H_true.T
+    p2 = y[:, :2] / y[:, 2:3]
+    H = fit_homography_dlt(p1, p2)
+    np.testing.assert_allclose(np.asarray(H), np.asarray(H_true), atol=1e-3)
+
+
+def test_ransac_homography_planar_scene():
+    key = jax.random.PRNGKey(10)
+    H_true = jnp.array([[0.9, 0.1, 20.0], [-0.05, 1.05, -10.0], [5e-5, 1e-4, 1.0]])
+    p1 = jax.random.uniform(key, (100, 2)) * 400 + 50
+    x1 = jnp.concatenate([p1, jnp.ones((100, 1))], 1)
+    y = x1 @ H_true.T
+    p2 = y[:, :2] / y[:, 2:3]
+    p2 = p2.at[:20].add(50.0)  # 20 outliers
+    res = ransac_homography(jax.random.PRNGKey(1), p1, p2, jnp.ones((100,), bool), 200)
+    inl = np.asarray(res.inliers)
+    assert inl[:20].mean() < 0.2 and inl[20:].mean() > 0.9
+
+
+def test_score_fundamental_masked():
+    p1, p2, K, R, t = _synthetic_two_view(jax.random.PRNGKey(11), n=50)
+    F = fit_fundamental_8pt(p1[:8], p2[:8])
+    valid = jnp.arange(50) < 25
+    s_masked, inl = score_fundamental(F, p1, p2, valid)
+    assert not bool(inl[30])  # masked slots can't be inliers
+    s_full, _ = score_fundamental(F, p1, p2, jnp.ones((50,), bool))
+    assert float(s_masked) < float(s_full)

@@ -1,0 +1,210 @@
+"""SuperGlue attentional feature matcher in pure JAX.
+
+The reference runs SuperGlue as an opaque TensorRT engine over six
+dynamic-shape inputs (``/root/reference/src/super_glue.cpp:63-99``) and
+decodes the score matrix on the CPU. Here the full network — keypoint
+encoder MLP, 9 pairs of self/cross multi-head attention layers, final
+projection, and masked log-Sinkhorn optimal transport — is one functional
+JAX program over *fixed-capacity padded* feature banks, so matching a
+frame pair is a single XLA computation dominated by MXU matmuls, batchable
+over many pairs with ``vmap`` and shardable over a device mesh.
+
+Architecture follows the published SuperGlue design (Sarlin et al.,
+CVPR 2020; indoor weights are what the reference exports): descriptor
+dim 256, keypoint-encoder MLP (3 -> 32 -> 64 -> 128 -> 256), 4-head
+attention, message MLP (512 -> 512 -> 256), learnable dustbin score.
+BatchNorm layers are folded to per-channel scale/shift so trained torch
+weights can be imported directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ur_mvo_tpu.ops.keypoints import FeatureBank, normalize_keypoints_for_matching
+from ur_mvo_tpu.ops.sinkhorn import log_optimal_transport
+
+D = 256
+_KENC_DIMS = (3, 32, 64, 128, 256)
+_MLP_DIMS = (2 * D, 2 * D, D)
+
+
+def _init_linear(key, cin, cout, dtype=jnp.float32):
+    k1, _ = jax.random.split(key)
+    w = jax.random.normal(k1, (cin, cout), dtype) * jnp.sqrt(2.0 / cin)
+    return {"w": w, "b": jnp.zeros((cout,), dtype)}
+
+
+def _init_mlp(key, dims, dtype=jnp.float32, with_norm=True):
+    """MLP params: linear layers + folded-BN scale/shift between them."""
+    layers = []
+    for i in range(len(dims) - 1):
+        key, sub = jax.random.split(key)
+        layer = _init_linear(sub, dims[i], dims[i + 1], dtype)
+        if with_norm and i < len(dims) - 2:
+            layer["scale"] = jnp.ones((dims[i + 1],), dtype)
+            layer["shift"] = jnp.zeros((dims[i + 1],), dtype)
+        layers.append(layer)
+    return layers
+
+
+def _mlp(layers, x):
+    for i, layer in enumerate(layers):
+        x = x @ layer["w"] + layer["b"]
+        if "scale" in layer:
+            x = x * layer["scale"] + layer["shift"]
+        if i < len(layers) - 1:
+            x = jax.nn.relu(x)
+    return x
+
+
+def init_params(key: jax.Array, num_layers: int = 9, num_heads: int = 4, dtype=jnp.float32) -> Dict[str, Any]:
+    params: Dict[str, Any] = {"layers": [], "num_heads": num_heads}
+    key, sub = jax.random.split(key)
+    params["kenc"] = _init_mlp(sub, _KENC_DIMS, dtype)
+    for _ in range(2 * num_layers):  # alternating self/cross
+        key, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
+        params["layers"].append(
+            {
+                "q": _init_linear(k1, D, D, dtype),
+                "k": _init_linear(k2, D, D, dtype),
+                "v": _init_linear(k3, D, D, dtype),
+                "merge": _init_linear(k4, D, D, dtype),
+                "mlp": _init_mlp(k5, _MLP_DIMS, dtype),
+            }
+        )
+    key, sub = jax.random.split(key)
+    params["final_proj"] = _init_linear(sub, D, D, dtype)
+    params["bin_score"] = jnp.asarray(1.0, dtype)
+    return params
+
+
+def _attention(layer, x_q: jax.Array, x_kv: jax.Array, kv_valid: jax.Array, num_heads: int) -> jax.Array:
+    """Multi-head attention with invalid-slot key masking. (K, D) inputs."""
+    K = x_q.shape[0]
+    head_dim = D // num_heads
+    q = (x_q @ layer["q"]["w"] + layer["q"]["b"]).reshape(K, num_heads, head_dim)
+    k = (x_kv @ layer["k"]["w"] + layer["k"]["b"]).reshape(-1, num_heads, head_dim)
+    v = (x_kv @ layer["v"]["w"] + layer["v"]["b"]).reshape(-1, num_heads, head_dim)
+    logits = jnp.einsum("qhd,khd->hqk", q, k) / jnp.sqrt(head_dim).astype(x_q.dtype)
+    logits = jnp.where(kv_valid[None, None, :], logits, -1e9)
+    attn = jax.nn.softmax(logits, axis=-1)
+    msg = jnp.einsum("hqk,khd->qhd", attn, v).reshape(K, D)
+    return msg @ layer["merge"]["w"] + layer["merge"]["b"]
+
+
+def encode(params: Dict[str, Any], bank: FeatureBank, width: int, height: int) -> jax.Array:
+    """Descriptor + positional encoding: desc + MLP(x, y, score)."""
+    kpts_n = normalize_keypoints_for_matching(bank.kpts, width, height)
+    inputs = jnp.concatenate([kpts_n, bank.scores[:, None]], axis=-1)
+    return bank.desc + _mlp(params["kenc"], inputs)
+
+
+def gnn(params: Dict[str, Any], x0: jax.Array, x1: jax.Array, valid0: jax.Array, valid1: jax.Array):
+    """Alternating self/cross attentional message passing."""
+    nh = params["num_heads"]
+    for i, layer in enumerate(params["layers"]):
+        if i % 2 == 0:  # self-attention
+            m0 = _attention(layer, x0, x0, valid0, nh)
+            m1 = _attention(layer, x1, x1, valid1, nh)
+        else:  # cross-attention
+            m0 = _attention(layer, x0, x1, valid1, nh)
+            m1 = _attention(layer, x1, x0, valid0, nh)
+        x0 = x0 + _mlp(layer["mlp"], jnp.concatenate([x0, m0], axis=-1))
+        x1 = x1 + _mlp(layer["mlp"], jnp.concatenate([x1, m1], axis=-1))
+    return x0, x1
+
+
+def match_scores(
+    params: Dict[str, Any],
+    bank0: FeatureBank,
+    bank1: FeatureBank,
+    width: int,
+    height: int,
+    sinkhorn_iterations: int = 20,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Full forward: two feature banks -> (K0+1, K1+1) log-assignment
+    matrix (dustbins included), masked for invalid slots."""
+    x0 = encode(params, bank0, width, height).astype(compute_dtype)
+    x1 = encode(params, bank1, width, height).astype(compute_dtype)
+    x0, x1 = gnn(params, x0, x1, bank0.valid, bank1.valid)
+    d0 = x0 @ params["final_proj"]["w"] + params["final_proj"]["b"]
+    d1 = x1 @ params["final_proj"]["w"] + params["final_proj"]["b"]
+    scores = jnp.einsum("md,nd->mn", d0, d1).astype(jnp.float32) / (D**0.25)
+    return log_optimal_transport(
+        scores, bank0.valid, bank1.valid, params["bin_score"].astype(jnp.float32), sinkhorn_iterations
+    )
+
+
+# ---------------------------------------------------------------------------
+# Torch weight import (MagicLeap superglue_indoor.pth layout)
+# ---------------------------------------------------------------------------
+
+def load_torch_weights(path: str, num_layers: int = 9, num_heads: int = 4) -> Dict[str, Any]:
+    """Map a torch SuperGlue state dict onto this pytree.
+
+    Expected keys follow the public implementation: ``kenc.encoder.*``
+    (Conv1d + BatchNorm1d), ``gnn.layers.{i}.attn.proj.{0,1,2}`` (q,k,v),
+    ``gnn.layers.{i}.attn.merge``, ``gnn.layers.{i}.mlp.*``,
+    ``final_proj``, ``bin_score``. BatchNorms are folded into
+    scale/shift.
+    """
+    if path.endswith(".npz"):
+        state = dict(np.load(path))
+    else:
+        import torch
+
+        state = {k: v.cpu().numpy() for k, v in torch.load(path, map_location="cpu", weights_only=True).items()}
+
+    def conv1d(prefix):
+        w = state[f"{prefix}.weight"]  # (cout, cin, 1)
+        b = state.get(f"{prefix}.bias")
+        out = {"w": jnp.asarray(w[:, :, 0].T)}
+        out["b"] = jnp.asarray(b) if b is not None else jnp.zeros((w.shape[0],))
+        return out
+
+    def folded_bn(prefix):
+        eps = 1e-5
+        gamma = state[f"{prefix}.weight"]
+        beta = state[f"{prefix}.bias"]
+        mean = state[f"{prefix}.running_mean"]
+        var = state[f"{prefix}.running_var"]
+        scale = gamma / np.sqrt(var + eps)
+        return jnp.asarray(scale), jnp.asarray(beta - mean * scale)
+
+    params: Dict[str, Any] = {"layers": [], "num_heads": num_heads}
+
+    def mlp_from(prefix, n_linear):
+        # torch MLP(Sequential): Conv1d, BN, ReLU, Conv1d, BN, ReLU, ..., Conv1d
+        layers = []
+        idx = 0
+        for i in range(n_linear):
+            layer = conv1d(f"{prefix}.{idx}")
+            idx += 1
+            if i < n_linear - 1:
+                scale, shift = folded_bn(f"{prefix}.{idx}")
+                layer["scale"], layer["shift"] = scale, shift
+                idx += 2  # BN, ReLU
+            layers.append(layer)
+        return layers
+
+    params["kenc"] = mlp_from("kenc.encoder", len(_KENC_DIMS) - 1)
+    for i in range(2 * num_layers):
+        g = f"gnn.layers.{i}"
+        params["layers"].append(
+            {
+                "q": conv1d(f"{g}.attn.proj.0"),
+                "k": conv1d(f"{g}.attn.proj.1"),
+                "v": conv1d(f"{g}.attn.proj.2"),
+                "merge": conv1d(f"{g}.attn.merge"),
+                "mlp": mlp_from(f"{g}.mlp", len(_MLP_DIMS) - 1),
+            }
+        )
+    params["final_proj"] = conv1d("final_proj")
+    params["bin_score"] = jnp.asarray(float(state["bin_score"]))
+    return params
