@@ -1,0 +1,177 @@
+"""Benchmark: per-chip VO throughput of the fused device pipeline.
+
+Measures the steady-state latency of each stage of the frame pipeline at
+the reference operating point (640x512 gray, K=1024 keypoints, SuperGlue
+with 20 Sinkhorn iterations, PnP 100 hypotheses + 4x10 pose-only GN, and
+the <=36-frame window BA at its padded capacity), then reports effective
+frames/sec assuming the reference's keyframe cadence (BA amortized over
+`KEYFRAME_EVERY` frames — every frame pays extract+match+track; only
+keyframes pay BA, matching ``tracking.cc``'s pipeline structure).
+
+Baseline: the reference never publishes throughput; its pybind driver
+paces input at 30 ms/frame (``main_py.cpp:52``), i.e. ~33 fps expected
+sustained on the NVIDIA+TensorRT stack. ``vs_baseline`` is measured fps /
+33.3.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+KEYFRAME_EVERY = 5  # typical cadence at aqua settings (max 10, angle/dist gates)
+REFERENCE_FPS = 1000.0 / 30.0  # implied by main_py.cpp:52
+
+
+def timeit(fn, *args, warmup=2, iters=10):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    ap.add_argument("--tiny", action="store_true", help="small shapes for smoke testing")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from ur_mvo_tpu.models import superglue, superpoint
+    from ur_mvo_tpu.ops.ba import BAConfig, BAProblem, bundle_adjust
+    from ur_mvo_tpu.ops.keypoints import select_keypoints
+    from ur_mvo_tpu.ops.matching import decode_assignment, gather_match_points
+    from ur_mvo_tpu.ops.pnp import ransac_pnp
+    from ur_mvo_tpu.ops.pose_opt import PoseObs, optimize_pose
+    from ur_mvo_tpu.ops.ransac import ransac_fundamental
+
+    if args.tiny:
+        H, W, CAP, MAXK = 128, 160, 256, 200
+        F, P, O = 8, 256, 1024
+        iters = max(2, args.iters // 5)
+    else:
+        H, W, CAP, MAXK = 512, 640, 1024, 1000
+        F, P, O = 40, 4096, 16384
+        iters = args.iters
+
+    dev = jax.devices()[0]
+    print(f"# bench on {dev.platform}:{dev.device_kind} shapes H={H} W={W} K={CAP}", file=sys.stderr)
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    sp = superpoint.init_params(ks[0])
+    sg = superglue.init_params(ks[1])
+    fx = fy = 413.3
+    cx, cy = W / 2.0, H / 2.0
+    K_mat = jnp.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]], jnp.float32)
+
+    # --- stage 1: extract ---------------------------------------------
+    @jax.jit
+    def extract(img):
+        scores, desc = superpoint.forward(sp, img[None, :, :, None])
+        return select_keypoints(scores[0], desc[0], capacity=CAP, threshold=5e-4, max_keypoints=MAXK)
+
+    img = jax.random.uniform(ks[2], (H, W))
+    bank0 = extract(img)
+    bank1 = extract(img + 0.01)
+    t_extract = timeit(extract, img, iters=iters)
+
+    # --- stage 2: match (GNN + sinkhorn + decode + F-RANSAC) ----------
+    @jax.jit
+    def match(k, b0, b1):
+        Z = superglue.match_scores(sg, b0, b1, W, H, sinkhorn_iterations=20)
+        m = decode_assignment(Z, b0.valid, b1.valid, 0.5)
+        p0, p1, valid = gather_match_points(m, b0.kpts, b1.kpts)
+        res = ransac_fundamental(k, p0, p1, valid, iterations=200)
+        return m.idx1, res.inliers
+
+    t_match = timeit(match, ks[3], bank0, bank1, iters=iters)
+
+    # --- stage 3: track (PnP RANSAC + pose-only 4x10 GN) --------------
+    X = jax.random.uniform(ks[4], (CAP, 3), minval=jnp.array([-2, -2, 4.0]), maxval=jnp.array([2, 2, 9.0]))
+    uv = jax.random.uniform(ks[5], (CAP, 2)) * jnp.array([W - 1.0, H - 1.0])
+    valid = jnp.ones((CAP,), bool)
+
+    @jax.jit
+    def track(k, X, uv, valid):
+        pnp = ransac_pnp(k, X, uv, valid, K_mat, iterations=100, threshold_px=20.0)
+        obs = PoseObs(X=X, uv=jnp.concatenate([uv, -jnp.ones_like(uv[:, :1])], 1), valid=valid)
+        return optimize_pose(pnp.R_cw, pnp.t_cw, obs, fx, fy, cx, cy)
+
+    t_track = timeit(track, ks[6], X, uv, valid, iters=iters)
+
+    # --- stage 4: window BA at padded capacity ------------------------
+    rng = np.random.default_rng(0)
+    n_frames = min(F - 1, 20)
+    n_pts = P // 2
+    Xw = rng.uniform([-4, -4, 4], [4, 4, 10], (n_pts, 3)).astype(np.float32)
+    t_wc = np.stack([np.linspace(0, 2, n_frames), np.zeros(n_frames), np.zeros(n_frames)], 1).astype(np.float32)
+    per_frame = O // n_frames
+    obs_f = np.repeat(np.arange(n_frames), per_frame)
+    obs_p = np.tile(rng.integers(0, n_pts, per_frame), n_frames)
+    pc_z = Xw[obs_p][:, 2] - 0.0
+    u = fx * (Xw[obs_p][:, 0] - t_wc[obs_f][:, 0]) / pc_z + cx
+    v = fy * Xw[obs_p][:, 1] / pc_z + cy
+    obs_uv = np.stack([u, v, -np.ones_like(u)], 1).astype(np.float32)
+    n_obs = len(obs_f)
+
+    def pad(a, n, tail=(), dtype=np.float32):
+        out = np.zeros((n,) + tail, dtype)
+        out[: len(a)] = np.asarray(a, dtype).reshape((-1,) + tail)[:n]
+        return jnp.asarray(out)
+
+    prob = BAProblem(
+        R_wc=jnp.tile(jnp.eye(3)[None], (F, 1, 1)),
+        t_wc=pad(t_wc, F, (3,)),
+        frame_valid=jnp.arange(F) < n_frames,
+        frame_fixed=jnp.arange(F) < 2,
+        X=pad(Xw, P, (3,)),
+        point_valid=jnp.arange(P) < n_pts,
+        obs_frame=pad(obs_f, O, (), np.int32),
+        obs_point=pad(obs_p, O, (), np.int32),
+        obs_uv=pad(obs_uv, O, (3,)),
+        obs_valid=jnp.arange(O) < n_obs,
+    )
+    ba = jax.jit(lambda p: bundle_adjust(p, fx, fy, cx, cy, 0.0, BAConfig()))
+    t_ba = timeit(ba, prob, warmup=1, iters=max(2, iters // 2))
+
+    per_frame_s = t_extract + t_match + t_track + t_ba / KEYFRAME_EVERY
+    fps = 1.0 / per_frame_s
+    print(
+        f"# extract {t_extract*1e3:.2f} ms | match {t_match*1e3:.2f} ms | "
+        f"track {t_track*1e3:.2f} ms | BA {t_ba*1e3:.2f} ms (/{KEYFRAME_EVERY}) "
+        f"=> {per_frame_s*1e3:.2f} ms/frame",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "vo_frames_per_sec_1chip",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / REFERENCE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Public engine API.
+
+Parity with the reference's Python surface
+(``/root/reference/ur_mvo/engine.py`` + pybind ``main_py.cpp``):
+``UR_MVO(config, setup)`` with ``process(Frame) -> List[Pose] | None``,
+SLERP interpolation of frames the backend dropped (``engine.py:22-40``),
+``process_directory``, ``reset``, ``shutdown`` — minus the reference's
+quirks that are bugs, not features (no 30 ms sleep + poll, no YAML
+rewriting on disk; poses come back synchronously from the tracker).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+from ur_mvo_tpu.camera import Camera, make_pinhole
+from ur_mvo_tpu.components import Frame, Image, Pose, Setup, interpolate
+from ur_mvo_tpu.config import Configs, SensorSetup
+from ur_mvo_tpu.runtime.extractor import NeuralExtractor
+from ur_mvo_tpu.runtime.frontend import Tracker
+from ur_mvo_tpu.utils.tum_io import write_tum
+
+
+def _load_image(path: str) -> np.ndarray:
+    """Grayscale image load without OpenCV (PGM/PNG via PIL if present,
+    else raw npy)."""
+    if path.endswith(".npy"):
+        return np.load(path)
+    try:
+        from PIL import Image as PILImage
+
+        return np.asarray(PILImage.open(path).convert("L"))
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(f"cannot load {path}: PIL unavailable") from e
+
+
+class UR_MVO:
+    """Drop-in equivalent of the reference's ``UR_MVO`` engine class."""
+
+    def __init__(
+        self,
+        config: Union[dict, Configs, str, None] = None,
+        setup: Setup = Setup.MONO,
+        camera: Optional[Camera] = None,
+        extractor=None,
+    ):
+        self._build(config, setup, camera, extractor)
+
+    def _build(self, config, setup, camera=None, extractor=None):
+        if isinstance(config, Configs):
+            cfg = config
+        elif isinstance(config, str):
+            cfg = Configs.from_yaml(config, setup)
+        elif isinstance(config, dict):
+            cfg = Configs.from_dict(config, setup)
+        else:
+            cfg = Configs(sensor_setup=setup)
+        cfg.sensor_setup = setup
+        self.config = cfg
+        self.setup = setup
+
+        if camera is not None:
+            self.camera = camera
+        elif cfg.camera_config_path:
+            self.camera = Camera.from_yaml(cfg.camera_config_path)
+        else:
+            self.camera = make_pinhole(
+                cfg.superglue.image_width, cfg.superglue.image_height,
+                400.0, 400.0, cfg.superglue.image_width / 2, cfg.superglue.image_height / 2,
+            )
+        self._injected_camera = camera
+        self._injected_extractor = extractor
+        self.extractor = extractor or NeuralExtractor(cfg, self.camera)
+        self.tracker = Tracker(cfg, self.camera, self.extractor)
+
+        self.last_pose: Optional[Pose] = None
+        self.accumulated_samples = 0
+        self._trajectory: List[tuple] = []  # (timestamp, Pose)
+
+    # ------------------------------------------------------------------
+
+    def process(self, data: Frame) -> Optional[List[Pose]]:
+        """Feed one frame; returns interpolated poses when the backend
+        produced a keyframe pose, else None (reference semantics)."""
+        image = data.image.get_image()
+        mask = data.mask.get_mask() if data.mask is not None else None
+        ts = data.image.get_timestamp()
+
+        depth_lookup = None
+        if self.setup == Setup.RGBD and data.depth_map is not None:
+            depth_img = data.depth_map.get_depth_map()
+
+            def depth_lookup(kpts, _d=depth_img):
+                c = np.clip(kpts[:, 0].astype(int), 0, _d.shape[1] - 1)
+                r = np.clip(kpts[:, 1].astype(int), 0, _d.shape[0] - 1)
+                raw = _d[r, c].astype(np.float32)
+                # reference RGB-D scaling: d = 100 / pixel for pixel in
+                # [50, 200] (tracking.cc:440-447); pass metric depth
+                # images through unchanged.
+                if _d.dtype == np.uint8:
+                    ok = (raw >= 50) & (raw <= 200)
+                    return np.where(ok, 100.0 / (raw + 1e-5), 0.0)
+                return raw
+
+        if hasattr(self.extractor, "extract_with_pose") and "T_wc" in data.meta:
+            bank = self.extractor.extract_with_pose(data.meta["T_wc"])
+        else:
+            bank = self.extractor.extract(image, mask)
+
+        pose_mat = self.tracker.process(bank, ts, depth_lookup)
+        if pose_mat is None:
+            self.accumulated_samples += 1
+            return None
+
+        current = Pose(pose_mat[:3, :3], pose_mat[:3, 3], np.eye(6))
+        self._trajectory.append((ts, current))
+        if self.last_pose is None:
+            self.last_pose = current
+            self.accumulated_samples = 0
+            return [current]
+        res = interpolate(self.last_pose, current, self.accumulated_samples)
+        self.accumulated_samples = 0
+        self.last_pose = current
+        return res
+
+    def process_directory(self, directory: str) -> List[Pose]:
+        """EuRoC-style layout: ``cam0/data/*.png`` (+``cam1`` for stereo),
+        19-digit ns timestamps in filenames (parity with ``dataset.cc``)."""
+        directory = Path(directory)
+        data_dir = directory / "cam0" / "data"
+        assert data_dir.is_dir(), f"{data_dir} missing"
+        poses: List[Pose] = []
+        for name in sorted(os.listdir(data_dir)):
+            stem = name.split(".")[0]
+            try:
+                ts = int(stem) * 1e-9 if len(stem) >= 16 else float(stem)
+            except ValueError:
+                ts = None
+            img = _load_image(str(data_dir / name))
+            frame = Frame(image=Image(img, ts))
+            out = self.process(frame)
+            if out is not None:
+                poses.extend(out)
+        return poses
+
+    # ------------------------------------------------------------------
+
+    def keyframe_trajectory(self):
+        """(timestamps, positions (N,3), quaternions (N,4) wxyz) of all
+        keyframes after optimization (Mapping::SaveKeyframeTrajectory)."""
+        import jax.numpy as jnp
+
+        from ur_mvo_tpu.ops.lie import rotmat_to_quat
+
+        ts, R, t = self.tracker.backend.store.trajectory()
+        quats = np.asarray(rotmat_to_quat(jnp.asarray(R)))
+        return ts, t.astype(np.float64), quats
+
+    def save_trajectory(self, path: str) -> None:
+        ts, t, q = self.keyframe_trajectory()
+        write_tum(path, list(ts), t, q)
+
+    def reset(self, config=None, setup: Optional[Setup] = None) -> None:
+        """Tear down and rebuild (parity with ``main_py.cpp:257-267``).
+        Injected camera/extractor survive the reset."""
+        self._build(
+            config if config is not None else self.config,
+            setup if setup is not None else self.setup,
+            camera=self._injected_camera,
+            extractor=self._injected_extractor,
+        )
+
+    def shutdown(self) -> None:
+        pass

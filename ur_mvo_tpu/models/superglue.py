@@ -63,7 +63,9 @@ def _mlp(layers, x):
 
 
 def init_params(key: jax.Array, num_layers: int = 9, num_heads: int = 4, dtype=jnp.float32) -> Dict[str, Any]:
-    params: Dict[str, Any] = {"layers": [], "num_heads": num_heads}
+    # NOTE: num_heads is NOT stored in the pytree (it must stay a python
+    # static under jit); pass it to gnn()/match_scores() instead.
+    params: Dict[str, Any] = {"layers": []}
     key, sub = jax.random.split(key)
     params["kenc"] = _init_mlp(sub, _KENC_DIMS, dtype)
     for _ in range(2 * num_layers):  # alternating self/cross
@@ -104,9 +106,9 @@ def encode(params: Dict[str, Any], bank: FeatureBank, width: int, height: int) -
     return bank.desc + _mlp(params["kenc"], inputs)
 
 
-def gnn(params: Dict[str, Any], x0: jax.Array, x1: jax.Array, valid0: jax.Array, valid1: jax.Array):
+def gnn(params: Dict[str, Any], x0: jax.Array, x1: jax.Array, valid0: jax.Array, valid1: jax.Array, num_heads: int = 4):
     """Alternating self/cross attentional message passing."""
-    nh = params["num_heads"]
+    nh = num_heads
     for i, layer in enumerate(params["layers"]):
         if i % 2 == 0:  # self-attention
             m0 = _attention(layer, x0, x0, valid0, nh)
@@ -127,12 +129,13 @@ def match_scores(
     height: int,
     sinkhorn_iterations: int = 20,
     compute_dtype=jnp.float32,
+    num_heads: int = 4,
 ) -> jax.Array:
     """Full forward: two feature banks -> (K0+1, K1+1) log-assignment
     matrix (dustbins included), masked for invalid slots."""
     x0 = encode(params, bank0, width, height).astype(compute_dtype)
     x1 = encode(params, bank1, width, height).astype(compute_dtype)
-    x0, x1 = gnn(params, x0, x1, bank0.valid, bank1.valid)
+    x0, x1 = gnn(params, x0, x1, bank0.valid, bank1.valid, num_heads)
     d0 = x0 @ params["final_proj"]["w"] + params["final_proj"]["b"]
     d1 = x1 @ params["final_proj"]["w"] + params["final_proj"]["b"]
     scores = jnp.einsum("md,nd->mn", d0, d1).astype(jnp.float32) / (D**0.25)
@@ -177,7 +180,7 @@ def load_torch_weights(path: str, num_layers: int = 9, num_heads: int = 4) -> Di
         scale = gamma / np.sqrt(var + eps)
         return jnp.asarray(scale), jnp.asarray(beta - mean * scale)
 
-    params: Dict[str, Any] = {"layers": [], "num_heads": num_heads}
+    params: Dict[str, Any] = {"layers": []}
 
     def mlp_from(prefix, n_linear):
         # torch MLP(Sequential): Conv1d, BN, ReLU, Conv1d, BN, ReLU, ..., Conv1d

@@ -1,0 +1,208 @@
+"""SuperPoint descriptor fine-tuning in JAX (domain adaptation).
+
+Re-implements the reference's offline training capability
+(``/root/reference/superpoint/train.py`` + ``SP/loss.py`` +
+``SP/dataset.py`` + ``SP/augmentation.py``): only the descriptor head
+(convDa/convDb) is trained (``train.py:12``), on Siamese
+homography-warped pairs with photometric augmentation, using the dense
+hinge-contrastive descriptor loss with cell correspondences derived from
+the homography (margins 1.0 / 0.2, lambda_d = 650 — ``SP/loss.py:62-115``),
+Adam 1e-3.
+
+TPU-native: augmentation, warping and the loss are pure JAX (batchable,
+jit-compiled, runnable under a data-parallel mesh via
+``parallel/train_step.py``); the (B, Hc, Wc, Hc, Wc) correspondence
+tensor contracts on the MXU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ur_mvo_tpu.models import superpoint
+
+GRID = 8
+POSITIVE_MARGIN = 1.0
+NEGATIVE_MARGIN = 0.2
+LAMBDA_D = 650.0
+
+TRAINABLE = ("convDa", "convDb")  # parity with train.py:12
+
+
+# ---------------------------------------------------------------------------
+# Homography + photometric augmentation (SP/augmentation.py equivalents)
+# ---------------------------------------------------------------------------
+
+def random_homography(key: jax.Array, height: int, width: int,
+                      perspective: float = 0.1, scale: float = 0.15,
+                      rotation: float = 0.25, translation: float = 0.05) -> jax.Array:
+    """Random homography mapping original -> warped pixel coordinates."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    cx, cy = width / 2.0, height / 2.0
+    ang = jax.random.uniform(k1, (), minval=-rotation, maxval=rotation)
+    s = 1.0 + jax.random.uniform(k2, (), minval=-scale, maxval=scale)
+    tx = jax.random.uniform(k3, (), minval=-translation, maxval=translation) * width
+    ty = jax.random.uniform(k3, (), minval=-translation, maxval=translation) * height
+    p = jax.random.uniform(k4, (2,), minval=-perspective, maxval=perspective)
+    ca, sa = jnp.cos(ang), jnp.sin(ang)
+    # center, similarity, perspective, uncenter
+    T1 = jnp.array([[1.0, 0.0, -cx], [0.0, 1.0, -cy], [0.0, 0.0, 1.0]])
+    S = jnp.array([[s * ca, -s * sa, tx], [s * sa, s * ca, ty], [0.0, 0.0, 1.0]])
+    P = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [p[0] / width, p[1] / height, 1.0]])
+    T2 = jnp.array([[1.0, 0.0, cx], [0.0, 1.0, cy], [0.0, 0.0, 1.0]])
+    return T2 @ P @ S @ T1
+
+
+def warp_points_xy(pts: jax.Array, H: jax.Array) -> jax.Array:
+    """Warp (N, 2) (x, y) points by H."""
+    ph = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
+    w = ph @ H.T
+    return w[..., :2] / jnp.where(jnp.abs(w[..., 2:3]) > 1e-8, w[..., 2:3], 1e-8)
+
+
+def warp_image(image: jax.Array, H: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Inverse-warp ``image`` (H, W) by homography; returns (warped, valid
+    mask). warped(x) = image(H^-1 x)."""
+    h, w = image.shape
+    Hinv = jnp.linalg.inv(H)
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    pts = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+    src = warp_points_xy(pts, Hinv).reshape(h, w, 2)
+    x, y = src[..., 0], src[..., 1]
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    dx, dy = x - x0, y - y0
+    inb = (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1)
+
+    def g(yy, xx):
+        return image[jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1)]
+
+    out = (
+        g(y0, x0) * (1 - dx) * (1 - dy)
+        + g(y0, x0 + 1) * dx * (1 - dy)
+        + g(y0 + 1, x0) * (1 - dx) * dy
+        + g(y0 + 1, x0 + 1) * dx * dy
+    )
+    return jnp.where(inb, out, 0.0), inb.astype(jnp.float32)
+
+
+def photometric_aug(key: jax.Array, image: jax.Array) -> jax.Array:
+    """Brightness / contrast / gaussian noise / speckle / shade, the
+    augmentation families of ``SP/augmentation.py``."""
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    img = image
+    img = img + jax.random.uniform(k1, (), minval=-0.1, maxval=0.1)  # brightness
+    img = (img - 0.5) * (1.0 + jax.random.uniform(k2, (), minval=-0.3, maxval=0.3)) + 0.5
+    img = img + 0.02 * jax.random.normal(k3, img.shape)  # gaussian noise
+    img = img * (1.0 + 0.05 * jax.random.normal(k4, img.shape))  # speckle
+    # smooth multiplicative shade field
+    h, w = image.shape
+    coarse = jax.random.uniform(k5, (4, 4), minval=0.7, maxval=1.0)
+    shade = jax.image.resize(coarse, (h, w), "bilinear")
+    img = img * shade
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def make_pair(key: jax.Array, image: jax.Array):
+    """One Siamese training pair: (orig, warped, H, warped-valid mask)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    h, w = image.shape
+    H = random_homography(k1, h, w)
+    warped, mask = warp_image(image, H)
+    return photometric_aug(k2, image), photometric_aug(k3, warped), H, mask
+
+
+# ---------------------------------------------------------------------------
+# Dense descriptor loss (SP/loss.py:62-115)
+# ---------------------------------------------------------------------------
+
+def descriptor_loss(desc0: jax.Array, desc1: jax.Array, H: jax.Array, valid_mask: jax.Array) -> jax.Array:
+    """Hinge-contrastive dense descriptor loss.
+
+    ``desc0``/``desc1``: (B, Hc, Wc, D) dense descriptor maps of the
+    original and warped images; ``H``: (B, 3, 3) original->warped
+    homographies; ``valid_mask``: (B, H, W) warped-image validity.
+    """
+    B, Hc, Wc, D = desc0.shape
+    ys, xs = jnp.meshgrid(jnp.arange(Hc, dtype=jnp.float32), jnp.arange(Wc, dtype=jnp.float32), indexing="ij")
+    centers = jnp.stack([xs, ys], axis=-1) * GRID + GRID // 2  # (Hc, Wc, 2) in px
+    warped_centers = jax.vmap(lambda h: warp_points_xy(centers.reshape(-1, 2), h))(H)
+    warped_centers = warped_centers.reshape(B, Hc, Wc, 2)
+
+    # correspondence indicator: original cell (i,j) <-> warped cell (k,l)
+    # when warp(center_ij) lands within half a cell of center_kl.
+    dist = jnp.linalg.norm(
+        warped_centers[:, :, :, None, None, :] - centers[None, None, None, :, :, :], axis=-1
+    )  # (B, Hc, Wc, Hc, Wc): orig cell x warped cell
+    s = (dist <= (GRID - 0.5)).astype(jnp.float32)
+
+    d0 = desc0 / jnp.maximum(jnp.linalg.norm(desc0, axis=-1, keepdims=True), 1e-12)
+    d1 = desc1 / jnp.maximum(jnp.linalg.norm(desc1, axis=-1, keepdims=True), 1e-12)
+    dot = jnp.einsum("bijd,bkld->bijkl", d0, d1)
+    dot = jax.nn.relu(dot)
+    # double normalization as in the reference
+    dot = dot / jnp.maximum(jnp.linalg.norm(dot.reshape(B, Hc, Wc, -1), axis=-1)[..., None, None], 1e-12)
+    dot = dot / jnp.maximum(
+        jnp.linalg.norm(dot.reshape(B, -1, Hc, Wc), axis=1)[:, None, None, :, :], 1e-12
+    )
+
+    positive = jax.nn.relu(POSITIVE_MARGIN - dot)
+    negative = jax.nn.relu(dot - NEGATIVE_MARGIN)
+    loss = LAMBDA_D * s * positive + (1.0 - s) * negative
+
+    # valid mask: a warped cell is valid when all its pixels are valid
+    vm = valid_mask.reshape(B, Hc, GRID, Wc, GRID)
+    vm = jnp.prod(vm, axis=(2, 4))  # (B, Hc, Wc) over warped cells
+    vm = vm[:, None, None, :, :]
+    normalization = jnp.maximum(jnp.sum(vm) * (Hc * Wc), 1.0)
+    return jnp.sum(vm * loss) / normalization
+
+
+# ---------------------------------------------------------------------------
+# Training step
+# ---------------------------------------------------------------------------
+
+def trainable_mask(params: Dict[str, Any]) -> Dict[str, Any]:
+    return {name: jax.tree.map(lambda _: name in TRAINABLE, p) for name, p in params.items()}
+
+
+def make_optimizer(lr: float = 1e-3):
+    """Adam on the descriptor head only (frozen encoder, train.py:12)."""
+    return optax.multi_transform(
+        {True: optax.adam(lr), False: optax.set_to_zero()},
+        param_labels=trainable_mask,
+    )
+
+
+def loss_fn(params, batch):
+    """batch: dict(orig (B,H,W), warped (B,H,W), H (B,3,3), mask (B,H,W)).
+
+    Only the descriptor branch runs — the detector head is frozen and
+    unused by this loss, so it is skipped entirely (the reference runs the
+    full forward and discards the scores, ``train.py:23-27``)."""
+    d0 = superpoint.descriptor_head(params, superpoint.backbone(params, batch["orig"][..., None]))
+    d1 = superpoint.descriptor_head(params, superpoint.backbone(params, batch["warped"][..., None]))
+    return descriptor_loss(d0, d1, batch["H"], batch["mask"])
+
+
+def make_train_step(tx):
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def make_batch(key: jax.Array, images: jax.Array):
+    """Vectorized Siamese batch from raw images (B, H, W) in [0, 1]."""
+    keys = jax.random.split(key, images.shape[0])
+    orig, warped, H, mask = jax.vmap(make_pair)(keys, images)
+    return {"orig": orig, "warped": warped, "H": H, "mask": mask}

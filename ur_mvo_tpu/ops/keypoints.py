@@ -78,6 +78,9 @@ def select_keypoints(
     masked = jnp.where(keep, score_map, 0.0)
     flat = masked.reshape(-1)
     k = capacity
+    if flat.shape[0] < capacity:
+        # degenerate tiny image: pad the candidate pool to capacity
+        flat = jnp.pad(flat, (0, capacity - flat.shape[0]))
     top_scores, top_idx = jax.lax.top_k(flat, k)
     ys = (top_idx // W).astype(jnp.float32)
     xs = (top_idx % W).astype(jnp.float32)

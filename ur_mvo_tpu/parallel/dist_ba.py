@@ -1,0 +1,238 @@
+"""Distributed bundle adjustment: points + observations sharded over a
+device mesh, Schur-reduced camera system assembled with ``psum``.
+
+This is the BASELINE.json north-star decomposition: keyframe poses are
+small and replicated; map points and their observations are partitioned
+across chips (each point's observations live on its owner chip, so the
+camera-point coupling blocks are complete locally); every device builds
+partial ``H_cc``, ``b_c``, the partial Schur reduction ``U Hpp^-1 U^T``
+and RHS from its shard, a single ``psum`` over the mesh axis forms the
+global (6F, 6F) reduced system, every device solves it redundantly
+(cheaper than gathering), and point updates back-substitute locally.
+Collectives ride ICI inside a slice / DCN across hosts — no NCCL/MPI
+analog to the (absent) reference mechanism is needed.
+
+Numerically this matches ``ops/ba.py`` exactly (same linearization, same
+LM loop); the single-chip kernel is the ndev=1 special case.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ur_mvo_tpu.ops.ba import (
+    BAConfig,
+    BAProblem,
+    BAResult,
+    _apply_update,
+    _chi2,
+    _invert_poses,
+    _residuals,
+    _robust_cost,
+)
+from ur_mvo_tpu.ops.lie import HIGHEST
+
+einsum = partial(jnp.einsum, precision=HIGHEST)
+
+AXIS = "data"
+
+
+def shard_problem(prob: BAProblem, n_shards: int) -> BAProblem:
+    """Host-side repartition for the mesh: points are block-partitioned
+    (point p -> shard p % n, then reordered so shard s owns the
+    contiguous block [s*Pl, (s+1)*Pl)), and each valid observation is
+    grouped into its point's shard block. Invalid (padding) observations
+    fill the remaining slots of each block and are re-pointed at the
+    block's first point so local indices stay in range (their weight is
+    zero). Frame arrays stay replicated."""
+    import numpy as np
+
+    P_ = prob.X.shape[0]
+    O = prob.obs_frame.shape[0]
+    assert P_ % n_shards == 0 and O % n_shards == 0, "pad P and O to multiples of the mesh size"
+    Pl = P_ // n_shards
+    # point p (old index) -> shard p % n, position within shard p // n
+    old_p = np.arange(P_)
+    new_p = (old_p % n_shards) * Pl + old_p // n_shards
+    perm_p = np.empty(P_, np.int64)
+    perm_p[new_p] = old_p  # new order lists old indices
+
+    obs_p_old = np.asarray(prob.obs_point)
+    obs_p_new = new_p[obs_p_old]
+    obs_shard = obs_p_new // Pl
+    valid = np.asarray(prob.obs_valid)
+
+    cap = O // n_shards
+    by_shard = [np.nonzero((obs_shard == s) & valid)[0] for s in range(n_shards)]
+    sizes = [len(b) for b in by_shard]
+    if max(sizes) > cap:
+        raise ValueError(f"observation shard overflow ({max(sizes)} > {cap}); increase padding")
+    pad_pool = list(np.nonzero(~valid)[0])
+    order = []
+    pad_point = []  # per final slot: override obs_point for padding rows
+    for s in range(n_shards):
+        take = list(by_shard[s])
+        need = cap - len(take)
+        fills = [pad_pool.pop() for _ in range(need)]
+        order.extend(take + fills)
+        pad_point.extend([-1] * len(take) + [s * Pl] * need)
+    order = np.asarray(order)
+    pad_point = np.asarray(pad_point)
+
+    obs_point_final = obs_p_new[order]
+    obs_point_final = np.where(pad_point >= 0, pad_point, obs_point_final)
+
+    return BAProblem(
+        R_wc=prob.R_wc,
+        t_wc=prob.t_wc,
+        frame_valid=prob.frame_valid,
+        frame_fixed=prob.frame_fixed,
+        X=prob.X[perm_p],
+        point_valid=prob.point_valid[perm_p],
+        obs_frame=prob.obs_frame[order],
+        obs_point=jnp.asarray(obs_point_final.astype(np.int32)),
+        obs_uv=prob.obs_uv[order],
+        obs_valid=prob.obs_valid[order],
+    )
+
+
+def dist_bundle_adjust(
+    prob: BAProblem,
+    mesh: Mesh,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    bf: float = 0.0,
+    cfg: BAConfig = BAConfig(),
+) -> BAResult:
+    """Sharded two-phase LM BA. ``prob`` must come from
+    :func:`shard_problem` with ``n_shards = mesh size``."""
+    n = mesh.shape[AXIS]
+    F = prob.R_wc.shape[0]
+
+    pspec_point = P(AXIS)
+    pspec_rep = P()
+
+    in_specs = BAProblem(
+        R_wc=pspec_rep, t_wc=pspec_rep, frame_valid=pspec_rep, frame_fixed=pspec_rep,
+        X=pspec_point, point_valid=pspec_point,
+        obs_frame=pspec_point, obs_point=pspec_point, obs_uv=pspec_point, obs_valid=pspec_point,
+    )
+
+    P_ = prob.X.shape[0]
+    Pl = P_ // n  # local points per shard
+
+    def local_fn(prob_l: BAProblem):
+        """Runs per shard: full LM with psum'd reduced camera system."""
+        shard = jax.lax.axis_index(AXIS)
+        # Points are block-partitioned: shard s owns globals
+        # [s*Pl, (s+1)*Pl), so the local index is an offset subtract.
+        obs_point_local = prob_l.obs_point - shard * Pl
+        frame_free = prob_l.frame_valid & ~prob_l.frame_fixed
+        point_free = prob_l.point_valid
+
+        prob_local = prob_l._replace(obs_point=obs_point_local)
+
+        R_cw0, t_cw0 = _invert_poses(prob_l.R_wc, prob_l.t_wc)
+
+        def build(R_cw, t_cw, X, active, use_huber):
+            r, Jc, Jp, is_stereo, _ = _residuals(R_cw, t_cw, X, prob_local, fx, fy, cx, cy, bf)
+            chi2 = _chi2(r, is_stereo)
+            th = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
+            delta = jnp.sqrt(th)
+            s = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+            w = jnp.where(use_huber, jnp.where(chi2 <= th, 1.0, delta / s), 1.0) * active
+            ffree = frame_free[prob_local.obs_frame]
+            Jc_m = Jc * ffree[:, None, None].astype(Jc.dtype)
+            H_cc = jnp.zeros((F, 6, 6)).at[prob_local.obs_frame].add(einsum("oij,oik,o->ojk", Jc_m, Jc_m, w))
+            b_c = jnp.zeros((F, 6)).at[prob_local.obs_frame].add(-einsum("oij,oi,o->oj", Jc_m, r, w))
+            H_pp = jnp.zeros((Pl, 3, 3)).at[obs_point_local].add(einsum("oij,oik,o->ojk", Jp, Jp, w))
+            b_p = jnp.zeros((Pl, 3)).at[obs_point_local].add(-einsum("oij,oi,o->oj", Jp, r, w))
+            U = jnp.zeros((Pl, F, 6, 3)).at[obs_point_local, prob_local.obs_frame].add(
+                einsum("oij,oik,o->ojk", Jc_m, Jp, w)
+            )
+            cost = jnp.sum(_robust_cost(chi2, is_stereo, cfg.chi2_mono, cfg.chi2_stereo, use_huber) * active)
+            return H_cc, b_c, H_pp, b_p, U, cost
+
+        def lm_phase(state, active, n_iters, use_huber):
+            def step(carry, _):
+                R_cw, t_cw, X, lam, cost_prev = carry
+                H_cc, b_c, H_pp, b_p, U, _ = build(R_cw, t_cw, X, active, use_huber)
+                eye3 = jnp.eye(3)
+                eye6 = jnp.eye(6)
+                H_ppd = H_pp + lam * eye3[None] + (~point_free)[:, None, None] * eye3[None]
+                Hpp_inv = jnp.linalg.inv(H_ppd) * point_free[:, None, None]
+                Ur = U.reshape(Pl, F * 6, 3)
+                V = einsum("pif,pfg->pig", Ur, Hpp_inv)
+                S_part = einsum("pif,pjf->ij", V, Ur)
+                b_red_part = einsum("pif,pf->i", V, b_p)
+                # --- collectives: global reduced camera system ---
+                H_cc = jax.lax.psum(H_cc, AXIS)
+                b_c = jax.lax.psum(b_c, AXIS)
+                S_red = jax.lax.psum(S_part, AXIS)
+                b_red = jax.lax.psum(b_red_part, AXIS)
+
+                H_cc_d = H_cc + lam * eye6[None]
+                S_full = jnp.zeros((F, 6, F, 6))
+                idx = jnp.arange(F)
+                S_full = S_full.at[idx, :, idx, :].set(H_cc_d).reshape(F * 6, F * 6) - S_red
+                M = jnp.repeat(frame_free, 6).astype(S_full.dtype)
+                S_full = S_full * M[:, None] * M[None, :] + jnp.diag(1.0 - M)
+                b_s = (b_c.reshape(F * 6) - b_red) * M
+                delta_c = jnp.linalg.solve(S_full, b_s).reshape(F, 6)
+                rhs_p = b_p - einsum("pif,i->pf", Ur, delta_c.reshape(F * 6))
+                delta_p = einsum("pfg,pg->pf", Hpp_inv, rhs_p)
+
+                R_try, t_try, X_try = _apply_update(R_cw, t_cw, X, delta_c, delta_p, frame_free, point_free)
+                r, _, _, is_stereo, _ = _residuals(R_try, t_try, X_try, prob_local, fx, fy, cx, cy, bf)
+                cost_try = jax.lax.psum(
+                    jnp.sum(_robust_cost(_chi2(r, is_stereo), is_stereo, cfg.chi2_mono, cfg.chi2_stereo, use_huber) * active),
+                    AXIS,
+                )
+                accept = cost_try < cost_prev
+                R_cw = jnp.where(accept, R_try, R_cw)
+                t_cw = jnp.where(accept, t_try, t_cw)
+                X = jnp.where(accept, X_try, X)
+                lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e6)
+                cost = jnp.where(accept, cost_try, cost_prev)
+                return (R_cw, t_cw, X, lam, cost), None
+
+            R_cw, t_cw, X = state
+            r0, _, _, st0, _ = _residuals(R_cw, t_cw, X, prob_local, fx, fy, cx, cy, bf)
+            cost0 = jax.lax.psum(
+                jnp.sum(_robust_cost(_chi2(r0, st0), st0, cfg.chi2_mono, cfg.chi2_stereo, use_huber) * active),
+                AXIS,
+            )
+            init = (R_cw, t_cw, X, jnp.asarray(cfg.lm_lambda0), cost0)
+            (R_cw, t_cw, X, _, cost), _ = jax.lax.scan(step, init, None, length=n_iters)
+            return (R_cw, t_cw, X), cost
+
+        active0 = prob_l.obs_valid.astype(jnp.float32)
+        state = (R_cw0, t_cw0, prob_l.X)
+        state, _ = lm_phase(state, active0, cfg.iters_phase1, True)
+
+        r, _, _, is_stereo, depth_pos = _residuals(*state, prob_local, fx, fy, cx, cy, bf)
+        chi2 = _chi2(r, is_stereo)
+        th = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
+        inlier = prob_l.obs_valid & (chi2 <= th) & depth_pos
+        state, cost = lm_phase(state, inlier.astype(jnp.float32), cfg.iters_phase2, False)
+
+        r, _, _, is_stereo, depth_pos = _residuals(*state, prob_local, fx, fy, cx, cy, bf)
+        chi2 = _chi2(r, is_stereo)
+        inlier = prob_l.obs_valid & (chi2 <= th) & depth_pos
+
+        R_cw, t_cw, X = state
+        R_wc = jnp.swapaxes(R_cw, -1, -2)
+        t_wc = -einsum("fij,fj->fi", R_wc, t_cw)
+        return BAResult(R_wc=R_wc, t_wc=t_wc, X=X, obs_inlier=inlier, cost=cost)
+
+    out_specs = BAResult(R_wc=pspec_rep, t_wc=pspec_rep, X=pspec_point, obs_inlier=pspec_point, cost=pspec_rep)
+    fn = jax.jit(
+        jax.shard_map(local_fn, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs)
+    )
+    return fn(prob)

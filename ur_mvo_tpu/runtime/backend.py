@@ -1,0 +1,291 @@
+"""Mapping backend: keyframe insertion, triangulation, windowed BA.
+
+Orchestration parity with the reference's ``Mapping``
+(``/root/reference/src/mapping.cc``): per keyframe — create mappoints for
+unmatched features (``:60-111``), multi-view triangulate once a point has
+>2 observers (``:151-205``), covisibility-window local BA with <=15
+optimizable + <=20 extra fixed frames (``:260-322, 386-403``), outlier
+observation removal with covisibility decay (``:474-501, 550-603``).
+
+All numeric work runs in the jitted device kernels
+(``ops/triangulation.py``, ``ops/ba.py``); this module does vectorized
+numpy gathers between the store and those kernels. BA problems are padded
+to the capacities in ``BackendConfig`` so the solver compiles once.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ur_mvo_tpu.camera import Camera
+from ur_mvo_tpu.config import BackendConfig, OptimizationConfig
+from ur_mvo_tpu.ops.ba import BAConfig, BAProblem, bundle_adjust
+from ur_mvo_tpu.ops.triangulation import triangulate_bearings
+from ur_mvo_tpu.runtime.map_store import MapStore, StoreConfig
+
+
+class Backend:
+    def __init__(
+        self,
+        camera: Camera,
+        backend_cfg: BackendConfig,
+        opt_cfg: OptimizationConfig,
+        store: Optional[MapStore] = None,
+        keypoints_per_frame: int = 1024,
+    ):
+        self.camera = camera
+        self.cfg = backend_cfg
+        self.opt_cfg = opt_cfg
+        self.store = store or MapStore(
+            StoreConfig(
+                max_keyframes=backend_cfg.max_keyframes,
+                max_mappoints=backend_cfg.max_mappoints,
+                keypoints_per_frame=keypoints_per_frame,
+            )
+        )
+        self._tri_batch = jax.jit(jax.vmap(triangulate_bearings))
+        ba_cfg = BAConfig(
+            chi2_mono=opt_cfg.mono_point,
+            chi2_stereo=opt_cfg.stereo_point,
+            iters_phase1=backend_cfg.ba_iterations_phase1,
+            iters_phase2=backend_cfg.ba_iterations_phase2,
+        )
+        cam = camera
+
+        @jax.jit
+        def _ba(prob: BAProblem):
+            return bundle_adjust(prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, ba_cfg)
+
+        self._ba = _ba
+
+    # ------------------------------------------------------------------
+    # Keyframe insertion (Mapping::InsertKeyframe, mapping.cc:41-130)
+    # ------------------------------------------------------------------
+
+    def insert_keyframe(
+        self,
+        frame_id: int,
+        timestamp: float,
+        R_wc: np.ndarray,
+        t_wc: np.ndarray,
+        kpts_uvr: np.ndarray,  # (K, 3) u, v, u_right(-1 for mono)
+        valid_slots: np.ndarray,  # (K,) bool
+        track_mp: np.ndarray,  # (K,) int32 existing mappoint ids or -1
+        depth: Optional[np.ndarray] = None,  # (K,) metric depth or None
+    ) -> tuple:
+        """Insert a keyframe, create/triangulate mappoints, run local BA.
+
+        Returns (kf_slot, optimized (R_wc, t_wc)).
+        """
+        st = self.store
+        slot = st.alloc_keyframe(frame_id, timestamp, R_wc, t_wc, kpts_uvr, valid_slots)
+
+        valid_idx = np.nonzero(valid_slots)[0]
+        track = np.asarray(track_mp)
+
+        # New mappoints for features without a track.
+        new_mask = valid_slots & (track < 0)
+        new_idx = np.nonzero(new_mask)[0]
+        if len(new_idx):
+            mp_ids = st.alloc_mappoints(len(new_idx))
+            track = track.copy()
+            track[new_idx] = mp_ids
+            # Stereo / depth-seeded points are Good immediately
+            # (mapping.cc:71-101); mono ones stay untriangulated.
+            uvr = kpts_uvr[new_idx]
+            if depth is not None:
+                d = depth[new_idx]
+                seeded = d > 0
+            else:
+                disparity = uvr[:, 0] - uvr[:, 2]
+                seeded = (uvr[:, 2] > 0) & (disparity > 1e-3)
+                d = np.where(seeded, self.camera.bf / np.maximum(disparity, 1e-6), 0.0)
+            if seeded.any():
+                rays = np.stack(
+                    [
+                        (uvr[:, 0] - self.camera.cx) / self.camera.fx,
+                        (uvr[:, 1] - self.camera.cy) / self.camera.fy,
+                        np.ones(len(new_idx)),
+                    ],
+                    axis=1,
+                )
+                pc = rays * d[:, None]
+                pw = pc @ np.asarray(R_wc).T + t_wc
+                sel = mp_ids[seeded]
+                st.mp_pos[sel] = pw[seeded]
+                st.mp_good[sel] = True
+
+        # Register all observations of this keyframe.
+        obs_idx = np.nonzero(valid_slots & (track >= 0))[0]
+        st.add_observations(slot, track[obs_idx], obs_idx)
+
+        # Triangulate untriangulated points with > 2 observers
+        # (mapping.cc:107-110 requires ObverserNum() > 2).
+        self._triangulate_pending(track[obs_idx])
+
+        if st.num_keyframes() >= 2:
+            self.local_bundle_adjustment(slot)
+
+        s = st.frame_id_to_slot[frame_id]
+        return slot, (st.kf_R[s].copy(), st.kf_t[s].copy())
+
+    def _triangulate_pending(self, candidate_mps: np.ndarray) -> None:
+        st = self.store
+        cand = np.unique(candidate_mps)
+        cand = cand[(~st.mp_good[cand]) & (~st.mp_bad[cand]) & (st.mp_obs_count[cand] > 2)]
+        if len(cand) == 0:
+            return
+        KF = st.cfg.max_keyframes
+        # Build padded ray bundles: cap observers per point at 8 (enough
+        # for the triangulation LS; reference uses all).
+        MAX_OBS = 8
+        n = len(cand)
+        origins = np.zeros((n, MAX_OBS, 3), np.float32)
+        bearings = np.zeros((n, MAX_OBS, 3), np.float32)
+        valid = np.zeros((n, MAX_OBS), bool)
+        for i, mp in enumerate(cand):
+            kfs = np.nonzero(st.obs_slot[mp] >= 0)[0][:MAX_OBS]
+            slots = st.obs_slot[mp, kfs]
+            uv = st.kf_kpts[kfs, slots][:, :2]
+            rays = np.stack(
+                [
+                    (uv[:, 0] - self.camera.cx) / self.camera.fx,
+                    (uv[:, 1] - self.camera.cy) / self.camera.fy,
+                    np.ones(len(kfs)),
+                ],
+                axis=1,
+            )
+            Rk = st.kf_R[kfs]
+            bearings[i, : len(kfs)] = np.einsum("kij,kj->ki", Rk, rays)
+            origins[i, : len(kfs)] = st.kf_t[kfs]
+            valid[i, : len(kfs)] = True
+        pts, ok = self._tri_batch(jnp.asarray(origins), jnp.asarray(bearings), jnp.asarray(valid))
+        pts = np.asarray(pts)
+        ok = np.asarray(ok)
+        # Cheirality: the point must be in front of all its observing
+        # cameras (the reference catches this later via BA depth gating;
+        # doing it here avoids seeding BA with points behind cameras).
+        good = cand[ok]
+        st.mp_pos[good] = pts[ok]
+        st.mp_good[good] = True
+
+    # ------------------------------------------------------------------
+    # Local BA (Mapping::LocalMapOptimization, mapping.cc:335-539)
+    # ------------------------------------------------------------------
+
+    def local_bundle_adjustment(self, new_slot: int) -> None:
+        st = self.store
+        cfg = self.cfg
+        window = st.window_frames(new_slot, cfg.window_opt_frames)
+        new_frame_id = st.kf_frame_id[new_slot]
+
+        # fix frames: old ones or the first two (mapping.cc:354-359)
+        fixed = (st.kf_frame_id[window] <= new_frame_id - cfg.fix_older_than) | (
+            st.kf_frame_id[window] <= 2
+        )
+
+        # local mappoints: Good points observed by window frames
+        tracks = st.kf_track[window]  # (W, K)
+        mp_ids = np.unique(tracks[tracks >= 0])
+        mp_ids = mp_ids[st.mp_good[mp_ids] & ~st.mp_bad[mp_ids]]
+        if len(mp_ids) == 0 or len(window) < 2:
+            return
+
+        # extra fixed frames: observers of local points outside the window
+        inc = st.obs_slot[mp_ids] >= 0  # (n, KF)
+        in_window = np.zeros(st.cfg.max_keyframes, bool)
+        in_window[window] = True
+        outside_counts = inc[:, ~in_window].sum(axis=0)
+        outside_slots = np.nonzero(~in_window & st.kf_valid)[0]
+        counts = inc[:, outside_slots].sum(axis=0)
+        budget = max(0, cfg.window_fixed_frames - int(fixed.sum()))
+        extra = outside_slots[np.argsort(-counts)][:budget]
+        extra = extra[counts[np.argsort(-counts)][:budget] > 0]
+
+        frames = np.concatenate([window, extra]).astype(np.int64)
+        frame_fixed = np.concatenate([fixed, np.ones(len(extra), bool)])
+
+        # gather observations of local mappoints in selected frames
+        obs_f_list, obs_p_list, obs_uv_list = [], [], []
+        slot_of = {int(s): i for i, s in enumerate(frames)}
+        sub = st.obs_slot[mp_ids][:, frames]  # (n, W+E)
+        pi, fi = np.nonzero(sub >= 0)
+        feat = sub[pi, fi]
+        uvr = st.kf_kpts[frames[fi], feat]
+        # constraint needs >= 2 obs (mono) or a stereo row (mapping.cc:458-466)
+        n_obs_per_p = np.bincount(pi, minlength=len(mp_ids))
+        has_stereo = np.zeros(len(mp_ids), bool)
+        np.logical_or.at(has_stereo, pi, uvr[:, 2] > 0)
+        keep_p = (n_obs_per_p >= 2) | has_stereo
+        keep_obs = keep_p[pi]
+        pi, fi, uvr = pi[keep_obs], fi[keep_obs], uvr[keep_obs]
+        mp_used = np.nonzero(keep_p)[0]
+        if len(pi) == 0:
+            return
+        # re-index points compactly
+        remap = np.full(len(mp_ids), -1, np.int32)
+        remap[mp_used] = np.arange(len(mp_used), dtype=np.int32)
+        p_idx = remap[pi]
+        mp_sel = mp_ids[mp_used]
+
+        # Constant padded shapes so the BA kernel compiles exactly once.
+        F = self._round_up(cfg.window_opt_frames + cfg.window_fixed_frames + 1, 4)
+        P = cfg.ba_max_points
+        O = cfg.ba_max_observations
+        if len(mp_sel) > P or len(pi) > O or len(frames) > F:
+            # capacity overflow: keep the newest observations (should not
+            # happen at reference operating points)
+            keep = slice(max(0, len(pi) - O), len(pi))
+            pi, fi, uvr, p_idx = pi[keep], fi[keep], uvr[keep], p_idx[keep]
+            frames = frames[:F]
+            frame_fixed = frame_fixed[:F]
+            mp_sel = mp_sel[:P]
+            sel_ok = (p_idx < len(mp_sel)) & (fi < len(frames))
+            pi, fi, uvr, p_idx = pi[sel_ok], fi[sel_ok], uvr[sel_ok], p_idx[sel_ok]
+
+        def pad(a, n, tail=(), dtype=np.float32):
+            out = np.zeros((n,) + tail, dtype)
+            out[: len(a)] = a[:n]
+            return out
+
+        prob = BAProblem(
+            R_wc=jnp.asarray(pad(st.kf_R[frames], F, (3, 3)) + np.where(
+                (np.arange(F) >= len(frames))[:, None, None], np.eye(3, dtype=np.float32)[None], 0.0
+            )),
+            t_wc=jnp.asarray(pad(st.kf_t[frames], F, (3,))),
+            frame_valid=jnp.asarray(np.arange(F) < len(frames)),
+            frame_fixed=jnp.asarray(pad(frame_fixed, F, (), bool)),
+            X=jnp.asarray(pad(st.mp_pos[mp_sel], P, (3,))),
+            point_valid=jnp.asarray(np.arange(P) < len(mp_sel)),
+            obs_frame=jnp.asarray(pad(fi, O, (), np.int32)),
+            obs_point=jnp.asarray(pad(p_idx, O, (), np.int32)),
+            obs_uv=jnp.asarray(pad(uvr, O, (3,))),
+            obs_valid=jnp.asarray(np.arange(O) < len(pi)),
+        )
+        res = self._ba(prob)
+
+        # write back (mapping.cc:506-538)
+        free = ~frame_fixed
+        st.kf_R[frames[free]] = np.asarray(res.R_wc)[: len(frames)][free]
+        st.kf_t[frames[free]] = np.asarray(res.t_wc)[: len(frames)][free]
+        st.mp_pos[mp_sel] = np.asarray(res.X)[: len(mp_sel)]
+
+        # outlier removal (mapping.cc:474-501)
+        inlier = np.asarray(res.obs_inlier)[: len(pi)]
+        bad = np.nonzero(~inlier)[0]
+        for o in bad:
+            kf_slot = int(frames[fi[o]])
+            mp = int(mp_sel[p_idx[o]])
+            st.remove_observation(kf_slot, mp)
+            is_stereo = uvr[o, 2] > 0
+            if is_stereo and st.mp_obs_count[mp] < 2:
+                st.mp_bad[mp] = True
+                st.mp_good[mp] = False
+
+    @staticmethod
+    def _round_up(x: int, m: int) -> int:
+        return ((x + m - 1) // m) * m

@@ -1,0 +1,211 @@
+"""Feature extraction + matching front ends.
+
+``NeuralExtractor`` is the production path: SuperPoint + keypoint
+selection compiled as ONE device program, and SuperGlue + decode +
+fundamental-RANSAC outlier rejection as ANOTHER single program — the
+fused equivalents of the reference's ``ExtractFeatrue``/
+``ExtractFeatureAndMatch`` chains (``/root/reference/src/tracking.cc:
+325-377``), which bounce TRT -> CPU -> TRT -> CPU -> OpenCV per frame.
+Undistortion rides inside the extract program (``camera.cc:116-125`` does
+it on the host with cv::remap).
+
+``OracleExtractor`` is the test double: given a synthetic scene (world
+points + ground-truth camera poses) it produces exact projections with
+configurable noise and identity descriptors, so the whole VO runtime can
+be integration-tested without trained weights (the reference has no such
+capability — SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ur_mvo_tpu.camera import Camera, remap_bilinear
+from ur_mvo_tpu.config import Configs
+from ur_mvo_tpu.models import superglue, superpoint
+from ur_mvo_tpu.ops.keypoints import FeatureBank, select_keypoints
+from ur_mvo_tpu.ops.matching import Matches, decode_assignment, filter_matches, gather_match_points
+from ur_mvo_tpu.ops.ransac import ransac_fundamental
+
+
+class NeuralExtractor:
+    """SuperPoint + SuperGlue as two jitted device programs."""
+
+    def __init__(self, cfg: Configs, camera: Camera):
+        self.cfg = cfg
+        self.camera = camera
+        sp_cfg = cfg.superpoint
+        sg_cfg = cfg.superglue
+        key = jax.random.PRNGKey(cfg.runtime.seed)
+        k1, k2 = jax.random.split(key)
+        if sp_cfg.weights_path:
+            self.sp_params = superpoint.load_torch_weights(sp_cfg.weights_path)
+        else:
+            self.sp_params = superpoint.init_params(k1)
+        if sg_cfg.weights_path:
+            self.sg_params = superglue.load_torch_weights(sg_cfg.weights_path, sg_cfg.num_layers, sg_cfg.num_heads)
+        else:
+            self.sg_params = superglue.init_params(k2, sg_cfg.num_layers, sg_cfg.num_heads)
+
+        undistort_map = (
+            jnp.asarray(camera.undistort_map) if camera.undistort_map is not None else None
+        )
+        capacity = sp_cfg.capacity
+        compute_dtype = jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jnp.float32
+
+        @jax.jit
+        def _extract(image_u8: jax.Array, mask: jax.Array) -> FeatureBank:
+            img = image_u8.astype(jnp.float32) / 255.0
+            if undistort_map is not None:
+                img = remap_bilinear(img, undistort_map)
+            scores, desc = superpoint.forward(
+                self.sp_params, img[None, :, :, None], nms_radius=sp_cfg.nms_radius,
+                compute_dtype=compute_dtype,
+            )
+            return select_keypoints(
+                scores[0],
+                desc[0],
+                capacity=capacity,
+                threshold=sp_cfg.keypoint_threshold,
+                border=sp_cfg.remove_borders,
+                max_keypoints=sp_cfg.max_keypoints,
+                mask=mask,
+            )
+
+        @jax.jit
+        def _extract_nomask(image_u8: jax.Array) -> FeatureBank:
+            img = image_u8.astype(jnp.float32) / 255.0
+            if undistort_map is not None:
+                img = remap_bilinear(img, undistort_map)
+            scores, desc = superpoint.forward(
+                self.sp_params, img[None, :, :, None], nms_radius=sp_cfg.nms_radius,
+                compute_dtype=compute_dtype,
+            )
+            return select_keypoints(
+                scores[0],
+                desc[0],
+                capacity=capacity,
+                threshold=sp_cfg.keypoint_threshold,
+                border=sp_cfg.remove_borders,
+                max_keypoints=sp_cfg.max_keypoints,
+            )
+
+        @partial(jax.jit, static_argnames=("outlier_rejection",))
+        def _match(key, bank0: FeatureBank, bank1: FeatureBank, outlier_rejection: bool = True) -> Matches:
+            Z = superglue.match_scores(
+                self.sg_params,
+                bank0,
+                bank1,
+                sg_cfg.image_width,
+                sg_cfg.image_height,
+                sinkhorn_iterations=sg_cfg.sinkhorn_iterations,
+                compute_dtype=compute_dtype,
+            )
+            m = decode_assignment(Z, bank0.valid, bank1.valid, sg_cfg.matching_threshold)
+            if outlier_rejection:
+                p0, p1, valid = gather_match_points(m, bank0.kpts, bank1.kpts)
+                res = ransac_fundamental(key, p0, p1, valid, iterations=200, sigma=1.0)
+                # Only filter when RANSAC had enough support (cv path
+                # skips rejection for tiny match sets).
+                enough = m.num_valid() >= 8
+                keep = jnp.where(enough, res.inliers, valid)
+                m = filter_matches(m, keep)
+            return m
+
+        self._extract_fn = _extract
+        self._extract_nomask_fn = _extract_nomask
+        self._match_fn = _match
+        self._key = jax.random.PRNGKey(cfg.runtime.seed + 1)
+
+    def extract(self, image: np.ndarray, mask: Optional[np.ndarray] = None) -> FeatureBank:
+        if mask is not None:
+            return self._extract_fn(jnp.asarray(image), jnp.asarray(mask))
+        return self._extract_nomask_fn(jnp.asarray(image))
+
+    def match(self, bank0: FeatureBank, bank1: FeatureBank, outlier_rejection: bool = True) -> Matches:
+        self._key, sub = jax.random.split(self._key)
+        return self._match_fn(sub, bank0, bank1, outlier_rejection)
+
+
+class OracleExtractor:
+    """Ground-truth feature oracle over a synthetic scene.
+
+    ``points``: (N, 3) world points with N <= capacity. Each point owns a
+    fixed slot identity; ``extract`` projects the visible ones through the
+    frame's ground-truth camera pose (passed via ``Frame.meta['T_wc']``)
+    and ``match`` associates by slot identity — perfect data association,
+    configurable pixel noise and dropout.
+    """
+
+    def __init__(
+        self,
+        points: np.ndarray,
+        camera: Camera,
+        capacity: int = 1024,
+        noise_px: float = 0.0,
+        dropout: float = 0.0,
+        seed: int = 0,
+    ):
+        self.points = np.asarray(points, dtype=np.float32)
+        self.camera = camera
+        self.capacity = int(capacity)
+        assert self.points.shape[0] <= self.capacity
+        self.noise_px = noise_px
+        self.dropout = dropout
+        self.rng = np.random.default_rng(seed)
+        # Distinct descriptors per landmark (unit norm).
+        D = 256
+        desc = self.rng.normal(size=(self.points.shape[0], D)).astype(np.float32)
+        self.desc = desc / np.linalg.norm(desc, axis=1, keepdims=True)
+
+    def extract_with_pose(self, T_wc: np.ndarray) -> FeatureBank:
+        n = self.points.shape[0]
+        R_wc = T_wc[:3, :3]
+        t_wc = T_wc[:3, 3]
+        pc = (self.points - t_wc) @ R_wc  # R_cw = R_wc^T
+        z = pc[:, 2]
+        cam = self.camera
+        u = cam.fx * pc[:, 0] / np.maximum(z, 1e-6) + cam.cx
+        v = cam.fy * pc[:, 1] / np.maximum(z, 1e-6) + cam.cy
+        if self.noise_px > 0:
+            u = u + self.rng.normal(scale=self.noise_px, size=n)
+            v = v + self.rng.normal(scale=self.noise_px, size=n)
+        visible = (z > 0.05) & (u >= 0) & (u <= cam.width - 1) & (v >= 0) & (v <= cam.height - 1)
+        if self.dropout > 0:
+            visible &= self.rng.random(n) > self.dropout
+
+        K = self.capacity
+        kpts = np.zeros((K, 2), np.float32)
+        desc = np.zeros((K, self.desc.shape[1]), np.float32)
+        scores = np.zeros((K,), np.float32)
+        valid = np.zeros((K,), bool)
+        kpts[:n] = np.stack([u, v], axis=1)
+        desc[:n] = self.desc
+        scores[:n] = 1.0
+        valid[:n] = visible
+        kpts[~valid] = 0
+        return FeatureBank(
+            scores=jnp.asarray(scores * valid),
+            kpts=jnp.asarray(kpts * valid[:, None]),
+            desc=jnp.asarray(desc * valid[:, None]),
+            valid=jnp.asarray(valid),
+        )
+
+    def extract(self, image, mask=None, frame=None) -> FeatureBank:
+        raise NotImplementedError("OracleExtractor requires extract_with_pose(T_wc)")
+
+    def match(self, bank0: FeatureBank, bank1: FeatureBank, outlier_rejection: bool = True) -> Matches:
+        # Slot-identity association: slot i matches slot i when both valid.
+        both = np.asarray(bank0.valid) & np.asarray(bank1.valid)
+        K = both.shape[0]
+        idx1 = np.where(both, np.arange(K, dtype=np.int32), -1)
+        return Matches(
+            idx1=jnp.asarray(idx1),
+            score=jnp.asarray(both.astype(np.float32)),
+            valid=jnp.asarray(both),
+        )

@@ -1,0 +1,433 @@
+"""VO tracking front end: the host state machine.
+
+Orchestration parity with the reference's ``Tracking``
+(``/root/reference/src/tracking.cc``): monocular/RGB-D initialization
+(``:379-648``), frame-to-keyframe tracking with PnP prior + pose-only
+refinement (``:711-911``), tracking-loss fallback that promotes the last
+frame to keyframe (``:253-276``), the keyframe policy (``:913-958``), and
+keyframe insertion into the mapping backend (``:962-995``) — which is the
+only event that emits a pose to the caller (``:989``; non-keyframe frames
+are interpolated by the engine, as in ``engine.py:22-40``).
+
+Design difference: the reference runs this as 3 threads with mutex-guarded
+queues; here it is a single-owner host loop issuing asynchronous device
+programs (extraction/matching/PnP/pose-opt are jitted; JAX's async
+dispatch overlaps host bookkeeping with device compute). Decisions
+(init success, fallback, keyframe) read back tiny scalars only.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ur_mvo_tpu.camera import Camera
+from ur_mvo_tpu.config import Configs, SensorSetup
+from ur_mvo_tpu.ops import lie
+from ur_mvo_tpu.ops.epipolar import two_view_init
+from ur_mvo_tpu.ops.matching import Matches
+from ur_mvo_tpu.ops.pnp import ransac_pnp
+from ur_mvo_tpu.ops.pose_opt import PoseObs, optimize_pose
+from ur_mvo_tpu.runtime.backend import Backend
+
+
+class Tracker:
+    def __init__(self, cfg: Configs, camera: Camera, extractor, backend: Optional[Backend] = None):
+        self.cfg = cfg
+        self.camera = camera
+        self.extractor = extractor
+        self.backend = backend or Backend(
+            camera, cfg.backend, cfg.backend_optimization,
+            keypoints_per_frame=cfg.superpoint.capacity,
+        )
+        self.K_mat = jnp.asarray(camera.intrinsic_matrix())
+
+        self._initialized = False
+        self._init_bank = None
+        self._init_time = None
+        self._init_frame_id = None
+        self._frame_counter = 0
+        self._track_id_counter = 0
+
+        # last-frame state
+        self._last_pose = np.eye(4, dtype=np.float32)  # T_wc
+        self._last_bank = None
+        self._last_track = None  # (K,) mappoint ids of last frame
+        self._last_time = 0.0
+        self._last_frame_id = -1
+        self._last_track_well = False
+        self._num_since_last_keyframe = 0
+
+        # reference keyframe state
+        self._ref_slot = None
+        self._ref_bank = None
+        self._ref_frame_id = -1
+        self._last_keyframe_pose = np.eye(4, dtype=np.float32)
+        self._last_keyframe_frame_id = -1
+        self._last_keyframe_time = 0.0
+
+        self._rng = jax.random.PRNGKey(cfg.runtime.seed + 7)
+
+        kf = cfg.keyframe
+        cam = camera
+        topt = cfg.tracking_optimization
+        rt = cfg.runtime
+
+        @jax.jit
+        def _track_kernel(key, X, uv, valid, R_last_cw, t_last_cw):
+            """PnP prior + pose-only refinement, one device program
+            (parity with FramePoseOptimization, tracking.cc:793-911)."""
+            pnp = ransac_pnp(
+                key, X, uv, valid, self.K_mat,
+                iterations=rt.pnp_ransac_iterations,
+                threshold_px=rt.pnp_reprojection_threshold,
+            )
+            # fallback to last pose when PnP support is too weak
+            weak = pnp.n_inliers < kf.min_num_match
+            R0 = jnp.where(weak, R_last_cw, pnp.R_cw)
+            t0 = jnp.where(weak, t_last_cw, pnp.t_cw)
+            obs = PoseObs(
+                X=X,
+                uv=jnp.concatenate([uv, -jnp.ones_like(uv[:, :1])], axis=1),
+                valid=valid,
+            )
+            res = optimize_pose(
+                R0, t0, obs, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+                chi2_mono=topt.mono_point, chi2_stereo=topt.stereo_point,
+            )
+            return res
+
+        self._track_kernel = _track_kernel
+
+        init_cfg = cfg.initializer
+
+        @jax.jit
+        def _init_kernel(key, p1, p2, valid):
+            return two_view_init(
+                key, p1, p2, valid, self.K_mat,
+                iterations=init_cfg.ransac_iterations,
+                sigma=init_cfg.sigma,
+                min_triangulated=50,
+            )
+
+        self._init_kernel = _init_kernel
+
+    # ------------------------------------------------------------------
+
+    def _next_key(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def process(self, bank, timestamp: float, depth_lookup=None) -> Optional[np.ndarray]:
+        """One frame. ``bank``: FeatureBank (already extracted). Returns
+        the 4x4 keyframe pose when a keyframe was inserted, else None."""
+        frame_id = self._frame_counter
+        self._frame_counter += 1
+
+        if not self._initialized:
+            return self._try_initialize(bank, timestamp, frame_id, depth_lookup)
+
+        matches = self.extractor.match(self._ref_bank, bank)
+        num_match = int(matches.num_valid())
+
+        pose_out = None
+        ref_bank = self._ref_bank
+        ref_track = self.backend.store.kf_track[self._ref_slot]
+        ref_frame_id = self._ref_frame_id
+
+        def run_track(ref_track_arr, m: Matches):
+            return self._track_frame(bank, ref_track_arr, m)
+
+        if num_match < self.cfg.keyframe.min_num_match:
+            promoted = self._promote_last_frame(timestamp)
+            if promoted is None:
+                self._after_track(bank, None, timestamp, frame_id, track_well=False)
+                return None
+            ref_track = self.backend.store.kf_track[self._ref_slot]
+            ref_frame_id = self._ref_frame_id
+            matches = self.extractor.match(self._ref_bank, bank)
+            num_inliers, pose, frame_track = run_track(ref_track, matches)
+        else:
+            num_inliers, pose, frame_track = run_track(ref_track, matches)
+            if num_inliers < self.cfg.keyframe.min_num_match:
+                promoted = self._promote_last_frame(timestamp)
+                if promoted is not None:
+                    ref_track = self.backend.store.kf_track[self._ref_slot]
+                    ref_frame_id = self._ref_frame_id
+                    matches = self.extractor.match(self._ref_bank, bank)
+                    num_inliers, pose, frame_track = run_track(ref_track, matches)
+
+        track_well = num_inliers >= self.cfg.keyframe.min_num_match
+        if not track_well:
+            self._after_track(bank, None, timestamp, frame_id, track_well=False)
+            return None
+
+        # keyframe decision (tracking.cc:913-958) — only when the ref
+        # keyframe is still the latest keyframe.
+        if self._add_keyframe_decision(pose, num_inliers, frame_id) and (
+            ref_frame_id == self._last_keyframe_frame_id
+        ):
+            pose_out = self._insert_keyframe(bank, pose, frame_track, timestamp, frame_id, depth_lookup)
+
+        # BA may have refined the pose of a just-inserted keyframe; carry
+        # the optimized one forward (the reference mutates the shared
+        # Frame object in Mapping's write-back).
+        final_pose = pose_out if pose_out is not None else pose
+        self._after_track(bank, final_pose, timestamp, frame_id, track_well=True, track=frame_track)
+        return pose_out
+
+    # ------------------------------------------------------------------
+    # Initialization (tracking.cc:379-648)
+    # ------------------------------------------------------------------
+
+    def _try_initialize(self, bank, timestamp, frame_id, depth_lookup=None) -> Optional[np.ndarray]:
+        n_feat = int(bank.num_valid())
+        init_cfg = self.cfg.initializer
+
+        if depth_lookup is not None:
+            # RGB-D: single-frame init (tracking.cc:412-478)
+            return self._init_rgbd(bank, timestamp, frame_id, depth_lookup)
+
+        if self._init_bank is None:
+            if n_feat < init_cfg.min_features_first:
+                return None
+            self._init_bank = bank
+            self._init_time = timestamp
+            self._init_frame_id = frame_id
+            return None
+
+        if timestamp - self._init_time > init_cfg.reseed_time:
+            # re-seed (tracking.cc:500-513)
+            if n_feat < 300:
+                self._init_bank = None
+                return None
+            self._init_bank = bank
+            self._init_time = timestamp
+            self._init_frame_id = frame_id
+            return None
+
+        matches = self.extractor.match(self._init_bank, bank)
+        # build padded match-pair arrays
+        idx1 = np.asarray(matches.idx1)
+        valid = np.asarray(matches.valid)
+        K = idx1.shape[0]
+        p1 = np.asarray(self._init_bank.kpts)
+        kpts1 = np.asarray(bank.kpts)
+        p2 = kpts1[np.maximum(idx1, 0)]
+        res = self._init_kernel(self._next_key(), jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(valid))
+        n_tri = int(res.triangulated.sum())
+        if not bool(res.success) or n_tri < self.cfg.initializer.min_matches:
+            return None
+
+        # scale = 4.0 / median depth (tracking.cc:578-588)
+        X = np.asarray(res.points3d)
+        tri = np.asarray(res.triangulated)
+        depths = np.sort(X[tri][:, 2])
+        med = depths[(len(depths) - 1) // 2]
+        scale = float(self.cfg.initializer.median_depth_scale) / max(med, 1e-6)
+        Xw = X * scale  # world == first camera frame
+
+        R21 = np.asarray(res.R21)
+        t21 = np.asarray(res.t21) * scale
+        # T_wc2 = inv(T21) since world == cam1
+        R_wc2 = R21.T
+        t_wc2 = -R21.T @ t21
+
+        st = self.backend.store
+        # first keyframe (identity, fixed)
+        uvr1 = np.concatenate([p1, -np.ones((K, 1), np.float32)], axis=1)
+        slot0 = st.alloc_keyframe(self._init_frame_id, self._init_time, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), uvr1, tri)
+        mp_ids = st.alloc_mappoints(int(tri.sum()))
+        st.mp_pos[mp_ids] = Xw[tri]
+        st.mp_good[mp_ids] = True
+        st.add_observations(slot0, mp_ids, np.nonzero(tri)[0])
+
+        # second keyframe
+        uvr2 = np.concatenate([kpts1, -np.ones((K, 1), np.float32)], axis=1)
+        slot1 = st.alloc_keyframe(frame_id, timestamp, R_wc2.astype(np.float32), t_wc2.astype(np.float32), uvr2, tri)
+        # observed feature slots in frame2 are idx1 of the matched slots
+        feat2 = idx1[np.nonzero(tri)[0]]
+        st.add_observations(slot1, mp_ids, feat2)
+
+        # frame track table for the new frame
+        frame_track = np.full(K, -1, np.int32)
+        frame_track[feat2] = mp_ids
+
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = R_wc2
+        pose[:3, 3] = t_wc2
+
+        self._initialized = True
+        self._ref_slot = slot1
+        self._ref_bank = bank
+        self._ref_frame_id = frame_id
+        self._last_keyframe_pose = pose
+        self._last_keyframe_frame_id = frame_id
+        self._last_keyframe_time = timestamp
+        self._after_track(bank, pose, timestamp, frame_id, track_well=True, track=frame_track)
+        self._num_since_last_keyframe = 0
+        return pose
+
+    def _init_rgbd(self, bank, timestamp, frame_id, depth_lookup) -> Optional[np.ndarray]:
+        K = bank.capacity
+        valid = np.asarray(bank.valid)
+        if valid.sum() < 250:
+            return None
+        kpts = np.asarray(bank.kpts)
+        d = depth_lookup(kpts)  # (K,) metric depth, <=0 invalid
+        good = valid & (d > self.camera.depth_lower_thr) & (d < self.camera.depth_upper_thr)
+        if good.sum() < 100:
+            return None
+        st = self.backend.store
+        uvr = np.concatenate([kpts, -np.ones((K, 1), np.float32)], axis=1)
+        slot = st.alloc_keyframe(frame_id, timestamp, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), uvr, valid)
+        rays = np.stack(
+            [
+                (kpts[:, 0] - self.camera.cx) / self.camera.fx,
+                (kpts[:, 1] - self.camera.cy) / self.camera.fy,
+                np.ones(K, np.float32),
+            ],
+            axis=1,
+        )
+        Xw = rays * d[:, None]
+        mp_ids = st.alloc_mappoints(int(good.sum()))
+        st.mp_pos[mp_ids] = Xw[good]
+        st.mp_good[mp_ids] = True
+        st.add_observations(slot, mp_ids, np.nonzero(good)[0])
+
+        frame_track = np.full(K, -1, np.int32)
+        frame_track[np.nonzero(good)[0]] = mp_ids
+
+        pose = np.eye(4, dtype=np.float32)
+        self._initialized = True
+        self._ref_slot = slot
+        self._ref_bank = bank
+        self._ref_frame_id = frame_id
+        self._last_keyframe_pose = pose
+        self._last_keyframe_frame_id = frame_id
+        self._last_keyframe_time = timestamp
+        self._after_track(bank, pose, timestamp, frame_id, track_well=True, track=frame_track)
+        self._num_since_last_keyframe = 0
+        return pose
+
+    # ------------------------------------------------------------------
+    # Tracking (TrackFrame + FramePoseOptimization)
+    # ------------------------------------------------------------------
+
+    def _track_frame(self, bank, ref_track: np.ndarray, matches: Matches):
+        st = self.backend.store
+        idx1 = np.asarray(matches.idx1)
+        mvalid = np.asarray(matches.valid)
+        K = idx1.shape[0]
+
+        # candidate mappoints via the reference keyframe's track table
+        cand_mp = np.where(mvalid, ref_track, -1)
+        cand_ok = mvalid & (cand_mp >= 0)
+        cand_ok &= np.where(cand_mp >= 0, st.mp_good[np.maximum(cand_mp, 0)] & ~st.mp_bad[np.maximum(cand_mp, 0)], False)
+
+        # per-current-frame-slot correspondence arrays
+        X = np.zeros((K, 3), np.float32)
+        uv = np.zeros((K, 2), np.float32)
+        valid = np.zeros(K, bool)
+        mp_of_slot = np.full(K, -1, np.int32)
+        src = np.nonzero(cand_ok)[0]
+        dst = idx1[src]
+        X[dst] = st.mp_pos[cand_mp[src]]
+        uv[dst] = np.asarray(bank.kpts)[dst]
+        valid[dst] = True
+        mp_of_slot[dst] = cand_mp[src]
+
+        R_last_cw = self._last_pose[:3, :3].T
+        t_last_cw = -R_last_cw @ self._last_pose[:3, 3]
+        res = self._track_kernel(
+            self._next_key(), jnp.asarray(X), jnp.asarray(uv), jnp.asarray(valid),
+            jnp.asarray(R_last_cw), jnp.asarray(t_last_cw),
+        )
+        n_inl = int(res.n_inliers)
+        if n_inl >= self.cfg.keyframe.min_num_match:
+            R_cw = np.asarray(res.R_cw)
+            t_cw = np.asarray(res.t_cw)
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = R_cw.T
+            pose[:3, 3] = -R_cw.T @ t_cw
+            inl = np.asarray(res.inliers)
+        else:
+            pose = self._last_pose.copy()
+            inl = np.zeros(K, bool)
+
+        frame_track = np.where(inl, mp_of_slot, -1).astype(np.int32)
+        return n_inl, pose, frame_track
+
+    def _promote_last_frame(self, timestamp):
+        """Tracking-loss fallback: make the last frame a keyframe
+        (tracking.cc:254-276)."""
+        if self._num_since_last_keyframe < 1 or not self._last_track_well or self._last_bank is None:
+            return None
+        slot = self._insert_keyframe(
+            self._last_bank, self._last_pose, self._last_track, self._last_time, self._last_frame_id, None,
+            set_ref=True,
+        )
+        return slot
+
+    def _add_keyframe_decision(self, pose, num_match, frame_id) -> bool:
+        kf = self.cfg.keyframe
+        last = self._last_keyframe_pose
+        dR = last[:3, :3].T @ pose[:3, :3]
+        angle = float(lie.rotation_angle(jnp.asarray(dR)))
+        dist = float(np.linalg.norm(pose[:3, 3] - last[:3, 3]))
+        passed = frame_id - self._last_keyframe_frame_id
+        return (
+            num_match < kf.max_num_match
+            or angle > kf.max_angle
+            or dist > kf.max_distance
+            or passed >= kf.max_num_passed_frame
+        )
+
+    def _insert_keyframe(self, bank, pose, frame_track, timestamp, frame_id, depth_lookup, set_ref=True):
+        """InsertKeyframe (tracking.cc:962-995 + Mapping::InsertKeyframe)."""
+        st = self.backend.store
+        if frame_id in st.frame_id_to_slot:
+            return None
+        K = bank.capacity
+        valid = np.asarray(bank.valid)
+        kpts = np.asarray(bank.kpts)
+        uvr = np.concatenate([kpts, -np.ones((K, 1), np.float32)], axis=1)
+        depth = depth_lookup(kpts) if depth_lookup is not None else None
+        track = frame_track if frame_track is not None else np.full(K, -1, np.int32)
+        slot, (R_opt, t_opt) = self.backend.insert_keyframe(
+            frame_id, timestamp, pose[:3, :3], pose[:3, 3], uvr, valid, track, depth
+        )
+        opt_pose = np.eye(4, dtype=np.float32)
+        opt_pose[:3, :3] = R_opt
+        opt_pose[:3, 3] = t_opt
+        if set_ref:
+            self._ref_slot = slot
+            self._ref_bank = bank
+            self._ref_frame_id = frame_id
+            self._last_keyframe_pose = opt_pose
+            self._last_keyframe_frame_id = frame_id
+            self._last_keyframe_time = timestamp
+            self._num_since_last_keyframe = 0
+        return opt_pose
+
+    def _after_track(self, bank, pose, timestamp, frame_id, track_well, track=None):
+        if pose is not None:
+            self._last_pose = pose
+        self._last_bank = bank
+        self._last_track = track if track is not None else np.full(bank.capacity, -1, np.int32)
+        self._last_time = timestamp
+        self._last_frame_id = frame_id
+        self._last_track_well = track_well
+        self._num_since_last_keyframe += 1
+
+    # ------------------------------------------------------------------
+
+    @property
+    def initialized(self) -> bool:
+        return self._initialized
+
+    def current_pose(self) -> np.ndarray:
+        return self._last_pose.copy()

@@ -1,0 +1,176 @@
+"""Fixed-capacity map store: keyframes, map points, observations,
+covisibility.
+
+Array-based redesign of the reference's pointer-graph map
+(``/root/reference/src/mapping.cc`` ``std::map`` keyframe/mappoint stores,
+``frame.cc:355-432`` covisibility connections, ``mappoint.cc`` observer
+maps): keyframes live in slots of dense numpy arrays, mappoints in a flat
+table, the observer relation is a dense (MP, KF) slot matrix, and
+covisibility is a dense integer weight matrix — so window selection,
+observation gathering and BA-problem assembly are vectorized gathers that
+feed the jitted device kernels with zero per-element Python.
+
+The store is the single host-side mutable state object of the engine
+(the reference shares its map across threads with hand-rolled mutexes —
+SURVEY §5 'race detection'; here there is exactly one owner).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class StoreConfig:
+    max_keyframes: int = 512
+    max_mappoints: int = 32768
+    keypoints_per_frame: int = 1024
+
+
+class MapStore:
+    def __init__(self, cfg: StoreConfig):
+        KF, MP, K = cfg.max_keyframes, cfg.max_mappoints, cfg.keypoints_per_frame
+        self.cfg = cfg
+        # keyframes
+        self.kf_valid = np.zeros(KF, bool)
+        self.kf_frame_id = np.full(KF, -1, np.int64)
+        self.kf_timestamp = np.zeros(KF, np.float64)
+        self.kf_R = np.tile(np.eye(3, dtype=np.float32), (KF, 1, 1))  # R_wc
+        self.kf_t = np.zeros((KF, 3), np.float32)
+        self.kf_kpts = np.zeros((KF, K, 3), np.float32)  # u, v, u_right(-1 mono)
+        self.kf_track = np.full((KF, K), -1, np.int32)  # mappoint slot per feature
+        # mappoints
+        self.mp_alloc = np.zeros(MP, bool)
+        self.mp_good = np.zeros(MP, bool)  # triangulated (reference 'Good')
+        self.mp_bad = np.zeros(MP, bool)
+        self.mp_pos = np.zeros((MP, 3), np.float32)
+        self.mp_obs_count = np.zeros(MP, np.int32)
+        # observer relation: slot of mappoint in keyframe, -1 when absent
+        self.obs_slot = np.full((MP, KF), -1, np.int16)
+        # covisibility weights between keyframes
+        self.covis = np.zeros((KF, KF), np.int32)
+
+        self._next_kf = 0
+        self._next_mp = 0
+        self.frame_id_to_slot: Dict[int, int] = {}
+
+    # -- allocation ---------------------------------------------------------
+
+    def num_keyframes(self) -> int:
+        return int(self.kf_valid.sum())
+
+    def alloc_keyframe(self, frame_id: int, timestamp: float, R_wc: np.ndarray, t_wc: np.ndarray,
+                       kpts: np.ndarray, valid_slots: np.ndarray) -> int:
+        """Insert a keyframe; returns its store slot. ``kpts``: (K, 3)."""
+        if self._next_kf >= self.cfg.max_keyframes:
+            raise RuntimeError("keyframe capacity exceeded; culling not yet enabled")
+        s = self._next_kf
+        self._next_kf += 1
+        self.kf_valid[s] = True
+        self.kf_frame_id[s] = frame_id
+        self.kf_timestamp[s] = timestamp
+        self.kf_R[s] = R_wc
+        self.kf_t[s] = t_wc
+        self.kf_kpts[s] = np.where(valid_slots[:, None], kpts, 0.0)
+        self.frame_id_to_slot[frame_id] = s
+        return s
+
+    def alloc_mappoints(self, n: int) -> np.ndarray:
+        if self._next_mp + n > self.cfg.max_mappoints:
+            raise RuntimeError("mappoint capacity exceeded")
+        ids = np.arange(self._next_mp, self._next_mp + n, dtype=np.int32)
+        self._next_mp += n
+        self.mp_alloc[ids] = True
+        return ids
+
+    # -- observations -------------------------------------------------------
+
+    def add_observations(self, kf_slot: int, mp_ids: np.ndarray, feat_slots: np.ndarray) -> None:
+        """Register mappoint ``mp_ids`` observed at ``feat_slots`` of
+        keyframe ``kf_slot``; updates track table, observer matrix,
+        observation counts and covisibility."""
+        mp_ids = np.asarray(mp_ids, np.int32)
+        feat_slots = np.asarray(feat_slots, np.int64)
+        self.kf_track[kf_slot, feat_slots] = mp_ids
+        fresh = self.obs_slot[mp_ids, kf_slot] < 0
+        self.obs_slot[mp_ids, kf_slot] = feat_slots.astype(np.int16)
+        self.mp_obs_count[mp_ids[fresh]] += 1
+        # covisibility: this kf now shares mp with every other observer kf
+        other = self.obs_slot[mp_ids] >= 0  # (n, KF)
+        counts = other.sum(axis=0).astype(np.int32)
+        counts[kf_slot] = 0
+        self.covis[kf_slot] += counts
+        self.covis[:, kf_slot] += counts
+
+    def remove_observation(self, kf_slot: int, mp_id: int) -> None:
+        """Detach one observation (outlier removal, ``mapping.cc:550-603``)."""
+        slot = self.obs_slot[mp_id, kf_slot]
+        if slot < 0:
+            return
+        self.obs_slot[mp_id, kf_slot] = -1
+        if self.kf_track[kf_slot, slot] == mp_id:
+            self.kf_track[kf_slot, slot] = -1
+        self.mp_obs_count[mp_id] -= 1
+        # decrease covisibility with remaining observers
+        others = np.nonzero(self.obs_slot[mp_id] >= 0)[0]
+        self.covis[kf_slot, others] -= 1
+        self.covis[others, kf_slot] -= 1
+        np.maximum(self.covis, 0, out=self.covis)
+
+    # -- queries ------------------------------------------------------------
+
+    def keyframe_slots(self) -> np.ndarray:
+        return np.nonzero(self.kf_valid)[0]
+
+    def window_frames(self, kf_slot: int, target: int = 15) -> np.ndarray:
+        """Covisibility neighborhood of a keyframe, reference semantics
+        (``mapping.cc:260-322``): all keyframes when few, else the top
+        covisible first layer then BFS deeper layers until ``target``."""
+        slots = self.keyframe_slots()
+        if len(slots) <= target:
+            return slots
+        selected = [kf_slot]
+        in_sel = np.zeros(self.cfg.max_keyframes, bool)
+        in_sel[kf_slot] = True
+        # first layer: strongest direct connections
+        w = self.covis[kf_slot].copy()
+        w[~self.kf_valid] = 0
+        order = np.argsort(-w)
+        for s in order:
+            if len(selected) >= target:
+                break
+            if w[s] > 0 and not in_sel[s]:
+                selected.append(int(s))
+                in_sel[s] = True
+        # deeper layers
+        while len(selected) < target:
+            acc = self.covis[selected].sum(axis=0)
+            acc[in_sel] = 0
+            acc[~self.kf_valid] = 0
+            if acc.max() <= 0:
+                break
+            order = np.argsort(-acc)
+            added = False
+            for s in order:
+                if len(selected) >= target:
+                    break
+                if acc[s] > 0:
+                    selected.append(int(s))
+                    in_sel[s] = True
+                    added = True
+            if not added:
+                break
+        return np.asarray(sorted(selected))
+
+    def observers_of(self, mp_ids: np.ndarray) -> np.ndarray:
+        """(n, KF) boolean observer incidence for the given mappoints."""
+        return self.obs_slot[mp_ids] >= 0
+
+    def trajectory(self) -> tuple:
+        """All keyframe (timestamps, R_wc, t_wc) in insertion order."""
+        slots = self.keyframe_slots()
+        order = slots[np.argsort(self.kf_frame_id[slots])]
+        return self.kf_timestamp[order], self.kf_R[order], self.kf_t[order]
