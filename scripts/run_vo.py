@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""VO CLI: run a sequence directory, write a TUM trajectory, evaluate ATE.
+
+Parity with the reference driver (``/root/reference/scripts/vo.py``):
+reads a sorted image directory, feeds ``UR_MVO.process``, writes every
+Nth pose to ``poses.txt`` (the Aqualoc GT rate is every 5 frames,
+``vo.py:66-72``), and evaluates ATE with built-in Umeyama alignment +
+scale correction instead of shelling out to ``evo_ape``.
+
+Usage:
+  python scripts/run_vo.py --images <seq_dir> [--config cfg.yaml]
+      [--setup mono|stereo|rgbd] [--gt gt.txt|images.txt]
+      [--results out_dir] [--stride 5] [--platform cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", required=True, help="sequence root (EuRoC layout: cam0/data)")
+    ap.add_argument("--config", default=None, help="YAML config (reference format)")
+    ap.add_argument("--setup", default="mono", choices=["mono", "stereo", "rgbd"])
+    ap.add_argument("--gt", default=None, help="ground truth (TUM txt or colmap images.txt)")
+    ap.add_argument("--results", default="results")
+    ap.add_argument("--stride", type=int, default=5, help="pose subsampling for poses.txt")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+
+    from ur_mvo_tpu.components import Frame, Image, Setup
+    from ur_mvo_tpu.dataset import Dataset, load_colmap_images_txt
+    from ur_mvo_tpu.engine import UR_MVO
+    from ur_mvo_tpu.utils.metrics import ate_rmse
+    from ur_mvo_tpu.utils.tum_io import associate, read_tum, write_tum
+
+    setup = {"mono": Setup.MONO, "stereo": Setup.STEREO, "rgbd": Setup.RGBD}[args.setup]
+    vo = UR_MVO(args.config, setup)
+    ds = Dataset(args.images, use_right=(setup == Setup.STEREO), use_depth=(setup == Setup.RGBD))
+    os.makedirs(args.results, exist_ok=True)
+
+    all_ts, all_pos, all_quat = [], [], []
+    t0 = time.perf_counter()
+    for data in ds:
+        frame = Frame(image=Image(data.image, data.time))
+        if data.image_right is not None:
+            frame.right_image = Image(data.image_right, data.time)
+        if data.depth is not None:
+            from ur_mvo_tpu.components import DepthMap
+
+            frame.depth_map = DepthMap(data.depth)
+        poses = vo.process(frame)
+        if poses:
+            for p in poses:
+                all_ts.append(data.time)
+                all_pos.append(p.translation)
+                all_quat.append(p.quaternion)
+    elapsed = time.perf_counter() - t0
+    fps = len(ds) / max(elapsed, 1e-9)
+
+    # every-Nth subsampling like the reference eval
+    pose_path = os.path.join(args.results, "poses.txt")
+    idx = np.arange(0, len(all_ts), args.stride)
+    write_tum(pose_path, [all_ts[i] for i in idx], np.asarray(all_pos)[idx], np.asarray(all_quat)[idx])
+    vo.save_trajectory(os.path.join(args.results, "keyframes.txt"))
+    print(f"processed {len(ds)} frames in {elapsed:.1f}s ({fps:.1f} fps); "
+          f"{len(all_ts)} poses -> {pose_path}", file=sys.stderr)
+
+    if args.gt:
+        if args.gt.endswith("images.txt"):
+            gt_ts, gt_pos, _ = load_colmap_images_txt(args.gt)
+        else:
+            gt_ts, gt_pos, _ = read_tum(args.gt)
+        est_ts = np.asarray([all_ts[i] for i in idx])
+        est_pos = np.asarray(all_pos)[idx]
+        ia, ib = associate(est_ts, gt_ts, max_diff=0.1)
+        if len(ia) < 3:
+            print("WARNING: too few GT associations", file=sys.stderr)
+        else:
+            ate = ate_rmse(est_pos[ia], gt_pos[ib], align=True, correct_scale=True)
+            print(json.dumps({"ate_rmse_m": round(float(ate), 5), "fps": round(fps, 2),
+                              "n_poses": len(all_ts), "n_gt_matched": len(ia)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Aux subsystems: viz drawing, publisher channels, dataset reader,
+map snapshots, timers."""
+
+import os
+import time
+
+import numpy as np
+
+from ur_mvo_tpu.dataset import Dataset, load_colmap_images_txt, parse_timestamp
+from ur_mvo_tpu.runtime.map_store import MapStore, StoreConfig
+from ur_mvo_tpu.runtime.publisher import FramePoseMessage, Publisher
+from ur_mvo_tpu.utils.timing import StageTimer
+from ur_mvo_tpu.utils.viz import draw_features, draw_matches, draw_reprojections
+
+
+def test_viz_drawing():
+    img = np.zeros((64, 80), np.uint8)
+    kpts = np.array([[10.0, 10.0], [40.0, 30.0], [70.0, 60.0]])
+    canvas = draw_features(img, kpts, valid=np.array([True, True, False]))
+    assert canvas.shape == (64, 80, 3)
+    assert canvas.sum() > 0  # something was drawn
+    m = draw_matches(img, kpts, img, kpts, np.array([0, 1, -1]), np.array([True, True, False]))
+    assert m.shape == (64, 160, 3)
+    r = draw_reprojections(img, kpts, kpts + 2.0, np.array([True, False, True]))
+    assert r.sum() > 0
+
+
+def test_publisher_callbacks():
+    pub = Publisher()
+    got = []
+    pub.register("frame_pose", lambda msg: got.append(msg.time))
+    for i in range(5):
+        pub.publish_frame_pose(FramePoseMessage(time=float(i), pose=np.eye(4)))
+    deadline = time.time() + 2.0
+    while len(got) < 5 and time.time() < deadline:
+        time.sleep(0.01)
+    assert got == [0.0, 1.0, 2.0, 3.0, 4.0]
+    pub.shutdown()
+
+
+def test_publisher_disabled_channel_is_free():
+    pub = Publisher()
+    pub.publish_map(None)  # no callback registered: no queue, no thread
+    assert pub.channels["map"]._thread is None
+    pub.shutdown()
+
+
+def test_dataset_reader(tmp_path):
+    data = tmp_path / "cam0" / "data"
+    data.mkdir(parents=True)
+    ts0 = 1403636579763555584
+    for i in range(3):
+        np.save(str(data / f"{ts0 + i * 50000000}.npy"), np.full((8, 8), i, np.uint8))
+    os.rename(str(data / f"{ts0}.npy"), str(data / f"{ts0}.npy"))
+    ds = Dataset(str(tmp_path))
+    assert len(ds) == 3
+    d0 = ds.get(0)
+    assert abs(d0.time - ts0 * 1e-9) < 1e-6
+    assert d0.image[0, 0] == 0
+    assert parse_timestamp("1403636579763555584.png") is not None
+
+
+def test_colmap_gt_loader(tmp_path):
+    p = tmp_path / "images.txt"
+    p.write_text(
+        "# comment\n"
+        "1 1 0 0 0 0.5 0.1 -0.2 1 frame000100.png\n"
+        "0 0\n"
+        "2 0.9238795 0 0.3826834 0 1.0 0.0 0.0 1 frame000200.png\n"
+        "0 0\n"
+    )
+    ts, pos, quat = load_colmap_images_txt(str(p))
+    assert len(ts) == 2
+    # first image: identity rotation -> center = -t
+    np.testing.assert_allclose(pos[0], [-0.5, -0.1, 0.2], atol=1e-6)
+
+
+def test_map_snapshot_roundtrip(tmp_path):
+    cfg = StoreConfig(max_keyframes=8, max_mappoints=64, keypoints_per_frame=16)
+    st = MapStore(cfg)
+    kpts = np.random.default_rng(0).random((16, 3)).astype(np.float32)
+    valid = np.ones(16, bool)
+    st.alloc_keyframe(0, 0.0, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), kpts, valid)
+    mp = st.alloc_mappoints(5)
+    st.mp_pos[mp] = 1.5
+    st.mp_good[mp] = True
+    st.add_observations(0, mp, np.arange(5))
+    path = str(tmp_path / "map.npz")
+    st.save_snapshot(path)
+    st2 = MapStore.load_snapshot(path, cfg)
+    assert st2.num_keyframes() == 1
+    np.testing.assert_array_equal(st2.kf_kpts, st.kf_kpts)
+    np.testing.assert_array_equal(st2.obs_slot, st.obs_slot)
+    assert st2.frame_id_to_slot == {0: 0}
+    assert st2._next_mp == 5
+
+
+def test_stage_timer(tmp_path):
+    t = StageTimer()
+    with t.span("a"):
+        time.sleep(0.01)
+    with t.span("a"):
+        time.sleep(0.02)
+    s = t.summary()
+    assert s["a"]["count"] == 2
+    assert s["a"]["mean_ms"] >= 10
+    t.write_csv(str(tmp_path / "t.csv"))
+    assert (tmp_path / "t.csv").read_text().startswith("stage,")

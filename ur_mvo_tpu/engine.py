@@ -106,12 +106,17 @@ class UR_MVO:
                     return np.where(ok, 100.0 / (raw + 1e-5), 0.0)
                 return raw
 
+        bank_right = None
         if hasattr(self.extractor, "extract_with_pose") and "T_wc" in data.meta:
             bank = self.extractor.extract_with_pose(data.meta["T_wc"])
+            if self.setup == Setup.STEREO:
+                bank_right = self.extractor.extract_with_pose(data.meta["T_wc"], right=True)
         else:
             bank = self.extractor.extract(image, mask)
+            if self.setup == Setup.STEREO and data.right_image is not None:
+                bank_right = self.extractor.extract(data.right_image.get_image(), mask)
 
-        pose_mat = self.tracker.process(bank, ts, depth_lookup)
+        pose_mat = self.tracker.process(bank, ts, depth_lookup, bank_right=bank_right)
         if pose_mat is None:
             self.accumulated_samples += 1
             return None

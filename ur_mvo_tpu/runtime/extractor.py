@@ -163,10 +163,15 @@ class OracleExtractor:
         desc = self.rng.normal(size=(self.points.shape[0], D)).astype(np.float32)
         self.desc = desc / np.linalg.norm(desc, axis=1, keepdims=True)
 
-    def extract_with_pose(self, T_wc: np.ndarray) -> FeatureBank:
+    def extract_with_pose(self, T_wc: np.ndarray, right: bool = False) -> FeatureBank:
         n = self.points.shape[0]
-        R_wc = T_wc[:3, :3]
-        t_wc = T_wc[:3, 3]
+        R_wc = np.asarray(T_wc[:3, :3])
+        t_wc = np.asarray(T_wc[:3, 3])
+        if right:
+            # right camera: shifted along the left camera's x-axis by the
+            # baseline b = bf / fx
+            baseline = self.camera.bf / self.camera.fx
+            t_wc = t_wc + R_wc @ np.array([baseline, 0.0, 0.0])
         pc = (self.points - t_wc) @ R_wc  # R_cw = R_wc^T
         z = pc[:, 2]
         cam = self.camera

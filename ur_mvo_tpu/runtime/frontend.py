@@ -32,13 +32,23 @@ from ur_mvo_tpu.ops.matching import Matches
 from ur_mvo_tpu.ops.pnp import ransac_pnp
 from ur_mvo_tpu.ops.pose_opt import PoseObs, optimize_pose
 from ur_mvo_tpu.runtime.backend import Backend
+from ur_mvo_tpu.runtime.publisher import (
+    FramePoseMessage,
+    KeyframeMessage,
+    MapMessage,
+    Publisher,
+)
+from ur_mvo_tpu.utils.timing import StageTimer
 
 
 class Tracker:
-    def __init__(self, cfg: Configs, camera: Camera, extractor, backend: Optional[Backend] = None):
+    def __init__(self, cfg: Configs, camera: Camera, extractor, backend: Optional[Backend] = None,
+                 publisher: Optional[Publisher] = None):
         self.cfg = cfg
         self.camera = camera
         self.extractor = extractor
+        self.publisher = publisher or Publisher()
+        self.timer = StageTimer()
         self.backend = backend or Backend(
             camera, cfg.backend, cfg.backend_optimization,
             keypoints_per_frame=cfg.superpoint.capacity,
@@ -77,11 +87,12 @@ class Tracker:
         rt = cfg.runtime
 
         @jax.jit
-        def _track_kernel(key, X, uv, valid, R_last_cw, t_last_cw):
+        def _track_kernel(key, X, uvr, valid, R_last_cw, t_last_cw):
             """PnP prior + pose-only refinement, one device program
-            (parity with FramePoseOptimization, tracking.cc:793-911)."""
+            (parity with FramePoseOptimization, tracking.cc:793-911).
+            ``uvr``: (K, 3) with u_right < 0 for mono rows."""
             pnp = ransac_pnp(
-                key, X, uv, valid, self.K_mat,
+                key, X, uvr[:, :2], valid, self.K_mat,
                 iterations=rt.pnp_ransac_iterations,
                 threshold_px=rt.pnp_reprojection_threshold,
             )
@@ -89,11 +100,7 @@ class Tracker:
             weak = pnp.n_inliers < kf.min_num_match
             R0 = jnp.where(weak, R_last_cw, pnp.R_cw)
             t0 = jnp.where(weak, t_last_cw, pnp.t_cw)
-            obs = PoseObs(
-                X=X,
-                uv=jnp.concatenate([uv, -jnp.ones_like(uv[:, :1])], axis=1),
-                valid=valid,
-            )
+            obs = PoseObs(X=X, uv=uvr, valid=valid)
             res = optimize_pose(
                 R0, t0, obs, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
                 chi2_mono=topt.mono_point, chi2_stereo=topt.stereo_point,
@@ -121,17 +128,24 @@ class Tracker:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
-    def process(self, bank, timestamp: float, depth_lookup=None) -> Optional[np.ndarray]:
-        """One frame. ``bank``: FeatureBank (already extracted). Returns
-        the 4x4 keyframe pose when a keyframe was inserted, else None."""
+    def process(self, bank, timestamp: float, depth_lookup=None, bank_right=None) -> Optional[np.ndarray]:
+        """One frame. ``bank``: FeatureBank (already extracted);
+        ``bank_right``: right-image FeatureBank for the stereo path.
+        Returns the 4x4 keyframe pose when a keyframe was inserted, else
+        None."""
         frame_id = self._frame_counter
         self._frame_counter += 1
 
+        uvr = self._stereo_uvr(bank, bank_right)
+
         if not self._initialized:
+            if bank_right is not None:
+                return self._init_stereo(bank, uvr, timestamp, frame_id)
             return self._try_initialize(bank, timestamp, frame_id, depth_lookup)
 
-        matches = self.extractor.match(self._ref_bank, bank)
-        num_match = int(matches.num_valid())
+        with self.timer.span("match"):
+            matches = self.extractor.match(self._ref_bank, bank)
+            num_match = int(matches.num_valid())
 
         pose_out = None
         ref_bank = self._ref_bank
@@ -139,7 +153,7 @@ class Tracker:
         ref_frame_id = self._ref_frame_id
 
         def run_track(ref_track_arr, m: Matches):
-            return self._track_frame(bank, ref_track_arr, m)
+            return self._track_frame(bank, uvr, ref_track_arr, m)
 
         if num_match < self.cfg.keyframe.min_num_match:
             promoted = self._promote_last_frame(timestamp)
@@ -170,14 +184,76 @@ class Tracker:
         if self._add_keyframe_decision(pose, num_inliers, frame_id) and (
             ref_frame_id == self._last_keyframe_frame_id
         ):
-            pose_out = self._insert_keyframe(bank, pose, frame_track, timestamp, frame_id, depth_lookup)
+            pose_out = self._insert_keyframe(bank, uvr, pose, frame_track, timestamp, frame_id, depth_lookup)
 
         # BA may have refined the pose of a just-inserted keyframe; carry
         # the optimized one forward (the reference mutates the shared
         # Frame object in Mapping's write-back).
         final_pose = pose_out if pose_out is not None else pose
-        self._after_track(bank, final_pose, timestamp, frame_id, track_well=True, track=frame_track)
+        self.publisher.publish_frame_pose(FramePoseMessage(time=timestamp, pose=final_pose))
+        if pose_out is not None:
+            st = self.backend.store
+            slots = st.keyframe_slots()
+            self.publisher.publish_keyframe(
+                KeyframeMessage(ids=st.kf_frame_id[slots].tolist(),
+                                poses=[np.concatenate([np.concatenate([st.kf_R[s2], st.kf_t[s2][:, None]], 1),
+                                                       [[0, 0, 0, 1]]], 0) for s2 in slots])
+            )
+            good = st.mp_good & ~st.mp_bad
+            self.publisher.publish_map(MapMessage(ids=np.nonzero(good)[0], points=st.mp_pos[good]))
+        self._after_track(bank, final_pose, timestamp, frame_id, track_well=True, track=frame_track, uvr=uvr)
         return pose_out
+
+    # ------------------------------------------------------------------
+    # Stereo association (Frame::AddRightFeatures, frame.cc:95-126)
+    # ------------------------------------------------------------------
+
+    def _stereo_uvr(self, bank, bank_right) -> np.ndarray:
+        """(K, 3) per-left-feature [u, v, u_right]; u_right = -1 when no
+        gated stereo match. Disparity band gates from the calibration:
+        bf/depth_upper < dx < bf/depth_lower, |dy| <= max_y_diff."""
+        K = bank.capacity
+        kpts = np.asarray(bank.kpts)
+        uvr = np.concatenate([kpts, -np.ones((K, 1), np.float32)], axis=1)
+        if bank_right is None:
+            return uvr
+        m = self.extractor.match(bank, bank_right)
+        idx1 = np.asarray(m.idx1)
+        valid = np.asarray(m.valid)
+        right_k = np.asarray(bank_right.kpts)
+        cam = self.camera
+        min_dx = cam.bf / cam.depth_upper_thr
+        max_dx = cam.bf / cam.depth_lower_thr
+        src = np.nonzero(valid)[0]
+        rx = right_k[idx1[src], 0]
+        ry = right_k[idx1[src], 1]
+        dx = kpts[src, 0] - rx
+        dy = np.abs(kpts[src, 1] - ry)
+        ok = (dx > min_dx) & (dx < max_dx) & (dy <= cam.max_y_diff)
+        uvr[src[ok], 2] = rx[ok]
+        return uvr
+
+    def _init_stereo(self, bank, uvr, timestamp, frame_id) -> Optional[np.ndarray]:
+        """Single-frame stereo initialization (InitStereo,
+        tracking.cc:650-709): needs >=150 features and >=100 gated stereo
+        points; all stereo points become map points immediately."""
+        valid = np.asarray(bank.valid)
+        if valid.sum() < 150:
+            return None
+        stereo_ok = valid & (uvr[:, 2] > 0)
+        if stereo_ok.sum() < 100:
+            return None
+        pose = np.eye(4, dtype=np.float32)
+        frame_track = np.full(bank.capacity, -1, np.int32)
+        # backend seeds stereo mappoints from disparity (insert_keyframe)
+        out = self._insert_keyframe(bank, uvr, pose, frame_track, timestamp, frame_id, None)
+        self._initialized = True
+        st = self.backend.store
+        slot = st.frame_id_to_slot[frame_id]
+        frame_track = st.kf_track[slot].copy()
+        self._after_track(bank, pose, timestamp, frame_id, track_well=True, track=frame_track, uvr=uvr)
+        self._num_since_last_keyframe = 0
+        return pose
 
     # ------------------------------------------------------------------
     # Initialization (tracking.cc:379-648)
@@ -317,7 +393,7 @@ class Tracker:
     # Tracking (TrackFrame + FramePoseOptimization)
     # ------------------------------------------------------------------
 
-    def _track_frame(self, bank, ref_track: np.ndarray, matches: Matches):
+    def _track_frame(self, bank, uvr, ref_track: np.ndarray, matches: Matches):
         st = self.backend.store
         idx1 = np.asarray(matches.idx1)
         mvalid = np.asarray(matches.valid)
@@ -330,23 +406,25 @@ class Tracker:
 
         # per-current-frame-slot correspondence arrays
         X = np.zeros((K, 3), np.float32)
-        uv = np.zeros((K, 2), np.float32)
+        uv = np.zeros((K, 3), np.float32)
+        uv[:, 2] = -1.0
         valid = np.zeros(K, bool)
         mp_of_slot = np.full(K, -1, np.int32)
         src = np.nonzero(cand_ok)[0]
         dst = idx1[src]
         X[dst] = st.mp_pos[cand_mp[src]]
-        uv[dst] = np.asarray(bank.kpts)[dst]
+        uv[dst] = uvr[dst]
         valid[dst] = True
         mp_of_slot[dst] = cand_mp[src]
 
         R_last_cw = self._last_pose[:3, :3].T
         t_last_cw = -R_last_cw @ self._last_pose[:3, 3]
-        res = self._track_kernel(
-            self._next_key(), jnp.asarray(X), jnp.asarray(uv), jnp.asarray(valid),
-            jnp.asarray(R_last_cw), jnp.asarray(t_last_cw),
-        )
-        n_inl = int(res.n_inliers)
+        with self.timer.span("track"):
+            res = self._track_kernel(
+                self._next_key(), jnp.asarray(X), jnp.asarray(uv), jnp.asarray(valid),
+                jnp.asarray(R_last_cw), jnp.asarray(t_last_cw),
+            )
+            n_inl = int(res.n_inliers)
         if n_inl >= self.cfg.keyframe.min_num_match:
             R_cw = np.asarray(res.R_cw)
             t_cw = np.asarray(res.t_cw)
@@ -367,8 +445,8 @@ class Tracker:
         if self._num_since_last_keyframe < 1 or not self._last_track_well or self._last_bank is None:
             return None
         slot = self._insert_keyframe(
-            self._last_bank, self._last_pose, self._last_track, self._last_time, self._last_frame_id, None,
-            set_ref=True,
+            self._last_bank, self._last_uvr, self._last_pose, self._last_track,
+            self._last_time, self._last_frame_id, None, set_ref=True,
         )
         return slot
 
@@ -386,7 +464,7 @@ class Tracker:
             or passed >= kf.max_num_passed_frame
         )
 
-    def _insert_keyframe(self, bank, pose, frame_track, timestamp, frame_id, depth_lookup, set_ref=True):
+    def _insert_keyframe(self, bank, uvr, pose, frame_track, timestamp, frame_id, depth_lookup, set_ref=True):
         """InsertKeyframe (tracking.cc:962-995 + Mapping::InsertKeyframe)."""
         st = self.backend.store
         if frame_id in st.frame_id_to_slot:
@@ -394,12 +472,14 @@ class Tracker:
         K = bank.capacity
         valid = np.asarray(bank.valid)
         kpts = np.asarray(bank.kpts)
-        uvr = np.concatenate([kpts, -np.ones((K, 1), np.float32)], axis=1)
+        if uvr is None:
+            uvr = np.concatenate([kpts, -np.ones((K, 1), np.float32)], axis=1)
         depth = depth_lookup(kpts) if depth_lookup is not None else None
         track = frame_track if frame_track is not None else np.full(K, -1, np.int32)
-        slot, (R_opt, t_opt) = self.backend.insert_keyframe(
-            frame_id, timestamp, pose[:3, :3], pose[:3, 3], uvr, valid, track, depth
-        )
+        with self.timer.span("keyframe_ba"):
+            slot, (R_opt, t_opt) = self.backend.insert_keyframe(
+                frame_id, timestamp, pose[:3, :3], pose[:3, 3], uvr, valid, track, depth
+            )
         opt_pose = np.eye(4, dtype=np.float32)
         opt_pose[:3, :3] = R_opt
         opt_pose[:3, 3] = t_opt
@@ -413,11 +493,15 @@ class Tracker:
             self._num_since_last_keyframe = 0
         return opt_pose
 
-    def _after_track(self, bank, pose, timestamp, frame_id, track_well, track=None):
+    def _after_track(self, bank, pose, timestamp, frame_id, track_well, track=None, uvr=None):
         if pose is not None:
             self._last_pose = pose
         self._last_bank = bank
         self._last_track = track if track is not None else np.full(bank.capacity, -1, np.int32)
+        if uvr is None:
+            kpts = np.asarray(bank.kpts)
+            uvr = np.concatenate([kpts, -np.ones((bank.capacity, 1), np.float32)], axis=1)
+        self._last_uvr = uvr
         self._last_time = timestamp
         self._last_frame_id = frame_id
         self._last_track_well = track_well

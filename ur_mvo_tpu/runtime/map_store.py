@@ -174,3 +174,36 @@ class MapStore:
         slots = self.keyframe_slots()
         order = slots[np.argsort(self.kf_frame_id[slots])]
         return self.kf_timestamp[order], self.kf_R[order], self.kf_t[order]
+
+    # -- checkpoint / resume -------------------------------------------------
+    # The reference has no map persistence at all (SURVEY §5: only TRT
+    # engine caches + trajectory text); snapshots enable resume and feed
+    # offline/distributed BA.
+
+    _SNAPSHOT_FIELDS = (
+        "kf_valid", "kf_frame_id", "kf_timestamp", "kf_R", "kf_t",
+        "kf_kpts", "kf_track", "mp_alloc", "mp_good", "mp_bad", "mp_pos",
+        "mp_obs_count", "obs_slot", "covis",
+    )
+
+    def save_snapshot(self, path: str) -> None:
+        state = {f: getattr(self, f) for f in self._SNAPSHOT_FIELDS}
+        state["_next_kf"] = np.asarray(self._next_kf)
+        state["_next_mp"] = np.asarray(self._next_mp)
+        state["_frame_ids"] = np.asarray(list(self.frame_id_to_slot.keys()), np.int64)
+        state["_frame_slots"] = np.asarray(list(self.frame_id_to_slot.values()), np.int64)
+        np.savez_compressed(path, **state)
+
+    @classmethod
+    def load_snapshot(cls, path: str, cfg: "StoreConfig") -> "MapStore":
+        data = np.load(path if path.endswith(".npz") else path + ".npz")
+        store = cls(cfg)
+        for f in cls._SNAPSHOT_FIELDS:
+            saved = data[f]
+            if getattr(store, f).shape != saved.shape:
+                raise ValueError(f"snapshot field {f} shape {saved.shape} != store {getattr(store, f).shape}")
+            setattr(store, f, saved.copy())
+        store._next_kf = int(data["_next_kf"])
+        store._next_mp = int(data["_next_mp"])
+        store.frame_id_to_slot = dict(zip(data["_frame_ids"].tolist(), data["_frame_slots"].tolist()))
+        return store
