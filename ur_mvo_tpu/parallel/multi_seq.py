@@ -1,0 +1,160 @@
+"""Multi-sequence concurrent VO: one device, many trajectories.
+
+The reference runs exactly one sequence per process with GPU work
+serialized behind a mutex (``tracking.h:134-135``). A single TPU chip is
+heavily underutilized by one 640x512 VO stream, so this driver runs S
+independent sequences lock-step and **batches the dominant device work**
+across them: SuperPoint extraction and SuperGlue matching execute as
+(S, ...)-batched programs (optionally sharded over a mesh via the batch
+axis), while each sequence keeps its own host state machine and map.
+Rare control paths (initialization retries, tracking-loss fallback)
+drop to per-sequence device calls.
+
+This implements BASELINE.json configs #3/#5 ("all Harbor seqs batched",
+"multi-sequence concurrent VO").
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ur_mvo_tpu.camera import Camera
+from ur_mvo_tpu.config import Configs
+from ur_mvo_tpu.models import superglue, superpoint
+from ur_mvo_tpu.ops.keypoints import FeatureBank, select_keypoints
+from ur_mvo_tpu.ops.matching import Matches, decode_assignment, filter_matches, gather_match_points
+from ur_mvo_tpu.ops.ransac import ransac_fundamental
+from ur_mvo_tpu.runtime.frontend import Tracker
+
+
+class _SeqExtractorView:
+    """Per-sequence extractor facade over the shared batched programs.
+
+    ``extract``/``match`` fall back to single-item batched calls for the
+    uncommon control paths; the hot path goes through the driver's
+    batched begin-frame instead.
+    """
+
+    def __init__(self, owner: "MultiSequenceVO", idx: int):
+        self._owner = owner
+        self._idx = idx
+
+    def extract(self, image, mask=None) -> FeatureBank:
+        bank_b = self._owner._extract_batched(jnp.asarray(image)[None])
+        return jax.tree.map(lambda x: x[0], bank_b)
+
+    def match(self, bank0: FeatureBank, bank1: FeatureBank, outlier_rejection: bool = True) -> Matches:
+        b0 = jax.tree.map(lambda x: x[None], bank0)
+        b1 = jax.tree.map(lambda x: x[None], bank1)
+        key = self._owner._next_key()
+        m = self._owner._match_batched(key[None], b0, b1)
+        return jax.tree.map(lambda x: x[0], m)
+
+
+class MultiSequenceVO:
+    def __init__(self, cfg: Configs, camera: Camera, num_sequences: int, extractors: Optional[Sequence] = None):
+        self.cfg = cfg
+        self.camera = camera
+        self.S = num_sequences
+        sp_cfg = cfg.superpoint
+        sg_cfg = cfg.superglue
+        key = jax.random.PRNGKey(cfg.runtime.seed)
+        k1, k2, self._key = jax.random.split(key, 3)
+        self.sp_params = (
+            superpoint.load_torch_weights(sp_cfg.weights_path)
+            if sp_cfg.weights_path
+            else superpoint.init_params(k1)
+        )
+        self.sg_params = (
+            superglue.load_torch_weights(sg_cfg.weights_path, sg_cfg.num_layers, sg_cfg.num_heads)
+            if sg_cfg.weights_path
+            else superglue.init_params(k2, sg_cfg.num_layers, sg_cfg.num_heads)
+        )
+
+        cap = sp_cfg.capacity
+
+        def _extract_one(image):
+            img = image.astype(jnp.float32)
+            img = jnp.where(jnp.max(img) > 1.5, img / 255.0, img)
+            scores, desc = superpoint.forward(self.sp_params, img[None, :, :, None], nms_radius=sp_cfg.nms_radius)
+            return select_keypoints(
+                scores[0], desc[0], capacity=cap,
+                threshold=sp_cfg.keypoint_threshold, border=sp_cfg.remove_borders,
+                max_keypoints=sp_cfg.max_keypoints,
+            )
+
+        def _match_one(key, b0, b1):
+            Z = superglue.match_scores(
+                self.sg_params, b0, b1, sg_cfg.image_width, sg_cfg.image_height,
+                sinkhorn_iterations=sg_cfg.sinkhorn_iterations,
+            )
+            m = decode_assignment(Z, b0.valid, b1.valid, sg_cfg.matching_threshold)
+            p0, p1, valid = gather_match_points(m, b0.kpts, b1.kpts)
+            res = ransac_fundamental(key, p0, p1, valid, iterations=200)
+            keep = jnp.where(m.num_valid() >= 8, res.inliers, valid)
+            return filter_matches(m, keep)
+
+        self._extract_batched = jax.jit(jax.vmap(_extract_one))
+        self._match_batched = jax.jit(jax.vmap(_match_one))
+
+        self.trackers: List[Tracker] = []
+        for i in range(self.S):
+            ext = extractors[i] if extractors is not None else _SeqExtractorView(self, i)
+            self.trackers.append(Tracker(cfg, camera, ext))
+        self._custom_extractors = extractors is not None
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ------------------------------------------------------------------
+
+    def process_batch(self, images: np.ndarray, timestamps: Sequence[float]) -> List[Optional[np.ndarray]]:
+        """One lock-step frame for all sequences. ``images``: (S, H, W).
+        Returns per-sequence keyframe poses (or None)."""
+        assert images.shape[0] == self.S
+        banks_b = self._extract_batched(jnp.asarray(images))
+        banks = [jax.tree.map(lambda x: x[i], banks_b) for i in range(self.S)]
+
+        # primary match partners: the ref keyframe bank (tracking) or the
+        # init bank (initialization); identity placeholder otherwise.
+        partners = []
+        have_partner = []
+        for i, t in enumerate(self.trackers):
+            if t.initialized and t._ref_bank is not None:
+                partners.append(t._ref_bank)
+                have_partner.append(True)
+            elif not t.initialized and t._init_bank is not None:
+                partners.append(t._init_bank)
+                have_partner.append(True)
+            else:
+                partners.append(banks[i])
+                have_partner.append(False)
+        partners_b = jax.tree.map(lambda *xs: jnp.stack(xs), *partners)
+        keys = jax.random.split(self._next_key(), self.S)
+        matches_b = self._match_batched(keys, partners_b, banks_b)
+
+        out = []
+        for i, t in enumerate(self.trackers):
+            m = jax.tree.map(lambda x: x[i], matches_b) if have_partner[i] else None
+            out.append(t.process(banks[i], timestamps[i], precomputed_match=m))
+        return out
+
+    def process_batch_with_oracle(self, T_wcs: Sequence[np.ndarray], timestamps: Sequence[float]) -> List[Optional[np.ndarray]]:
+        """Oracle-extractor variant for tests: per-sequence extract via
+        ground-truth pose; match runs per sequence (oracle matching is a
+        host-side identity join)."""
+        out = []
+        for i, t in enumerate(self.trackers):
+            bank = t.extractor.extract_with_pose(T_wcs[i])
+            out.append(t.process(bank, timestamps[i]))
+        return out
+
+    # ------------------------------------------------------------------
+
+    def trajectories(self):
+        return [t.backend.store.trajectory() for t in self.trackers]

@@ -128,11 +128,14 @@ class Tracker:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
-    def process(self, bank, timestamp: float, depth_lookup=None, bank_right=None) -> Optional[np.ndarray]:
+    def process(self, bank, timestamp: float, depth_lookup=None, bank_right=None,
+                precomputed_match=None) -> Optional[np.ndarray]:
         """One frame. ``bank``: FeatureBank (already extracted);
-        ``bank_right``: right-image FeatureBank for the stereo path.
-        Returns the 4x4 keyframe pose when a keyframe was inserted, else
-        None."""
+        ``bank_right``: right-image FeatureBank for the stereo path;
+        ``precomputed_match``: optional Matches of (reference bank ->
+        bank), supplied by the multi-sequence driver which batches the
+        primary match across sequences. Returns the 4x4 keyframe pose
+        when a keyframe was inserted, else None."""
         frame_id = self._frame_counter
         self._frame_counter += 1
 
@@ -141,10 +144,11 @@ class Tracker:
         if not self._initialized:
             if bank_right is not None:
                 return self._init_stereo(bank, uvr, timestamp, frame_id)
-            return self._try_initialize(bank, timestamp, frame_id, depth_lookup)
+            return self._try_initialize(bank, timestamp, frame_id, depth_lookup,
+                                        precomputed_match=precomputed_match)
 
         with self.timer.span("match"):
-            matches = self.extractor.match(self._ref_bank, bank)
+            matches = precomputed_match if precomputed_match is not None else self.extractor.match(self._ref_bank, bank)
             num_match = int(matches.num_valid())
 
         pose_out = None
@@ -259,7 +263,7 @@ class Tracker:
     # Initialization (tracking.cc:379-648)
     # ------------------------------------------------------------------
 
-    def _try_initialize(self, bank, timestamp, frame_id, depth_lookup=None) -> Optional[np.ndarray]:
+    def _try_initialize(self, bank, timestamp, frame_id, depth_lookup=None, precomputed_match=None) -> Optional[np.ndarray]:
         n_feat = int(bank.num_valid())
         init_cfg = self.cfg.initializer
 
@@ -285,7 +289,7 @@ class Tracker:
             self._init_frame_id = frame_id
             return None
 
-        matches = self.extractor.match(self._init_bank, bank)
+        matches = precomputed_match if precomputed_match is not None else self.extractor.match(self._init_bank, bank)
         # build padded match-pair arrays
         idx1 = np.asarray(matches.idx1)
         valid = np.asarray(matches.valid)
