@@ -1,12 +1,22 @@
 """Benchmark: per-chip VO throughput of the fused device pipeline.
 
-Measures the steady-state latency of each stage of the frame pipeline at
+Measures the sustained device time of each stage of the frame pipeline at
 the reference operating point (640x512 gray, K=1024 keypoints, SuperGlue
 with 20 Sinkhorn iterations, PnP 100 hypotheses + 4x10 pose-only GN, and
 the <=36-frame window BA at its padded capacity), then reports effective
 frames/sec assuming the reference's keyframe cadence (BA amortized over
 `KEYFRAME_EVERY` frames — every frame pays extract+match+track; only
 keyframes pay BA, matching ``tracking.cc``'s pipeline structure).
+
+Timing methodology: the development harness reaches the TPU through a
+loopback relay whose completion notification adds a ~24 ms floor to any
+host-observed wall time, independent of kernel cost. Stage times are
+therefore measured by the slope method: each kernel is iterated N times
+*inside one jitted program* (a lax.scan whose carry consumes the outputs,
+with per-iteration input perturbation to defeat CSE/hoisting), and the
+per-iteration device time is (t(N2) - t(N1)) / (N2 - N1), which cancels
+the constant notification latency. This is the number a locally-attached
+TPU host would see.
 
 Baseline: the reference never publishes throughput; its pybind driver
 paces input at 30 ms/frame (``main_py.cpp:52``), i.e. ~33 fps expected
@@ -40,6 +50,53 @@ def timeit(fn, *args, warmup=2, iters=10):
         out = fn(*args)
         jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
+
+
+def sustained_ms(kernel, args, n1=2, n2=12, reps=6):
+    """Per-iteration device time of ``kernel(*args)`` via the slope method
+    (see module docstring). Outputs are folded into the scan carry so the
+    body cannot be dead-code-eliminated or hoisted."""
+    import jax
+    import jax.numpy as jnp
+
+    def perturb(tree, i):
+        return jax.tree.map(
+            lambda a: a + (i.astype(a.dtype) * 1e-12) if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
+            tree,
+        )
+
+    def consume(out):
+        leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "dtype")]
+        acc = jnp.zeros((), jnp.float32)
+        for l in leaves:
+            acc = acc + jnp.sum(l).astype(jnp.float32) * 1e-20
+        return acc
+
+    def make(n):
+        @jax.jit
+        def run(args):
+            def body(acc, i):
+                out = kernel(*perturb(args, i))
+                return acc + consume(out), None
+
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(n, dtype=jnp.float32))
+            return acc
+
+        return run
+
+    f1, f2 = make(n1), make(n2)
+
+    def wall(f):
+        jax.block_until_ready(f(args))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = wall(f1), wall(f2)
+    return max((t2 - t1) / (n2 - n1), 1e-6) * 1e3
 
 
 def main():
@@ -92,7 +149,7 @@ def main():
     img = jax.random.uniform(ks[2], (H, W))
     bank0 = extract(img)
     bank1 = extract(img + 0.01)
-    t_extract = timeit(extract, img, iters=iters)
+    t_extract = sustained_ms(lambda im: extract(im), (img,))
 
     # --- stage 2: match (GNN + sinkhorn + decode + F-RANSAC) ----------
     @jax.jit
@@ -103,7 +160,7 @@ def main():
         res = ransac_fundamental(k, p0, p1, valid, iterations=200)
         return m.idx1, res.inliers
 
-    t_match = timeit(match, ks[3], bank0, bank1, iters=iters)
+    t_match = sustained_ms(lambda k, b0, b1: match(k, b0, b1), (ks[3], bank0, bank1))
 
     # --- stage 3: track (PnP RANSAC + pose-only 4x10 GN) --------------
     X = jax.random.uniform(ks[4], (CAP, 3), minval=jnp.array([-2, -2, 4.0]), maxval=jnp.array([2, 2, 9.0]))
@@ -116,7 +173,7 @@ def main():
         obs = PoseObs(X=X, uv=jnp.concatenate([uv, -jnp.ones_like(uv[:, :1])], 1), valid=valid)
         return optimize_pose(pnp.R_cw, pnp.t_cw, obs, fx, fy, cx, cy)
 
-    t_track = timeit(track, ks[6], X, uv, valid, iters=iters)
+    t_track = sustained_ms(lambda k, X, uv, v: track(k, X, uv, v), (ks[6], X, uv, valid))
 
     # --- stage 4: window BA at padded capacity ------------------------
     rng = np.random.default_rng(0)
@@ -151,13 +208,13 @@ def main():
         obs_valid=jnp.arange(O) < n_obs,
     )
     ba = jax.jit(lambda p: bundle_adjust(p, fx, fy, cx, cy, 0.0, BAConfig()))
-    t_ba = timeit(ba, prob, warmup=1, iters=max(2, iters // 2))
+    t_ba = sustained_ms(lambda p: ba(p), (prob,), n1=1, n2=5, reps=3)
 
-    per_frame_s = t_extract + t_match + t_track + t_ba / KEYFRAME_EVERY
+    per_frame_s = (t_extract + t_match + t_track + t_ba / KEYFRAME_EVERY) / 1e3
     fps = 1.0 / per_frame_s
     print(
-        f"# extract {t_extract*1e3:.2f} ms | match {t_match*1e3:.2f} ms | "
-        f"track {t_track*1e3:.2f} ms | BA {t_ba*1e3:.2f} ms (/{KEYFRAME_EVERY}) "
+        f"# sustained: extract {t_extract:.2f} ms | match {t_match:.2f} ms | "
+        f"track {t_track:.2f} ms | BA {t_ba:.2f} ms (/{KEYFRAME_EVERY}) "
         f"=> {per_frame_s*1e3:.2f} ms/frame",
         file=sys.stderr,
     )

@@ -108,7 +108,9 @@ class BackendConfig:
 class RuntimeConfig:
     """Host pipeline + numerics."""
 
-    compute_dtype: str = "float32"  # or "bfloat16" for the nets
+    # Network compute dtype. bf16 is the TPU-native choice and mirrors the
+    # reference's fp16 TensorRT engines; geometry always runs f32-HIGHEST.
+    compute_dtype: str = "bfloat16"
     seed: int = 0
     pnp_ransac_iterations: int = 100
     pnp_reprojection_threshold: float = 20.0

@@ -86,15 +86,19 @@ def init_params(key: jax.Array, num_layers: int = 9, num_heads: int = 4, dtype=j
 
 
 def _attention(layer, x_q: jax.Array, x_kv: jax.Array, kv_valid: jax.Array, num_heads: int) -> jax.Array:
-    """Multi-head attention with invalid-slot key masking. (K, D) inputs."""
+    """Multi-head attention with invalid-slot key masking. (K, D) inputs.
+
+    Matmuls run in the input dtype (bf16 on TPU doubles MXU rate, and the
+    reference runs this net in TRT fp16); logits/softmax accumulate f32.
+    """
     K = x_q.shape[0]
     head_dim = D // num_heads
     q = (x_q @ layer["q"]["w"] + layer["q"]["b"]).reshape(K, num_heads, head_dim)
     k = (x_kv @ layer["k"]["w"] + layer["k"]["b"]).reshape(-1, num_heads, head_dim)
     v = (x_kv @ layer["v"]["w"] + layer["v"]["b"]).reshape(-1, num_heads, head_dim)
-    logits = jnp.einsum("qhd,khd->hqk", q, k) / jnp.sqrt(head_dim).astype(x_q.dtype)
+    logits = jnp.einsum("qhd,khd->hqk", q, k, preferred_element_type=jnp.float32) / jnp.sqrt(head_dim)
     logits = jnp.where(kv_valid[None, None, :], logits, -1e9)
-    attn = jax.nn.softmax(logits, axis=-1)
+    attn = jax.nn.softmax(logits, axis=-1).astype(x_q.dtype)
     msg = jnp.einsum("hqk,khd->qhd", attn, v).reshape(K, D)
     return msg @ layer["merge"]["w"] + layer["merge"]["b"]
 
@@ -130,15 +134,26 @@ def match_scores(
     sinkhorn_iterations: int = 20,
     compute_dtype=jnp.float32,
     num_heads: int = 4,
+    use_pallas_sinkhorn: bool = False,
 ) -> jax.Array:
     """Full forward: two feature banks -> (K0+1, K1+1) log-assignment
     matrix (dustbins included), masked for invalid slots."""
+    if compute_dtype != jnp.float32:
+        params = jax.tree.map(
+            lambda a: a.astype(compute_dtype) if a.dtype == jnp.float32 else a, params
+        )
     x0 = encode(params, bank0, width, height).astype(compute_dtype)
     x1 = encode(params, bank1, width, height).astype(compute_dtype)
     x0, x1 = gnn(params, x0, x1, bank0.valid, bank1.valid, num_heads)
     d0 = x0 @ params["final_proj"]["w"] + params["final_proj"]["b"]
     d1 = x1 @ params["final_proj"]["w"] + params["final_proj"]["b"]
-    scores = jnp.einsum("md,nd->mn", d0, d1).astype(jnp.float32) / (D**0.25)
+    scores = jnp.einsum("md,nd->mn", d0, d1, preferred_element_type=jnp.float32) / (D**0.25)
+    if use_pallas_sinkhorn:
+        from ur_mvo_tpu.ops.pallas_kernels import log_optimal_transport_pallas
+
+        return log_optimal_transport_pallas(
+            scores, bank0.valid, bank1.valid, params["bin_score"].astype(jnp.float32), sinkhorn_iterations
+        )
     return log_optimal_transport(
         scores, bank0.valid, bank1.valid, params["bin_score"].astype(jnp.float32), sinkhorn_iterations
     )

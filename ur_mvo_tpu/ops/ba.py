@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from ur_mvo_tpu.ops.lie import HIGHEST, se3_exp
+from ur_mvo_tpu.ops.linalg import inv3x3
 
 einsum = partial(jnp.einsum, precision=HIGHEST)
 
@@ -181,8 +182,7 @@ def solve_schur(H_cc, b_c, H_pp, b_p, U, frame_free, point_free, lam):
     eye6 = jnp.eye(6)
 
     H_ppd = H_pp + lam * eye3[None] + (~point_free)[:, None, None] * eye3[None]
-    Hpp_inv = jnp.linalg.inv(H_ppd)
-    Hpp_inv = Hpp_inv * point_free[:, None, None]
+    Hpp_inv = inv3x3(H_ppd) * point_free[:, None, None]
 
     Ur = U.reshape(P, F * 6, 3)
     V = einsum("pif,pfg->pig", Ur, Hpp_inv)  # (P, 6F, 3)
@@ -201,7 +201,9 @@ def solve_schur(H_cc, b_c, H_pp, b_p, U, frame_free, point_free, lam):
     b_s = b_c.reshape(F * 6) - einsum("pif,pf->i", V, b_p)
     b_s = b_s * M
 
-    delta_c = jnp.linalg.solve(S_full, b_s).reshape(F, 6)
+    # S is SPD after damping + pinning: Cholesky beats generic LU on TPU.
+    chol = jax.scipy.linalg.cho_factor(S_full)
+    delta_c = jax.scipy.linalg.cho_solve(chol, b_s).reshape(F, 6)
     # Back-substitution: delta_p = Hpp^-1 (b_p - U^T delta_c).
     rhs_p = b_p - einsum("pif,i->pf", Ur, delta_c.reshape(F * 6))
     delta_p = einsum("pfg,pg->pf", Hpp_inv, rhs_p)

@@ -1,0 +1,127 @@
+"""Pallas TPU kernels for the matcher's hot inner loops.
+
+``sinkhorn_pallas`` runs ALL log-Sinkhorn iterations with the coupling
+matrix resident in VMEM: a (1025+pad)^2 f32 matrix is ~4.6 MB, well under
+the ~16 MB VMEM budget, so the row/column log-sum-exp sweeps never touch
+HBM between iterations — where the XLA scan version re-materializes the
+``couplings + potential`` intermediate each half-sweep. The kernel is
+numerically identical to ``ops/sinkhorn.log_optimal_transport`` (same
+masking semantics: invalid entries carry ``-1e9`` and zero mass).
+
+Kernels fall back to the XLA implementation off-TPU; tests exercise the
+Pallas path in interpreter mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e9
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _sinkhorn_kernel(iterations: int, couplings_ref, log_mu_ref, log_nu_ref, out_ref):
+    """One program: iterate u/v sweeps over the VMEM-resident matrix."""
+    C = couplings_ref[:]  # (Mp, Np)
+    log_mu = log_mu_ref[:]  # (Mp, 1)
+    log_nu = log_nu_ref[:]  # (1, Np)
+
+    def lse_rows(M):
+        m = jnp.max(M, axis=1, keepdims=True)
+        m = jnp.maximum(m, _NEG)
+        return m + jnp.log(jnp.maximum(jnp.sum(jnp.exp(M - m), axis=1, keepdims=True), 1e-30))
+
+    def lse_cols(M):
+        m = jnp.max(M, axis=0, keepdims=True)
+        m = jnp.maximum(m, _NEG)
+        return m + jnp.log(jnp.maximum(jnp.sum(jnp.exp(M - m), axis=0, keepdims=True), 1e-30))
+
+    def body(_, carry):
+        u, v = carry
+        u = log_mu - lse_rows(C + v)
+        v = log_nu - lse_cols(C + u)
+        return (u, v)
+
+    u0 = jnp.zeros_like(log_mu)
+    v0 = jnp.zeros_like(log_nu)
+    u, v = jax.lax.fori_loop(0, iterations, body, (u0, v0))
+    out_ref[:] = C + u + v
+
+
+def sinkhorn_pallas(
+    couplings: jax.Array,
+    log_mu: jax.Array,
+    log_nu: jax.Array,
+    iterations: int = 20,
+    interpret: bool = False,
+) -> jax.Array:
+    """Masked log-Sinkhorn on a prepared (M, N) couplings matrix.
+
+    ``couplings`` must already contain dustbin rows/cols and ``-1e9`` at
+    invalid entries; ``log_mu``/``log_nu`` are the (M,)/(N,) log-marginals
+    with ``-1e9`` for invalid slots. Returns ``couplings + u + v``.
+    """
+    M, N = couplings.shape
+    Mp = _round_up(M, 8)
+    Np = _round_up(N, 128)
+    C = jnp.full((Mp, Np), _NEG, couplings.dtype).at[:M, :N].set(couplings)
+    mu = jnp.full((Mp, 1), _NEG, couplings.dtype).at[:M, 0].set(log_mu)
+    nu = jnp.full((1, Np), _NEG, couplings.dtype).at[0, :N].set(log_nu)
+
+    out = pl.pallas_call(
+        functools.partial(_sinkhorn_kernel, iterations),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), couplings.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(C, mu, nu)
+    return out[:M, :N]
+
+
+def log_optimal_transport_pallas(
+    scores: jax.Array,
+    valid0: jax.Array,
+    valid1: jax.Array,
+    alpha: jax.Array,
+    iterations: int = 20,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in replacement for ``ops.sinkhorn.log_optimal_transport``
+    backed by the VMEM-resident Pallas kernel."""
+    M, N = scores.shape
+    m = jnp.sum(valid0.astype(scores.dtype))
+    n = jnp.sum(valid1.astype(scores.dtype))
+    norm = -jnp.log(jnp.maximum(m + n, 1.0))
+
+    couplings = jnp.full((M + 1, N + 1), alpha, dtype=scores.dtype)
+    couplings = couplings.at[:M, :N].set(scores)
+    v0 = jnp.concatenate([valid0, jnp.array([True])])
+    v1 = jnp.concatenate([valid1, jnp.array([True])])
+    pair_mask = v0[:, None] & v1[None, :]
+    couplings = jnp.where(pair_mask, couplings, _NEG)
+
+    log_mu = jnp.where(v0, norm, _NEG).at[M].set(jnp.log(jnp.maximum(n, 1.0)) + norm)
+    log_nu = jnp.where(v1, norm, _NEG).at[N].set(jnp.log(jnp.maximum(m, 1.0)) + norm)
+
+    Z = sinkhorn_pallas(couplings, log_mu, log_nu, iterations, interpret=interpret) - norm
+    return jnp.where(pair_mask, Z, _NEG)
+
+
+def pallas_available() -> bool:
+    """True when running on a real TPU backend (Mosaic compile path)."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ur_mvo_tpu.ops.lie import HIGHEST
+from ur_mvo_tpu.ops.linalg import nearest_rotation, smallest_singular_vector
 from ur_mvo_tpu.ops.ransac import sample_minimal_sets
 
 einsum = partial(jnp.einsum, precision=HIGHEST)
@@ -41,17 +42,13 @@ def dlt_pnp(X: jax.Array, rays: jax.Array) -> tuple[jax.Array, jax.Array]:
     rows_u = jnp.concatenate([Xh, zeros[:, :4], -u * Xh], axis=1)
     rows_v = jnp.concatenate([zeros[:, :4], Xh, -v * Xh], axis=1)
     A = jnp.concatenate([rows_u, rows_v], axis=0)  # (2n, 12)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    P = Vt[-1].reshape(3, 4)
+    P = smallest_singular_vector(A).reshape(3, 4)
     # The nullspace vector carries an arbitrary global sign; a valid pose
     # needs det(M) > 0 (M = s * R with s > 0), so resolve it first.
     detM = jnp.linalg.det(P[:, :3])
     P = P * jnp.where(detM < 0, -1.0, 1.0)
-    M = P[:, :3]
-    # Nearest rotation: M = U S V^T -> R = U V^T (det +1 since det(M) > 0).
-    U, S, Vt2 = jnp.linalg.svd(M)
-    R = mm(U, Vt2)
-    scale = jnp.mean(S)
+    # Nearest rotation + scale via the analytic polar decomposition.
+    R, scale = nearest_rotation(P[:, :3])
     t = P[:, 3] / jnp.maximum(scale, 1e-12)
     return R, t
 

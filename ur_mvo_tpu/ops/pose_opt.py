@@ -129,7 +129,7 @@ def optimize_pose(
             t_new = einsum("ij,j->i", dR, t) + dt
             return (R_new, t_new), None
 
-        (R, t), _ = jax.lax.scan(gn_step, (R, t), None, length=iters_per_round)
+        (R, t), _ = jax.lax.scan(gn_step, (R, t), None, length=iters_per_round, unroll=min(iters_per_round, 5))
         return R, t
 
     def round_body(carry, round_idx):

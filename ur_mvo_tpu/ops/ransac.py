@@ -6,7 +6,7 @@ and the per-point chi^2 loops at :285-449), and separately calls
 ``cv::findFundamentalMat`` for match outlier rejection
 (``point_matching.cc:48-58``). On TPU all hypotheses are one batch: minimal
 sets are drawn with a Gumbel top-k (distinct indices, no host RNG), the
-8-point/DLT solves are vmapped small SVDs, and symmetric-transfer chi^2
+8-point/DLT null vectors come from batched inverse iteration (no iterative SVDs), and symmetric-transfer chi^2
 scoring is a dense (hypotheses x points) computation on the VPU/MXU.
 Scoring constants match ORB-SLAM3's (th 3.841/5.991, score cap 5.991).
 """
@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ur_mvo_tpu.ops.lie import HIGHEST
+from ur_mvo_tpu.ops.linalg import eigh3x3, smallest_singular_vector
 
 einsum = partial(jnp.einsum, precision=HIGHEST)
 
@@ -74,10 +75,13 @@ def fit_fundamental_8pt(p1: jax.Array, p2: jax.Array) -> jax.Array:
     x2, y2 = p2n[:, 0], p2n[:, 1]
     ones = jnp.ones_like(x1)
     A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=1)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    Fn = Vt[-1].reshape(3, 3)
-    U, S, Vt2 = jnp.linalg.svd(Fn)
-    Fn = matmul3(U * jnp.array([S[0], S[1], 0.0]), Vt2)
+    Fn = smallest_singular_vector(A).reshape(3, 3)
+    # Rank-2 projection without an SVD: subtract the smallest singular
+    # component, F' = F - (F v3) v3^T with v3 from the analytic
+    # eigendecomposition of F^T F (sigma3 u3 = F v3 exactly).
+    _, V = eigh3x3(matmul3(Fn.T, Fn))
+    v3 = V[:, 0]
+    Fn = Fn - jnp.outer(matmul3(Fn, v3[:, None])[:, 0], v3)
     F = matmul3(matmul3(T2.T, Fn), T1)
     return F / jnp.where(jnp.abs(F[2, 2]) > 1e-8, F[2, 2], 1.0)
 
@@ -94,8 +98,7 @@ def fit_homography_dlt(p1: jax.Array, p2: jax.Array) -> jax.Array:
     rows_a = jnp.stack([-x1, -y1, -o, z, z, z, x2 * x1, x2 * y1, x2], axis=1)
     rows_b = jnp.stack([z, z, z, -x1, -y1, -o, y2 * x1, y2 * y1, y2], axis=1)
     A = jnp.concatenate([rows_a, rows_b], axis=0)  # (2n, 9)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    Hn = Vt[-1].reshape(3, 3)
+    Hn = smallest_singular_vector(A).reshape(3, 3)
     H = matmul3(matmul3(jnp.linalg.inv(T2), Hn), T1)
     return H / jnp.where(jnp.abs(H[2, 2]) > 1e-8, H[2, 2], 1.0)
 

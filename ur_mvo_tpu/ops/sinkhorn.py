@@ -72,7 +72,8 @@ def log_optimal_transport(
         return (u, v), None
 
     init = (jnp.zeros((M + 1,), scores.dtype), jnp.zeros((N + 1,), scores.dtype))
-    (u, v), _ = jax.lax.scan(body, init, None, length=iterations)
+    # unroll to cut while-loop trip overhead; 20 iterations is small
+    (u, v), _ = jax.lax.scan(body, init, None, length=iterations, unroll=min(iterations, 5))
 
     Z = couplings + u[:, None] + v[None, :] - norm
     return jnp.where(pair_mask, Z, _NEG)

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ur_mvo_tpu.ops.lie import HIGHEST
+from ur_mvo_tpu.ops.linalg import eigh3x3, smallest_singular_vector
 
 einsum = partial(jnp.einsum, precision=HIGHEST)
 
@@ -34,8 +35,7 @@ def triangulate_dlt(P1: jax.Array, P2: jax.Array, x1: jax.Array, x2: jax.Array) 
                 a2[1] * P2[2] - P2[1],
             ]
         )
-        _, _, Vt = jnp.linalg.svd(A)
-        X = Vt[-1]
+        X = smallest_singular_vector(A)
         w = X[3]
         return X[:3] / jnp.where(jnp.abs(w) > 1e-12, w, jnp.sign(w) * 1e-12 + (w == 0) * 1e-12)
 
@@ -70,8 +70,8 @@ def triangulate_bearings(
     rhs = jnp.sum(origins * w[:, None], axis=0) - jnp.sum(
         einsum("nij,nj->ni", bbT, origins), axis=0
     )
-    # Rank guard via eigenvalues of the symmetric 3x3 system.
-    evals = jnp.linalg.eigvalsh(A)
+    # Rank guard via the analytic symmetric 3x3 eigensolver.
+    evals, _ = eigh3x3(A)
     ok = (n >= 2) & (evals[0] > rank_tol)
     A_safe = jnp.where(ok, A, jnp.eye(3, dtype=A.dtype))
     point = jnp.linalg.solve(A_safe, rhs)

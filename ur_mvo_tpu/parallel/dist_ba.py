@@ -35,6 +35,7 @@ from ur_mvo_tpu.ops.ba import (
     _robust_cost,
 )
 from ur_mvo_tpu.ops.lie import HIGHEST
+from ur_mvo_tpu.ops.linalg import inv3x3
 
 einsum = partial(jnp.einsum, precision=HIGHEST)
 
@@ -166,7 +167,7 @@ def dist_bundle_adjust(
                 eye3 = jnp.eye(3)
                 eye6 = jnp.eye(6)
                 H_ppd = H_pp + lam * eye3[None] + (~point_free)[:, None, None] * eye3[None]
-                Hpp_inv = jnp.linalg.inv(H_ppd) * point_free[:, None, None]
+                Hpp_inv = inv3x3(H_ppd) * point_free[:, None, None]
                 Ur = U.reshape(Pl, F * 6, 3)
                 V = einsum("pif,pfg->pig", Ur, Hpp_inv)
                 S_part = einsum("pif,pjf->ij", V, Ur)
@@ -184,7 +185,8 @@ def dist_bundle_adjust(
                 M = jnp.repeat(frame_free, 6).astype(S_full.dtype)
                 S_full = S_full * M[:, None] * M[None, :] + jnp.diag(1.0 - M)
                 b_s = (b_c.reshape(F * 6) - b_red) * M
-                delta_c = jnp.linalg.solve(S_full, b_s).reshape(F, 6)
+                chol = jax.scipy.linalg.cho_factor(S_full)
+                delta_c = jax.scipy.linalg.cho_solve(chol, b_s).reshape(F, 6)
                 rhs_p = b_p - einsum("pif,i->pf", Ur, delta_c.reshape(F * 6))
                 delta_p = einsum("pfg,pg->pf", Hpp_inv, rhs_p)
 

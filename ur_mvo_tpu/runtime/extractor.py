@@ -57,6 +57,9 @@ class NeuralExtractor:
         )
         capacity = sp_cfg.capacity
         compute_dtype = jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jnp.float32
+        from ur_mvo_tpu.ops.pallas_kernels import pallas_available
+
+        use_pallas = pallas_available()
 
         @jax.jit
         def _extract(image_u8: jax.Array, mask: jax.Array) -> FeatureBank:
@@ -105,6 +108,8 @@ class NeuralExtractor:
                 sg_cfg.image_height,
                 sinkhorn_iterations=sg_cfg.sinkhorn_iterations,
                 compute_dtype=compute_dtype,
+                num_heads=sg_cfg.num_heads,
+                use_pallas_sinkhorn=use_pallas,
             )
             m = decode_assignment(Z, bank0.valid, bank1.valid, sg_cfg.matching_threshold)
             if outlier_rejection:
