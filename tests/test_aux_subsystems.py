@@ -106,3 +106,42 @@ def test_stage_timer(tmp_path):
     assert s["a"]["mean_ms"] >= 10
     t.write_csv(str(tmp_path / "t.csv"))
     assert (tmp_path / "t.csv").read_text().startswith("stage,")
+
+
+def test_keyframe_culling():
+    cfg = StoreConfig(max_keyframes=16, max_mappoints=128, keypoints_per_frame=8)
+    st = MapStore(cfg)
+    kpts = np.zeros((8, 3), np.float32)
+    for i in range(10):
+        st.alloc_keyframe(i, float(i), np.eye(3, dtype=np.float32), np.zeros(3, np.float32), kpts, np.ones(8, bool))
+        mp = st.alloc_mappoints(4)
+        st.mp_good[mp] = True
+        st.add_observations(i, mp, np.arange(4))
+    assert st.num_keyframes() == 10
+    st.cull(max_keyframes=5, max_mappoints=12)
+    assert st.num_keyframes() == 5
+    # oldest removed, newest kept
+    remaining = sorted(st.kf_frame_id[st.keyframe_slots()].tolist())
+    assert remaining == [5, 6, 7, 8, 9]
+    assert int((st.mp_alloc & ~st.mp_bad).sum()) == 12
+    # covisibility rows of removed slots are zeroed
+    removed = np.nonzero(~st.kf_valid[:10])[0]
+    assert st.covis[removed].sum() == 0
+
+
+def test_stablehlo_export_roundtrip(tmp_path):
+    """Model export capability: serialize the fused frame step, reload,
+    and verify numerically (the reference's ONNX-export check analog)."""
+    import jax
+
+    from ur_mvo_tpu.models import export, superglue, superpoint
+
+    sp = superpoint.init_params(jax.random.PRNGKey(0))
+    sg = superglue.init_params(jax.random.PRNGKey(1), num_layers=1)
+    path = str(tmp_path / "frame_step.stablehlo")
+    export.export_frame_step(path, sp, sg, height=64, width=80, capacity=128, max_keypoints=100,
+                             sinkhorn_iterations=10)
+    assert os.path.getsize(path) > 1000
+    err = export.verify_roundtrip(path, sp, sg, height=64, width=80, capacity=128, max_keypoints=100,
+                                  sinkhorn_iterations=10)
+    assert err < 1e-3, err

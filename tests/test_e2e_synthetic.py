@@ -156,3 +156,19 @@ def test_engine_interpolation_api():
     # reset rebuilds cleanly
     vo.reset()
     assert not vo.tracker.initialized
+
+
+def test_global_optimize_improves_or_holds():
+    """Pose graph + full BA over the whole trajectory after the run."""
+    vo, est, gt, _ = run_vo(n_frames=40)
+    ate_before = ate_rmse(est, gt, align=True, correct_scale=True)
+    vo.tracker.backend.global_optimize()
+    kts, kpos, _ = vo.keyframe_trajectory()
+    import numpy as np
+    from tests.synthetic import make_trajectory
+    T_wc, ts = make_trajectory(40, advance=0.05)
+    idx = np.searchsorted(ts, kts)
+    gt2 = T_wc[np.clip(idx, 0, 39), :3, 3]
+    ate_after = ate_rmse(kpos, gt2, align=True, correct_scale=True)
+    # must not degrade the trajectory (tolerance for noise-level churn)
+    assert ate_after < max(ate_before * 1.5, 0.05), (ate_before, ate_after)

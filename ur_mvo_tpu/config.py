@@ -100,8 +100,16 @@ class BackendConfig:
     max_keyframes: int = 512
     max_mappoints: int = 200_000
     # Padded BA problem capacities (static shapes for the jitted solver).
-    ba_max_points: int = 4096
-    ba_max_observations: int = 16384
+    # Realistic windows carry ~1-2k points / ~8k observations; halved
+    # from the initial 4096/16384 after profiling (BA cost scales with
+    # the padded sizes).
+    ba_max_points: int = 2048
+    ba_max_observations: int = 8192
+    # Keyframe/mappoint culling (the reference ships this disabled,
+    # tracking.cc:317; caps from mapping.cc:26-39).
+    enable_culling: bool = False
+    cull_max_keyframes: int = 30
+    cull_max_mappoints: int = 10000
 
 
 @dataclasses.dataclass

@@ -50,7 +50,23 @@ class UR_MVO:
     ):
         self._build(config, setup, camera, extractor)
 
+    _compile_cache_set = False
+
     def _build(self, config, setup, camera=None, extractor=None):
+        # Persistent XLA compilation cache: the analog of the reference's
+        # serialized TensorRT engine caches (super_point.cpp:402-438) —
+        # first build is slow, subsequent process startups reuse it.
+        if not UR_MVO._compile_cache_set:
+            import jax
+
+            cache_dir = os.environ.get("URMVO_COMPILE_CACHE", os.path.expanduser("~/.cache/ur_mvo_tpu/xla"))
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            except Exception:
+                pass
+            UR_MVO._compile_cache_set = True
         if isinstance(config, Configs):
             cfg = config
         elif isinstance(config, str):

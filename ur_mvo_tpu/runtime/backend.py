@@ -130,6 +130,9 @@ class Backend:
         if st.num_keyframes() >= 2:
             self.local_bundle_adjustment(slot)
 
+        if self.cfg.enable_culling:
+            st.cull(self.cfg.cull_max_keyframes, self.cfg.cull_max_mappoints)
+
         s = st.frame_id_to_slot[frame_id]
         return slot, (st.kf_R[s].copy(), st.kf_t[s].copy())
 
@@ -289,3 +292,128 @@ class Backend:
     @staticmethod
     def _round_up(x: int, m: int) -> int:
         return ((x + m - 1) // m) * m
+
+    # ------------------------------------------------------------------
+    # Global optimization (beyond the reference: pose graph + full BA)
+    # ------------------------------------------------------------------
+
+    def global_optimize(self, pose_graph_iterations: int = 15, full_ba: bool = True, mesh=None) -> None:
+        """Whole-trajectory refinement: SE(3) pose graph over the odometry
+        chain, then full BA over all keyframes/points (first two frames
+        fixed as gauge). The reference has no global back end at all;
+        this is the 'global pose-graph + full BA' capability of
+        BASELINE.json config #3. With ``mesh`` given, the full BA runs
+        sharded over the devices (``parallel/dist_ba``)."""
+        import jax.numpy as jnp
+
+        from ur_mvo_tpu.ops.pose_graph import (
+            PoseGraph,
+            optimize_pose_graph,
+            sequential_edges_from_trajectory,
+        )
+
+        st = self.store
+        slots = st.keyframe_slots()
+        order = slots[np.argsort(st.kf_frame_id[slots])]
+        n = len(order)
+        if n < 3:
+            return
+        Fp = self._round_up(n, 8)
+        R = np.tile(np.eye(3, dtype=np.float32), (Fp, 1, 1))
+        t = np.zeros((Fp, 3), np.float32)
+        R[:n] = st.kf_R[order]
+        t[:n] = st.kf_t[order]
+        ei, ej, Rm, tm, w = sequential_edges_from_trajectory(R, t, n, Fp)
+        g = PoseGraph(
+            R_wc=jnp.asarray(R), t_wc=jnp.asarray(t),
+            node_valid=jnp.arange(Fp) < n,
+            node_fixed=jnp.arange(Fp) < 1,
+            edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+            R_ij=jnp.asarray(Rm), t_ij=jnp.asarray(tm),
+            edge_weight=jnp.asarray(w),
+        )
+        res = optimize_pose_graph(g, iterations=pose_graph_iterations)
+        st.kf_R[order] = np.asarray(res.R_wc)[:n]
+        st.kf_t[order] = np.asarray(res.t_wc)[:n]
+
+        if full_ba:
+            self._full_bundle_adjustment(order, mesh=mesh)
+
+    def _full_bundle_adjustment(self, order: np.ndarray, mesh=None) -> None:
+        """BA over every keyframe and every good map point."""
+        import jax.numpy as jnp
+
+        st = self.store
+        n = len(order)
+        mp_ids = np.unique(st.kf_track[order][st.kf_track[order] >= 0])
+        mp_ids = mp_ids[st.mp_good[mp_ids] & ~st.mp_bad[mp_ids]]
+        sub = st.obs_slot[mp_ids][:, order]
+        pi, fi = np.nonzero(sub >= 0)
+        feat = sub[pi, fi]
+        uvr = st.kf_kpts[order[fi], feat]
+        n_per = np.bincount(pi, minlength=len(mp_ids))
+        has_st = np.zeros(len(mp_ids), bool)
+        np.logical_or.at(has_st, pi, uvr[:, 2] > 0)
+        keep_p = (n_per >= 2) | has_st
+        keep_o = keep_p[pi]
+        pi, fi, uvr = pi[keep_o], fi[keep_o], uvr[keep_o]
+        mp_used = np.nonzero(keep_p)[0]
+        if len(pi) < 16:
+            return
+        remap = np.full(len(mp_ids), -1, np.int32)
+        remap[mp_used] = np.arange(len(mp_used), dtype=np.int32)
+        p_idx = remap[pi]
+        mp_sel = mp_ids[mp_used]
+
+        mult = 8 if mesh is None else 8 * mesh.devices.size
+        F = self._round_up(n, 8)
+        P = self._round_up(max(len(mp_sel), mult), mult)
+        O = self._round_up(max(len(pi), mult), mult)
+
+        def pad(a, m, tail=(), dtype=np.float32):
+            out = np.zeros((m,) + tail, dtype)
+            out[: len(a)] = a[:m]
+            return jnp.asarray(out)
+
+        prob = BAProblem(
+            R_wc=jnp.asarray(
+                np.concatenate([st.kf_R[order], np.tile(np.eye(3, dtype=np.float32), (F - n, 1, 1))])
+            ),
+            t_wc=pad(st.kf_t[order], F, (3,)),
+            frame_valid=jnp.arange(F) < n,
+            frame_fixed=jnp.asarray(
+                np.concatenate([st.kf_frame_id[order] <= 2, np.ones(F - n, bool)])
+            ),
+            X=pad(st.mp_pos[mp_sel], P, (3,)),
+            point_valid=jnp.arange(P) < len(mp_sel),
+            obs_frame=pad(fi, O, (), np.int32),
+            obs_point=pad(p_idx, O, (), np.int32),
+            obs_uv=pad(uvr, O, (3,)),
+            obs_valid=jnp.arange(O) < len(pi),
+        )
+        cam = self.camera
+        ba_cfg = BAConfig(
+            chi2_mono=self.opt_cfg.mono_point,
+            chi2_stereo=self.opt_cfg.stereo_point,
+            iters_phase1=self.cfg.ba_iterations_phase1,
+            iters_phase2=self.cfg.ba_iterations_phase2,
+        )
+        if mesh is not None:
+            from ur_mvo_tpu.parallel.dist_ba import dist_bundle_adjust, shard_problem
+
+            prob_s = shard_problem(prob, mesh.devices.size)
+            res = dist_bundle_adjust(prob_s, mesh, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, ba_cfg)
+            # points come back in the sharded permutation; invert it
+            P_ = prob.X.shape[0]
+            nsh = mesh.devices.size
+            Pl = P_ // nsh
+            old_p = np.arange(P_)
+            new_p = (old_p % nsh) * Pl + old_p // nsh
+            X_out = np.asarray(res.X)[new_p]
+        else:
+            res = bundle_adjust(prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, ba_cfg)
+            X_out = np.asarray(res.X)
+        free = ~np.asarray(prob.frame_fixed)[:n]
+        st.kf_R[order[free]] = np.asarray(res.R_wc)[:n][free]
+        st.kf_t[order[free]] = np.asarray(res.t_wc)[:n][free]
+        st.mp_pos[mp_sel] = X_out[: len(mp_sel)]

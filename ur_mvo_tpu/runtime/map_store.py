@@ -175,6 +175,40 @@ class MapStore:
         order = slots[np.argsort(self.kf_frame_id[slots])]
         return self.kf_timestamp[order], self.kf_R[order], self.kf_t[order]
 
+    def cull(self, max_keyframes: int, max_mappoints: int) -> None:
+        """Oldest-first culling (``Mapping::KeyFrameCulling``,
+        ``mapping.cc:26-39`` — caps 30 keyframes / 10k points; the
+        reference ships it disabled, ``tracking.cc:317``). Slots are
+        released and covisibility/observer state cleaned up."""
+        slots = self.keyframe_slots()
+        if len(slots) > max_keyframes:
+            order = slots[np.argsort(self.kf_frame_id[slots])]
+            for s in order[: len(slots) - max_keyframes]:
+                self._remove_keyframe(int(s))
+        alive = np.nonzero(self.mp_alloc & ~self.mp_bad)[0]
+        if len(alive) > max_mappoints:
+            for mp in alive[: len(alive) - max_mappoints]:
+                self._remove_mappoint(int(mp))
+
+    def _remove_keyframe(self, s: int) -> None:
+        mps = np.nonzero(self.obs_slot[:, s] >= 0)[0]
+        for mp in mps:
+            self.remove_observation(s, int(mp))
+        self.kf_valid[s] = False
+        fid = int(self.kf_frame_id[s])
+        self.frame_id_to_slot.pop(fid, None)
+        self.kf_frame_id[s] = -1
+        self.kf_track[s] = -1
+        self.covis[s, :] = 0
+        self.covis[:, s] = 0
+
+    def _remove_mappoint(self, mp: int) -> None:
+        kfs = np.nonzero(self.obs_slot[mp] >= 0)[0]
+        for s in kfs:
+            self.remove_observation(int(s), mp)
+        self.mp_bad[mp] = True
+        self.mp_good[mp] = False
+
     # -- checkpoint / resume -------------------------------------------------
     # The reference has no map persistence at all (SURVEY §5: only TRT
     # engine caches + trajectory text); snapshots enable resume and feed
