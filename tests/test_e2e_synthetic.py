@@ -172,3 +172,26 @@ def test_global_optimize_improves_or_holds():
     ate_after = ate_rmse(kpos, gt2, align=True, correct_scale=True)
     # must not degrade the trajectory (tolerance for noise-level churn)
     assert ate_after < max(ate_before * 1.5, 0.05), (ate_before, ate_after)
+
+
+def test_local_map_tracking_mode():
+    """Optional projection-guided local-map refinement keeps/improves ATE
+    and recovers extra associations."""
+    cfg = small_config()
+    cfg.local_map_tracking.enabled = True
+    cam = make_camera()
+    n_frames = 35
+    T_wc, ts = make_trajectory(n_frames, advance=0.05)
+    X = make_landmarks(400, along=2.0)
+    oracle = OracleExtractor(X, cam, capacity=cfg.superpoint.capacity, noise_px=0.3, seed=9)
+    vo = UR_MVO(cfg, SensorSetup.MONO, camera=cam, extractor=oracle)
+    for i in range(n_frames):
+        frame = Frame(image=Image(np.zeros((2, 2), np.uint8), ts[i]))
+        frame.meta["T_wc"] = T_wc[i]
+        vo.process(frame)
+    assert vo.tracker.initialized
+    kts, kpos, _ = vo.keyframe_trajectory()
+    idx = np.searchsorted(ts, kts)
+    gt = T_wc[np.clip(idx, 0, n_frames - 1), :3, 3]
+    ate = ate_rmse(kpos, gt, align=True, correct_scale=True)
+    assert ate < 0.08, ate

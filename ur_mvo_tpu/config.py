@@ -113,6 +113,17 @@ class BackendConfig:
 
 
 @dataclasses.dataclass
+class LocalMapTrackingConfig:
+    """Optional projection-guided local-map refinement (the reference's
+    disabled ``TrackLocalMap`` path, ``tracking.cc:1031-1109``)."""
+
+    enabled: bool = False
+    radius_px: float = 15.0
+    min_similarity: float = 0.5
+    ratio: float = 0.9
+
+
+@dataclasses.dataclass
 class RuntimeConfig:
     """Host pipeline + numerics."""
 
@@ -141,6 +152,7 @@ class Configs:
     backend_optimization: OptimizationConfig = dataclasses.field(default_factory=OptimizationConfig)
     initializer: InitializerConfig = dataclasses.field(default_factory=InitializerConfig)
     backend: BackendConfig = dataclasses.field(default_factory=BackendConfig)
+    local_map_tracking: LocalMapTrackingConfig = dataclasses.field(default_factory=LocalMapTrackingConfig)
     runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
 
     # -- loading ------------------------------------------------------------

@@ -71,7 +71,8 @@ class Dataset:
     """EuRoC-layout sequence: ``<root>/cam0/data/*.png`` (+cam1, +depth0,
     +mask0 when present)."""
 
-    def __init__(self, root: str, use_right: bool = False, use_depth: bool = False, use_mask: bool = False):
+    def __init__(self, root: str, use_right: bool = False, use_depth: bool = False, use_mask: bool = False,
+                 prefetch: bool = True):
         self.root = Path(root)
         self.left_dir = self.root / "cam0" / "data"
         assert self.left_dir.is_dir(), f"{self.left_dir} missing"
@@ -79,6 +80,20 @@ class Dataset:
         self.right_dir = self.root / "cam1" / "data" if use_right else None
         self.depth_dir = self.root / "depth0" / "data" if use_depth else None
         self.mask_dir = self.root / "mask0" / "data" if use_mask else None
+        # Native multi-threaded prefetch (C++ runtime) when every file is a
+        # format it decodes (PGM / u8 .npy); overlaps disk IO + decode with
+        # device compute — the reference's feature-thread/input-queue role.
+        self._prefetcher = None
+        if prefetch and self.names and all(n.endswith((".pgm", ".npy")) for n in self.names):
+            try:
+                from ur_mvo_tpu import native
+
+                if native.available():
+                    self._prefetcher = native.ImagePrefetcher(
+                        [str(self.left_dir / n) for n in self.names], n_workers=4, window=16
+                    )
+            except Exception:
+                self._prefetcher = None
 
     def __len__(self) -> int:
         return len(self.names)
@@ -86,10 +101,16 @@ class Dataset:
     def get(self, idx: int) -> InputData:
         name = self.names[idx]
         ts = parse_timestamp(name)
+        if self._prefetcher is not None:
+            image = self._prefetcher.get(idx)
+            if image is None:
+                image = load_gray(str(self.left_dir / name))
+        else:
+            image = load_gray(str(self.left_dir / name))
         data = InputData(
             index=idx,
             time=ts if ts is not None else float(idx),
-            image=load_gray(str(self.left_dir / name)),
+            image=image,
         )
         if self.right_dir is not None:
             data.image_right = load_gray(str(self.right_dir / name))

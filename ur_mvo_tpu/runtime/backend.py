@@ -76,6 +76,7 @@ class Backend:
         valid_slots: np.ndarray,  # (K,) bool
         track_mp: np.ndarray,  # (K,) int32 existing mappoint ids or -1
         depth: Optional[np.ndarray] = None,  # (K,) metric depth or None
+        desc: Optional[np.ndarray] = None,  # (K, D) feature descriptors
     ) -> tuple:
         """Insert a keyframe, create/triangulate mappoints, run local BA.
 
@@ -94,6 +95,8 @@ class Backend:
             mp_ids = st.alloc_mappoints(len(new_idx))
             track = track.copy()
             track[new_idx] = mp_ids
+            if desc is not None and st.mp_desc is not None:
+                st.mp_desc[mp_ids] = desc[new_idx].astype(np.float16)
             # Stereo / depth-seeded points are Good immediately
             # (mapping.cc:71-101); mono ones stay untriangulated.
             uvr = kpts_uvr[new_idx]

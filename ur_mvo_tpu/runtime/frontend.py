@@ -29,6 +29,7 @@ from ur_mvo_tpu.config import Configs, SensorSetup
 from ur_mvo_tpu.ops import lie
 from ur_mvo_tpu.ops.epipolar import two_view_init
 from ur_mvo_tpu.ops.matching import Matches
+from ur_mvo_tpu.ops.local_map import search_by_projection
 from ur_mvo_tpu.ops.pnp import ransac_pnp
 from ur_mvo_tpu.ops.pose_opt import PoseObs, optimize_pose
 from ur_mvo_tpu.runtime.backend import Backend
@@ -122,6 +123,30 @@ class Tracker:
 
         self._init_kernel = _init_kernel
 
+        lmt = cfg.local_map_tracking
+
+        @jax.jit
+        def _local_map_kernel(R_cw, t_cw, mp_pos, mp_desc, mp_valid, bank):
+            """Project local map points, associate by descriptor, refine
+            the pose once more on the expanded set (TrackLocalMap's
+            SearchLocalPoints + re-optimize flow)."""
+            mm_ = search_by_projection(
+                R_cw, t_cw, mp_pos, mp_desc, mp_valid, bank,
+                cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
+                radius_px=lmt.radius_px, min_similarity=lmt.min_similarity, ratio=lmt.ratio,
+            )
+            idx = jnp.maximum(mm_.feat_idx, 0)
+            uv = jnp.concatenate([bank.kpts[idx], -jnp.ones((mp_pos.shape[0], 1))], axis=1)
+            obs = PoseObs(X=mp_pos, uv=uv, valid=mm_.valid)
+            res = optimize_pose(
+                R_cw, t_cw, obs, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+                chi2_mono=topt.mono_point, chi2_stereo=topt.stereo_point,
+                rounds=1,
+            )
+            return mm_, res
+
+        self._local_map_kernel = _local_map_kernel
+
     # ------------------------------------------------------------------
 
     def _next_key(self):
@@ -182,6 +207,9 @@ class Tracker:
         if not track_well:
             self._after_track(bank, None, timestamp, frame_id, track_well=False)
             return None
+
+        if self.cfg.local_map_tracking.enabled:
+            pose, frame_track, num_inliers = self._track_local_map(bank, pose, frame_track, num_inliers)
 
         # keyframe decision (tracking.cc:913-958) — only when the ref
         # keyframe is still the latest keyframe.
@@ -443,6 +471,48 @@ class Tracker:
         frame_track = np.where(inl, mp_of_slot, -1).astype(np.int32)
         return n_inl, pose, frame_track
 
+    def _track_local_map(self, bank, pose, frame_track, num_inliers):
+        """Optional: associate covisibility-local map points by projection
+        and refine the pose on the expanded correspondence set."""
+        st = self.backend.store
+        if st.mp_desc is None or self._ref_slot is None:
+            return pose, frame_track, num_inliers
+        window = st.window_frames(self._ref_slot, self.cfg.backend.window_opt_frames)
+        tracks = st.kf_track[window]
+        mp_ids = np.unique(tracks[tracks >= 0])
+        mp_ids = mp_ids[st.mp_good[mp_ids] & ~st.mp_bad[mp_ids]]
+        cap = bank.capacity
+        if len(mp_ids) == 0:
+            return pose, frame_track, num_inliers
+        mp_ids = mp_ids[:cap]
+        pos = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, st.cfg.descriptor_dim), np.float32)
+        valid = np.zeros(cap, bool)
+        pos[: len(mp_ids)] = st.mp_pos[mp_ids]
+        desc[: len(mp_ids)] = st.mp_desc[mp_ids].astype(np.float32)
+        valid[: len(mp_ids)] = True
+        R_cw = pose[:3, :3].T
+        t_cw = -R_cw @ pose[:3, 3]
+        matches, res = self._local_map_kernel(
+            jnp.asarray(R_cw), jnp.asarray(t_cw), jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid), bank
+        )
+        n_inl = int(res.n_inliers)
+        if n_inl <= num_inliers:
+            return pose, frame_track, num_inliers
+        R_cw2 = np.asarray(res.R_cw)
+        new_pose = np.eye(4, dtype=np.float32)
+        new_pose[:3, :3] = R_cw2.T
+        new_pose[:3, 3] = -R_cw2.T @ np.asarray(res.t_cw)
+        # extend the frame's track table with the new associations
+        feat_idx = np.asarray(matches.feat_idx)
+        ok = np.asarray(matches.valid) & np.asarray(res.inliers)
+        new_track = frame_track.copy()
+        sel = np.nonzero(ok[: len(mp_ids)])[0]
+        slots = feat_idx[sel]
+        fresh = new_track[slots] < 0
+        new_track[slots[fresh]] = mp_ids[sel[fresh]]
+        return new_pose, new_track, n_inl
+
     def _promote_last_frame(self, timestamp):
         """Tracking-loss fallback: make the last frame a keyframe
         (tracking.cc:254-276)."""
@@ -482,7 +552,8 @@ class Tracker:
         track = frame_track if frame_track is not None else np.full(K, -1, np.int32)
         with self.timer.span("keyframe_ba"):
             slot, (R_opt, t_opt) = self.backend.insert_keyframe(
-                frame_id, timestamp, pose[:3, :3], pose[:3, 3], uvr, valid, track, depth
+                frame_id, timestamp, pose[:3, :3], pose[:3, 3], uvr, valid, track, depth,
+                desc=np.asarray(bank.desc),
             )
         opt_pose = np.eye(4, dtype=np.float32)
         opt_pose[:3, :3] = R_opt

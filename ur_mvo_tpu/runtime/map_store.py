@@ -28,6 +28,13 @@ class StoreConfig:
     max_keyframes: int = 512
     max_mappoints: int = 32768
     keypoints_per_frame: int = 1024
+    # Per-mappoint descriptors (f16) enable projection-guided local-map
+    # association (ops/local_map.py). The reference stores a medoid
+    # descriptor per mappoint (mappoint.h, mapping.cc:207-258); here the
+    # first observation's descriptor is kept (cheap, near-equivalent for
+    # SuperPoint descriptors which are view-stable).
+    store_descriptors: bool = True
+    descriptor_dim: int = 256
 
 
 class MapStore:
@@ -48,6 +55,9 @@ class MapStore:
         self.mp_bad = np.zeros(MP, bool)
         self.mp_pos = np.zeros((MP, 3), np.float32)
         self.mp_obs_count = np.zeros(MP, np.int32)
+        self.mp_desc = (
+            np.zeros((MP, cfg.descriptor_dim), np.float16) if cfg.store_descriptors else None
+        )
         # observer relation: slot of mappoint in keyframe, -1 when absent
         self.obs_slot = np.full((MP, KF), -1, np.int16)
         # covisibility weights between keyframes
@@ -218,7 +228,7 @@ class MapStore:
         "kf_valid", "kf_frame_id", "kf_timestamp", "kf_R", "kf_t",
         "kf_kpts", "kf_track", "mp_alloc", "mp_good", "mp_bad", "mp_pos",
         "mp_obs_count", "obs_slot", "covis",
-    )
+    )  # mp_desc handled separately (optional)
 
     def save_snapshot(self, path: str) -> None:
         state = {f: getattr(self, f) for f in self._SNAPSHOT_FIELDS}
@@ -226,6 +236,8 @@ class MapStore:
         state["_next_mp"] = np.asarray(self._next_mp)
         state["_frame_ids"] = np.asarray(list(self.frame_id_to_slot.keys()), np.int64)
         state["_frame_slots"] = np.asarray(list(self.frame_id_to_slot.values()), np.int64)
+        if self.mp_desc is not None:
+            state["mp_desc"] = self.mp_desc
         np.savez_compressed(path, **state)
 
     @classmethod
@@ -237,6 +249,8 @@ class MapStore:
             if getattr(store, f).shape != saved.shape:
                 raise ValueError(f"snapshot field {f} shape {saved.shape} != store {getattr(store, f).shape}")
             setattr(store, f, saved.copy())
+        if store.mp_desc is not None and "mp_desc" in data:
+            store.mp_desc = data["mp_desc"].copy()
         store._next_kf = int(data["_next_kf"])
         store._next_mp = int(data["_next_mp"])
         store.frame_id_to_slot = dict(zip(data["_frame_ids"].tolist(), data["_frame_slots"].tolist()))
