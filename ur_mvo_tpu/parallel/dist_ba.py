@@ -56,16 +56,37 @@ def shard_problem(prob: BAProblem, n_shards: int) -> BAProblem:
     O = prob.obs_frame.shape[0]
     assert P_ % n_shards == 0 and O % n_shards == 0, "pad P and O to multiples of the mesh size"
     Pl = P_ // n_shards
-    # point p (old index) -> shard p % n, position within shard p // n
-    old_p = np.arange(P_)
-    new_p = (old_p % n_shards) * Pl + old_p // n_shards
-    perm_p = np.empty(P_, np.int64)
-    perm_p[new_p] = old_p  # new order lists old indices
 
     obs_p_old = np.asarray(prob.obs_point)
+    valid = np.asarray(prob.obs_valid)
+
+    # Load-balanced point partition: points carry different track lengths,
+    # so assign them to shards greedily by descending observation count
+    # (each to the lightest shard with a free point slot). Keeps both the
+    # per-shard point count (== Pl) and observation count balanced.
+    obs_count = np.bincount(obs_p_old[valid], minlength=P_)
+    point_order = np.argsort(-obs_count, kind="stable")
+    shard_load = np.zeros(n_shards, np.int64)
+    shard_fill = np.zeros(n_shards, np.int64)
+    shard_of_point = np.empty(P_, np.int64)
+    for p in point_order:
+        open_shards = np.nonzero(shard_fill < Pl)[0]
+        s = open_shards[np.argmin(shard_load[open_shards])]
+        shard_of_point[p] = s
+        shard_load[s] += obs_count[p]
+        shard_fill[s] += 1
+    # position within shard, then block layout: new index = s*Pl + pos
+    new_p = np.empty(P_, np.int64)
+    fill = np.zeros(n_shards, np.int64)
+    for p in point_order:
+        s = shard_of_point[p]
+        new_p[p] = s * Pl + fill[s]
+        fill[s] += 1
+    perm_p = np.empty(P_, np.int64)
+    perm_p[new_p] = np.arange(P_)  # new order lists old indices
+
     obs_p_new = new_p[obs_p_old]
     obs_shard = obs_p_new // Pl
-    valid = np.asarray(prob.obs_valid)
 
     cap = O // n_shards
     by_shard = [np.nonzero((obs_shard == s) & valid)[0] for s in range(n_shards)]
