@@ -126,7 +126,8 @@ def main():
         iters = max(2, args.iters // 5)
     else:
         H, W, CAP, MAXK = 512, 640, 1024, 1000
-        F, P, O = 40, 4096, 16384
+        # BA at the production padded capacities (BackendConfig defaults)
+        F, P, O = 40, 2048, 8192
         iters = args.iters
 
     dev = jax.devices()[0]
