@@ -211,6 +211,21 @@ def main():
     ba = jax.jit(lambda p: bundle_adjust(p, fx, fy, cx, cy, 0.0, BAConfig()))
     t_ba = sustained_ms(lambda p: ba(p), (prob,), n1=1, n2=5, reps=3)
 
+    # multi-sequence batched front end (S=4): per-sequence sustained cost
+    S = 2 if args.tiny else 4
+    ext_b = jax.jit(jax.vmap(lambda im: extract(im)))
+    imgs_b = jax.random.uniform(ks[7], (S, H, W))
+    t_extract_b = sustained_ms(lambda im: ext_b(im), (imgs_b,)) / S
+    banks_b = jax.tree.map(lambda a: jnp.stack([a] * S), bank0)
+    banks_b1 = jax.tree.map(lambda a: jnp.stack([a] * S), bank1)
+    match_b = jax.jit(jax.vmap(lambda k, b0, b1: match(k, b0, b1)))
+    keys_b = jax.random.split(ks[3], S)
+    t_match_b = sustained_ms(lambda k, b0, b1: match_b(k, b0, b1), (keys_b, banks_b, banks_b1)) / S
+    print(
+        f"# multi-seq batched (S={S}): extract {t_extract_b:.2f} ms/seq | match {t_match_b:.2f} ms/seq",
+        file=sys.stderr,
+    )
+
     per_frame_s = (t_extract + t_match + t_track + t_ba / KEYFRAME_EVERY) / 1e3
     fps = 1.0 / per_frame_s
     print(

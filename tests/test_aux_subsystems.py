@@ -145,3 +145,12 @@ def test_stablehlo_export_roundtrip(tmp_path):
     err = export.verify_roundtrip(path, sp, sg, height=64, width=80, capacity=128, max_keypoints=100,
                                   sinkhorn_iterations=10)
     assert err < 1e-3, err
+
+
+def test_dataset_flat_layout(tmp_path):
+    """Raw Aqualoc-style flat image folder (no cam0/data)."""
+    for i in range(3):
+        np.save(str(tmp_path / f"frame{i:06d}.npy"), np.full((4, 4), i, np.uint8))
+    ds = Dataset(str(tmp_path))
+    assert len(ds) == 3
+    assert ds.get(1).image[0, 0] == 1

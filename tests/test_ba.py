@@ -147,6 +147,48 @@ def test_ba_padding_invariance():
         obs_uv=jnp.pad(prob.obs_uv, ((0, O2 - 1024), (0, 0))),
         obs_valid=jnp.pad(prob.obs_valid, (0, O2 - 1024)),
     )
-    res2 = bundle_adjust(prob2, FX, FY, CX, CY)
+    # exact (scatter) assembly: padding must be bit-stable
+    cfg_exact = BAConfig(assembly="scatter")
+    res1 = bundle_adjust(prob, FX, FY, CX, CY, cfg=cfg_exact)
+    res2 = bundle_adjust(prob2, FX, FY, CX, CY, cfg=cfg_exact)
     np.testing.assert_allclose(np.asarray(res1.t_wc[:6]), np.asarray(res2.t_wc[:6]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(res1.R_wc[:6]), np.asarray(res2.R_wc[:6]), atol=1e-5)
+    # matmul assembly (bf16 coupling): solutions agree to optimizer noise
+    res3 = bundle_adjust(prob2, FX, FY, CX, CY)
+    np.testing.assert_allclose(np.asarray(res3.t_wc[:6]), np.asarray(res1.t_wc[:6]), atol=1e-2)
+
+
+def test_matmul_assembly_matches_scatter():
+    """The one-hot MXU assembly must agree with the scatter assembly."""
+    import jax.numpy as jnp
+
+    from ur_mvo_tpu.ops.ba import (
+        BAConfig,
+        build_normal_terms,
+        build_normal_terms_matmul,
+        _invert_poses,
+    )
+
+    prob, *_ = build_problem(jax.random.PRNGKey(6))
+    R_cw, t_cw = _invert_poses(prob.R_wc, prob.t_wc)
+    cfg = BAConfig()
+    act = prob.obs_valid.astype(jnp.float32)
+    a = build_normal_terms(prob, R_cw, t_cw, prob.X, FX, FY, CX, CY, 0.0, cfg, act, True)
+    b = build_normal_terms_matmul(prob, R_cw, t_cw, prob.X, FX, FY, CX, CY, 0.0, cfg, act, True)
+    names = ["H_cc", "b_c", "H_pp", "b_p", "U", "cost"]
+    for name, x, y in zip(names, a, b):
+        x = np.asarray(x)
+        y = np.asarray(y)
+        scale = max(np.abs(x).max(), 1.0)
+        tol = 1e-5 if name != "U" else 5e-3  # U uses bf16 values
+        np.testing.assert_allclose(y / scale, x / scale, atol=tol, err_msg=name)
+
+
+def test_ba_matmul_assembly_converges():
+    from ur_mvo_tpu.ops.ba import BAConfig
+
+    prob, R_true, t_true, X_true, n_obs = build_problem(jax.random.PRNGKey(7))
+    res = bundle_adjust(prob, FX, FY, CX, CY, cfg=BAConfig(assembly="matmul"))
+    Rerr, terr = _pose_errors(res, R_true, t_true, 6)
+    assert Rerr < 5e-3 and terr < 2e-2
+    assert int(res.obs_inlier.sum()) > 0.95 * n_obs

@@ -46,6 +46,11 @@ class SuperGlueConfig:
     image_width: int = 640
     image_height: int = 512
     matching_threshold: float = 0.5
+    # "superglue" (learned GNN+Sinkhorn) or "nn" (mutual nearest-neighbor
+    # with ratio test — no trained weights required)
+    matcher: str = "superglue"
+    nn_min_similarity: float = 0.2
+    nn_ratio: float = 0.95
     sinkhorn_iterations: int = 20
     num_layers: int = 9
     num_heads: int = 4
@@ -98,7 +103,9 @@ class BackendConfig:
     ba_iterations_phase1: int = 10
     ba_iterations_phase2: int = 5
     max_keyframes: int = 512
-    max_mappoints: int = 200_000
+    # 512 keyframes x ~1000 features create well under 64k live points
+    # once outlier removal runs; the observer matrix is (MP, KF) int16.
+    max_mappoints: int = 65536
     # Padded BA problem capacities (static shapes for the jitted solver).
     # Realistic windows carry ~1-2k points / ~8k observations; halved
     # from the initial 4096/16384 after profiling (BA cost scales with

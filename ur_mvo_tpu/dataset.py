@@ -71,12 +71,18 @@ class Dataset:
     """EuRoC-layout sequence: ``<root>/cam0/data/*.png`` (+cam1, +depth0,
     +mask0 when present)."""
 
+    IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".pgm", ".npy", ".bmp")
+
     def __init__(self, root: str, use_right: bool = False, use_depth: bool = False, use_mask: bool = False,
                  prefetch: bool = True):
         self.root = Path(root)
         self.left_dir = self.root / "cam0" / "data"
-        assert self.left_dir.is_dir(), f"{self.left_dir} missing"
-        self.names = sorted(os.listdir(self.left_dir))
+        if not self.left_dir.is_dir():
+            # flat layout (e.g. raw Aqualoc: a folder of frameXXXXXX.png)
+            flat = [n for n in os.listdir(self.root) if n.lower().endswith(self.IMAGE_EXTS)]
+            assert flat, f"{self.left_dir} missing and {self.root} has no images"
+            self.left_dir = self.root
+        self.names = sorted(n for n in os.listdir(self.left_dir) if n.lower().endswith(self.IMAGE_EXTS))
         self.right_dir = self.root / "cam1" / "data" if use_right else None
         self.depth_dir = self.root / "depth0" / "data" if use_depth else None
         self.mask_dir = self.root / "mask0" / "data" if use_mask else None

@@ -162,24 +162,14 @@ def dist_bundle_adjust(
 
         R_cw0, t_cw0 = _invert_poses(prob_l.R_wc, prob_l.t_wc)
 
+        from ur_mvo_tpu.ops.ba import build_normal_terms, build_normal_terms_matmul
+
+        builder = build_normal_terms_matmul if cfg.assembly == "matmul" else build_normal_terms
+
         def build(R_cw, t_cw, X, active, use_huber):
-            r, Jc, Jp, is_stereo, _ = _residuals(R_cw, t_cw, X, prob_local, fx, fy, cx, cy, bf)
-            chi2 = _chi2(r, is_stereo)
-            th = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
-            delta = jnp.sqrt(th)
-            s = jnp.sqrt(jnp.maximum(chi2, 1e-12))
-            w = jnp.where(use_huber, jnp.where(chi2 <= th, 1.0, delta / s), 1.0) * active
-            ffree = frame_free[prob_local.obs_frame]
-            Jc_m = Jc * ffree[:, None, None].astype(Jc.dtype)
-            H_cc = jnp.zeros((F, 6, 6)).at[prob_local.obs_frame].add(einsum("oij,oik,o->ojk", Jc_m, Jc_m, w))
-            b_c = jnp.zeros((F, 6)).at[prob_local.obs_frame].add(-einsum("oij,oi,o->oj", Jc_m, r, w))
-            H_pp = jnp.zeros((Pl, 3, 3)).at[obs_point_local].add(einsum("oij,oik,o->ojk", Jp, Jp, w))
-            b_p = jnp.zeros((Pl, 3)).at[obs_point_local].add(-einsum("oij,oi,o->oj", Jp, r, w))
-            U = jnp.zeros((Pl, F, 6, 3)).at[obs_point_local, prob_local.obs_frame].add(
-                einsum("oij,oik,o->ojk", Jc_m, Jp, w)
-            )
-            cost = jnp.sum(_robust_cost(chi2, is_stereo, cfg.chi2_mono, cfg.chi2_stereo, use_huber) * active)
-            return H_cc, b_c, H_pp, b_p, U, cost
+            # shared builders work unchanged on the local shard: P is the
+            # local block size, frame arrays are replicated
+            return builder(prob_local, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg, active, use_huber)
 
         def lm_phase(state, active, n_iters, use_huber):
             def step(carry, _):

@@ -28,7 +28,6 @@ def make_batched_matcher(params, mesh: Mesh, width: int, height: int,
     the mesh size.
     """
     batch_sharding = NamedSharding(mesh, P(axis))
-    rep = NamedSharding(mesh, P())
 
     def one(bank0: FeatureBank, bank1: FeatureBank) -> Matches:
         Z = superglue.match_scores(params, bank0, bank1, width, height, sinkhorn_iterations)

@@ -105,7 +105,6 @@ class MultiSequenceVO:
         for i in range(self.S):
             ext = extractors[i] if extractors is not None else _SeqExtractorView(self, i)
             self.trackers.append(Tracker(cfg, camera, ext))
-        self._custom_extractors = extractors is not None
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)

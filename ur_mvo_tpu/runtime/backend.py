@@ -84,8 +84,6 @@ class Backend:
         """
         st = self.store
         slot = st.alloc_keyframe(frame_id, timestamp, R_wc, t_wc, kpts_uvr, valid_slots)
-
-        valid_idx = np.nonzero(valid_slots)[0]
         track = np.asarray(track_mp)
 
         # New mappoints for features without a track.
@@ -205,7 +203,6 @@ class Backend:
         inc = st.obs_slot[mp_ids] >= 0  # (n, KF)
         in_window = np.zeros(st.cfg.max_keyframes, bool)
         in_window[window] = True
-        outside_counts = inc[:, ~in_window].sum(axis=0)
         outside_slots = np.nonzero(~in_window & st.kf_valid)[0]
         counts = inc[:, outside_slots].sum(axis=0)
         budget = max(0, cfg.window_fixed_frames - int(fixed.sum()))
@@ -216,8 +213,6 @@ class Backend:
         frame_fixed = np.concatenate([fixed, np.ones(len(extra), bool)])
 
         # gather observations of local mappoints in selected frames
-        obs_f_list, obs_p_list, obs_uv_list = [], [], []
-        slot_of = {int(s): i for i, s in enumerate(frames)}
         sub = st.obs_slot[mp_ids][:, frames]  # (n, W+E)
         pi, fi = np.nonzero(sub >= 0)
         feat = sub[pi, fi]

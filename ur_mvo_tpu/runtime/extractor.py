@@ -100,18 +100,23 @@ class NeuralExtractor:
 
         @partial(jax.jit, static_argnames=("outlier_rejection",))
         def _match(key, bank0: FeatureBank, bank1: FeatureBank, outlier_rejection: bool = True) -> Matches:
-            Z = superglue.match_scores(
-                self.sg_params,
-                bank0,
-                bank1,
-                sg_cfg.image_width,
-                sg_cfg.image_height,
-                sinkhorn_iterations=sg_cfg.sinkhorn_iterations,
-                compute_dtype=compute_dtype,
-                num_heads=sg_cfg.num_heads,
-                use_pallas_sinkhorn=use_pallas,
-            )
-            m = decode_assignment(Z, bank0.valid, bank1.valid, sg_cfg.matching_threshold)
+            if sg_cfg.matcher == "nn":
+                from ur_mvo_tpu.ops.nn_matcher import match_nn
+
+                m = match_nn(bank0, bank1, sg_cfg.nn_min_similarity, sg_cfg.nn_ratio)
+            else:
+                Z = superglue.match_scores(
+                    self.sg_params,
+                    bank0,
+                    bank1,
+                    sg_cfg.image_width,
+                    sg_cfg.image_height,
+                    sinkhorn_iterations=sg_cfg.sinkhorn_iterations,
+                    compute_dtype=compute_dtype,
+                    num_heads=sg_cfg.num_heads,
+                    use_pallas_sinkhorn=use_pallas,
+                )
+                m = decode_assignment(Z, bank0.valid, bank1.valid, sg_cfg.matching_threshold)
             if outlier_rejection:
                 p0, p1, valid = gather_match_points(m, bank0.kpts, bank1.kpts)
                 res = ransac_fundamental(key, p0, p1, valid, iterations=200, sigma=1.0)

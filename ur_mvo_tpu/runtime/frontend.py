@@ -61,7 +61,6 @@ class Tracker:
         self._init_time = None
         self._init_frame_id = None
         self._frame_counter = 0
-        self._track_id_counter = 0
 
         # last-frame state
         self._last_pose = np.eye(4, dtype=np.float32)  # T_wc
@@ -177,7 +176,6 @@ class Tracker:
             num_match = int(matches.num_valid())
 
         pose_out = None
-        ref_bank = self._ref_bank
         ref_track = self.backend.store.kf_track[self._ref_slot]
         ref_frame_id = self._ref_frame_id
 
