@@ -39,6 +39,21 @@ KEYFRAME_EVERY = 5  # typical cadence at aqua settings (max 10, angle/dist gates
 REFERENCE_FPS = 1000.0 / 30.0  # implied by main_py.cpp:52
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: driver re-runs start warm."""
+    import os
+
+    import jax
+
+    d = os.environ.get("URMVO_COMPILE_CACHE", os.path.expanduser("~/.cache/ur_mvo_tpu/xla"))
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def timeit(fn, *args, warmup=2, iters=10):
     import jax
 
@@ -110,6 +125,7 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    _enable_compile_cache()
     import jax.numpy as jnp
 
     from ur_mvo_tpu.models import superglue, superpoint
@@ -153,9 +169,16 @@ def main():
     t_extract = sustained_ms(lambda im: extract(im), (img,))
 
     # --- stage 2: match (GNN + sinkhorn + decode + F-RANSAC) ----------
+    from ur_mvo_tpu.ops.pallas_kernels import pallas_available
+
+    use_pallas = pallas_available()
+
     @jax.jit
     def match(k, b0, b1):
-        Z = superglue.match_scores(sg, b0, b1, W, H, sinkhorn_iterations=20)
+        Z = superglue.match_scores(
+            sg, b0, b1, W, H, sinkhorn_iterations=20,
+            use_pallas_sinkhorn=use_pallas, use_pallas_attention=use_pallas,
+        )
         m = decode_assignment(Z, b0.valid, b1.valid, 0.5)
         p0, p1, valid = gather_match_points(m, b0.kpts, b1.kpts)
         res = ransac_fundamental(k, p0, p1, valid, iterations=200)

@@ -10,7 +10,6 @@ from __future__ import annotations
 import itertools
 import time as _time
 from dataclasses import dataclass, field
-from enum import Enum
 from typing import Any, Dict, Optional
 
 import numpy as np

@@ -13,13 +13,13 @@ from __future__ import annotations
 
 import os
 from pathlib import Path
-from typing import Dict, List, Optional, Union
+from typing import List, Optional, Union
 
 import numpy as np
 
 from ur_mvo_tpu.camera import Camera, make_pinhole
 from ur_mvo_tpu.components import Frame, Image, Pose, Setup, interpolate
-from ur_mvo_tpu.config import Configs, SensorSetup
+from ur_mvo_tpu.config import Configs
 from ur_mvo_tpu.runtime.extractor import NeuralExtractor
 from ur_mvo_tpu.runtime.frontend import Tracker
 from ur_mvo_tpu.utils.tum_io import write_tum

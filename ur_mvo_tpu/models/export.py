@@ -13,11 +13,8 @@ role the ONNX + engine cache plays for the reference. The numeric check
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ur_mvo_tpu.models import superglue, superpoint
 from ur_mvo_tpu.ops.keypoints import select_keypoints

@@ -85,21 +85,29 @@ def init_params(key: jax.Array, num_layers: int = 9, num_heads: int = 4, dtype=j
     return params
 
 
-def _attention(layer, x_q: jax.Array, x_kv: jax.Array, kv_valid: jax.Array, num_heads: int) -> jax.Array:
+def _attention(layer, x_q: jax.Array, x_kv: jax.Array, kv_valid: jax.Array, num_heads: int,
+               use_pallas: bool = False) -> jax.Array:
     """Multi-head attention with invalid-slot key masking. (K, D) inputs.
 
     Matmuls run in the input dtype (bf16 on TPU doubles MXU rate, and the
     reference runs this net in TRT fp16); logits/softmax accumulate f32.
+    With ``use_pallas`` the logits/softmax/value core runs as a fused
+    VMEM-resident kernel (``ops/pallas_kernels.attention_pallas``).
     """
     K = x_q.shape[0]
     head_dim = D // num_heads
     q = (x_q @ layer["q"]["w"] + layer["q"]["b"]).reshape(K, num_heads, head_dim)
     k = (x_kv @ layer["k"]["w"] + layer["k"]["b"]).reshape(-1, num_heads, head_dim)
     v = (x_kv @ layer["v"]["w"] + layer["v"]["b"]).reshape(-1, num_heads, head_dim)
-    logits = jnp.einsum("qhd,khd->hqk", q, k, preferred_element_type=jnp.float32) / jnp.sqrt(head_dim)
-    logits = jnp.where(kv_valid[None, None, :], logits, -1e9)
-    attn = jax.nn.softmax(logits, axis=-1).astype(x_q.dtype)
-    msg = jnp.einsum("hqk,khd->qhd", attn, v).reshape(K, D)
+    if use_pallas:
+        from ur_mvo_tpu.ops.pallas_kernels import attention_pallas
+
+        msg = attention_pallas(q, k, v, kv_valid).reshape(K, D)
+    else:
+        logits = jnp.einsum("qhd,khd->hqk", q, k, preferred_element_type=jnp.float32) / jnp.sqrt(head_dim)
+        logits = jnp.where(kv_valid[None, None, :], logits, -1e9)
+        attn = jax.nn.softmax(logits, axis=-1).astype(x_q.dtype)
+        msg = jnp.einsum("hqk,khd->qhd", attn, v).reshape(K, D)
     return msg @ layer["merge"]["w"] + layer["merge"]["b"]
 
 
@@ -110,16 +118,17 @@ def encode(params: Dict[str, Any], bank: FeatureBank, width: int, height: int) -
     return bank.desc + _mlp(params["kenc"], inputs)
 
 
-def gnn(params: Dict[str, Any], x0: jax.Array, x1: jax.Array, valid0: jax.Array, valid1: jax.Array, num_heads: int = 4):
+def gnn(params: Dict[str, Any], x0: jax.Array, x1: jax.Array, valid0: jax.Array, valid1: jax.Array, num_heads: int = 4,
+        use_pallas: bool = False):
     """Alternating self/cross attentional message passing."""
     nh = num_heads
     for i, layer in enumerate(params["layers"]):
         if i % 2 == 0:  # self-attention
-            m0 = _attention(layer, x0, x0, valid0, nh)
-            m1 = _attention(layer, x1, x1, valid1, nh)
+            m0 = _attention(layer, x0, x0, valid0, nh, use_pallas)
+            m1 = _attention(layer, x1, x1, valid1, nh, use_pallas)
         else:  # cross-attention
-            m0 = _attention(layer, x0, x1, valid1, nh)
-            m1 = _attention(layer, x1, x0, valid0, nh)
+            m0 = _attention(layer, x0, x1, valid1, nh, use_pallas)
+            m1 = _attention(layer, x1, x0, valid0, nh, use_pallas)
         x0 = x0 + _mlp(layer["mlp"], jnp.concatenate([x0, m0], axis=-1))
         x1 = x1 + _mlp(layer["mlp"], jnp.concatenate([x1, m1], axis=-1))
     return x0, x1
@@ -135,6 +144,7 @@ def match_scores(
     compute_dtype=jnp.float32,
     num_heads: int = 4,
     use_pallas_sinkhorn: bool = False,
+    use_pallas_attention: bool = False,
 ) -> jax.Array:
     """Full forward: two feature banks -> (K0+1, K1+1) log-assignment
     matrix (dustbins included), masked for invalid slots."""
@@ -144,7 +154,7 @@ def match_scores(
         )
     x0 = encode(params, bank0, width, height).astype(compute_dtype)
     x1 = encode(params, bank1, width, height).astype(compute_dtype)
-    x0, x1 = gnn(params, x0, x1, bank0.valid, bank1.valid, num_heads)
+    x0, x1 = gnn(params, x0, x1, bank0.valid, bank1.valid, num_heads, use_pallas_attention)
     d0 = x0 @ params["final_proj"]["w"] + params["final_proj"]["b"]
     d1 = x1 @ params["final_proj"]["w"] + params["final_proj"]["b"]
     scores = jnp.einsum("md,nd->mn", d0, d1, preferred_element_type=jnp.float32) / (D**0.25)

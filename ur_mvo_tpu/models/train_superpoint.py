@@ -17,7 +17,6 @@ tensor contracts on the MXU.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Tuple
 
 import jax

@@ -81,6 +81,11 @@ class BAConfig(NamedTuple):
     # normal-equation assembly: "matmul" (one-hot MXU contraction, fast on
     # TPU) or "scatter" (exact scatter-adds; reference for tests)
     assembly: str = "matmul"
+    # Static bound on simultaneously-optimized (non-fixed) frames. The
+    # camera system, coupling tensor U and reduced solve are built over
+    # free frames only — fixed frames contribute exactly zero columns —
+    # so this, not the padded frame count, sizes the Schur system.
+    max_free_frames: int = 16
 
 
 def _invert_poses(R_wc, t_wc):
@@ -142,14 +147,26 @@ def _robust_cost(chi2, is_stereo, th_mono, th_stereo, use_huber):
     return jnp.where(use_huber, rho, chi2)
 
 
+def _free_rank(prob: BAProblem, FF: int) -> jax.Array:
+    """Per-frame compact free-slot index in [0, FF); fixed/invalid frames
+    get a clipped slot (their Jacobians are zero so any slot is safe)."""
+    frame_free = prob.frame_valid & ~prob.frame_fixed
+    rank = jnp.cumsum(frame_free.astype(jnp.int32)) - 1
+    return jnp.clip(rank, 0, FF - 1)
+
+
+def _num_free(prob: BAProblem) -> jax.Array:
+    return jnp.sum((prob.frame_valid & ~prob.frame_fixed).astype(jnp.int32))
+
+
 def build_normal_terms(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg: BAConfig, active, use_huber):
     """One linearization: all scatter-accumulated normal-equation blocks.
 
     ``active``: (O,) weights in {0,1} (validity x inlier classification).
     Returns (H_cc, b_c, H_pp, b_p, U, cost).
     """
-    F = prob.R_wc.shape[0]
     P = prob.X.shape[0]
+    FF = cfg.max_free_frames
     r, Jc, Jp, is_stereo, _ = _residuals(R_cw, t_cw, X, prob, fx, fy, cx, cy, bf)
     chi2 = _chi2(r, is_stereo)
     th = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
@@ -158,15 +175,19 @@ def build_normal_terms(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg: 
     w_huber = jnp.where(chi2 <= th, 1.0, delta / s)
     w = jnp.where(use_huber, w_huber, 1.0) * active
 
-    # Fixed/invalid frames contribute no pose Jacobian.
+    # Fixed/invalid frames contribute no pose Jacobian; the camera system
+    # is indexed by compact FREE-frame slots (fixed-frame observations
+    # land on a clipped slot with an exactly-zero Jacobian).
     frame_free = (prob.frame_valid & ~prob.frame_fixed)[prob.obs_frame]
     Jc = Jc * frame_free[:, None, None].astype(Jc.dtype)
+    free_rank = _free_rank(prob, FF)
+    obs_slot = free_rank[prob.obs_frame]
 
-    H_cc = jnp.zeros((F, 6, 6)).at[prob.obs_frame].add(einsum("oij,oik,o->ojk", Jc, Jc, w))
-    b_c = jnp.zeros((F, 6)).at[prob.obs_frame].add(-einsum("oij,oi,o->oj", Jc, r, w))
+    H_cc = jnp.zeros((FF, 6, 6)).at[obs_slot].add(einsum("oij,oik,o->ojk", Jc, Jc, w))
+    b_c = jnp.zeros((FF, 6)).at[obs_slot].add(-einsum("oij,oi,o->oj", Jc, r, w))
     H_pp = jnp.zeros((P, 3, 3)).at[prob.obs_point].add(einsum("oij,oik,o->ojk", Jp, Jp, w))
     b_p = jnp.zeros((P, 3)).at[prob.obs_point].add(-einsum("oij,oi,o->oj", Jp, r, w))
-    U = jnp.zeros((P, F, 6, 3)).at[prob.obs_point, prob.obs_frame].add(
+    U = jnp.zeros((P, FF, 6, 3)).at[prob.obs_point, obs_slot].add(
         einsum("oij,oik,o->ojk", Jc, Jp, w)
     )
     cost = jnp.sum(_robust_cost(chi2, is_stereo, cfg.chi2_mono, cfg.chi2_stereo, use_huber) * active)
@@ -184,9 +205,9 @@ def build_normal_terms_matmul(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf
     indicators are bf16 (exact for 0/1 values); accumulation is f32 on
     the MXU. Numerically identical to the scatter path (tested).
     """
-    F = prob.R_wc.shape[0]
     P = prob.X.shape[0]
     O = prob.obs_frame.shape[0]
+    FF = cfg.max_free_frames
     r, Jc, Jp, is_stereo, _ = _residuals(R_cw, t_cw, X, prob, fx, fy, cx, cy, bf)
     chi2 = _chi2(r, is_stereo)
     th = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
@@ -197,8 +218,9 @@ def build_normal_terms_matmul(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf
 
     frame_free = (prob.frame_valid & ~prob.frame_fixed)[prob.obs_frame]
     Jc = Jc * frame_free[:, None, None].astype(Jc.dtype)
+    obs_slot = _free_rank(prob, FF)[prob.obs_frame]
 
-    Ef = jax.nn.one_hot(prob.obs_frame, F, dtype=jnp.float32)
+    Ef = jax.nn.one_hot(obs_slot, FF, dtype=jnp.float32)
     Ep = jax.nn.one_hot(prob.obs_point, P, dtype=jnp.float32)
 
     JcJc = einsum("oij,oik,o->ojk", Jc, Jc, w).reshape(O, 36)
@@ -208,7 +230,7 @@ def build_normal_terms_matmul(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf
     A = einsum("oij,oik,o->ojk", Jc, Jp, w).reshape(O, 18)
 
     # small reductions: exact f32 segment matmuls
-    H_cc = einsum("of,ov->fv", Ef, JcJc).reshape(F, 6, 6)
+    H_cc = einsum("of,ov->fv", Ef, JcJc).reshape(FF, 6, 6)
     b_c = -einsum("of,ov->fv", Ef, Jcr)
     H_pp = einsum("op,ov->pv", Ep, JpJp).reshape(P, 3, 3)
     b_p = -einsum("op,ov->pv", Ep, Jpr)
@@ -217,21 +239,23 @@ def build_normal_terms_matmul(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf
     # Schur *preconditioner* only (b is exact above); the LM
     # accept/reject step guards convergence. Indicators are exact in
     # bf16.
-    C = (Ef.astype(jnp.bfloat16)[:, :, None] * A.astype(jnp.bfloat16)[:, None, :]).reshape(O, F * 18)
+    C = (Ef.astype(jnp.bfloat16)[:, :, None] * A.astype(jnp.bfloat16)[:, None, :]).reshape(O, FF * 18)
     U = jnp.einsum(
         "op,ov->pv", Ep.astype(jnp.bfloat16), C, preferred_element_type=jnp.float32
-    ).reshape(P, F, 6, 3)
+    ).reshape(P, FF, 6, 3)
     cost = jnp.sum(_robust_cost(chi2, is_stereo, cfg.chi2_mono, cfg.chi2_stereo, use_huber) * active)
     return H_cc, b_c, H_pp, b_p, U, cost
 
 
-def solve_schur(H_cc, b_c, H_pp, b_p, U, frame_free, point_free, lam):
-    """Damped Schur-complement solve -> (delta_c (F, 6), delta_p (P, 3)).
+def solve_schur(H_cc, b_c, H_pp, b_p, U, slot_active, point_free, lam):
+    """Damped Schur-complement solve over the FREE-frame camera system ->
+    (delta_c (FF, 6) per free slot, delta_p (P, 3)).
 
-    ``frame_free``/``point_free``: boolean masks of unknowns actually
-    optimized; everything else gets a pinned identity block (delta = 0).
+    ``slot_active``: (FF,) mask of free slots actually populated;
+    ``point_free``: (P,). Inactive unknowns get a pinned identity block
+    (delta = 0).
     """
-    F = H_cc.shape[0]
+    FF = H_cc.shape[0]
     P = H_pp.shape[0]
     eye3 = jnp.eye(3)
     eye6 = jnp.eye(6)
@@ -239,28 +263,28 @@ def solve_schur(H_cc, b_c, H_pp, b_p, U, frame_free, point_free, lam):
     H_ppd = H_pp + lam * eye3[None] + (~point_free)[:, None, None] * eye3[None]
     Hpp_inv = inv3x3(H_ppd) * point_free[:, None, None]
 
-    Ur = U.reshape(P, F * 6, 3)
-    V = einsum("pif,pfg->pig", Ur, Hpp_inv)  # (P, 6F, 3)
-    S_red = einsum("pif,pjf->ij", V, Ur)  # (6F, 6F)
+    Ur = U.reshape(P, FF * 6, 3)
+    V = einsum("pif,pfg->pig", Ur, Hpp_inv)  # (P, 6FF, 3)
+    S_red = einsum("pif,pjf->ij", V, Ur)  # (6FF, 6FF)
 
     H_cc_d = H_cc + lam * eye6[None]
-    S_full = jnp.zeros((F * 6, F * 6))
-    idx = jnp.arange(F)
-    S_full = S_full.reshape(F, 6, F, 6).at[idx, :, idx, :].set(H_cc_d).reshape(F * 6, F * 6)
+    S_full = jnp.zeros((FF * 6, FF * 6))
+    idx = jnp.arange(FF)
+    S_full = S_full.reshape(FF, 6, FF, 6).at[idx, :, idx, :].set(H_cc_d).reshape(FF * 6, FF * 6)
     S_full = S_full - S_red
 
-    free6 = jnp.repeat(frame_free, 6)
-    # Pin fixed rows/cols: S <- M S M + (I - M).
+    free6 = jnp.repeat(slot_active, 6)
+    # Pin inactive rows/cols: S <- M S M + (I - M).
     M = free6.astype(S_full.dtype)
     S_full = S_full * M[:, None] * M[None, :] + jnp.diag(1.0 - M)
-    b_s = b_c.reshape(F * 6) - einsum("pif,pf->i", V, b_p)
+    b_s = b_c.reshape(FF * 6) - einsum("pif,pf->i", V, b_p)
     b_s = b_s * M
 
     # S is SPD after damping + pinning: Cholesky beats generic LU on TPU.
     chol = jax.scipy.linalg.cho_factor(S_full)
-    delta_c = jax.scipy.linalg.cho_solve(chol, b_s).reshape(F, 6)
+    delta_c = jax.scipy.linalg.cho_solve(chol, b_s).reshape(FF, 6)
     # Back-substitution: delta_p = Hpp^-1 (b_p - U^T delta_c).
-    rhs_p = b_p - einsum("pif,i->pf", Ur, delta_c.reshape(F * 6))
+    rhs_p = b_p - einsum("pif,i->pf", Ur, delta_c.reshape(FF * 6))
     delta_p = einsum("pfg,pg->pf", Hpp_inv, rhs_p)
     return delta_c, delta_p
 
@@ -288,6 +312,9 @@ def bundle_adjust(
     frame_free = prob.frame_valid & ~prob.frame_fixed
     # Points with at least one valid observation are free.
     point_free = prob.point_valid
+    FF = cfg.max_free_frames
+    free_rank = _free_rank(prob, FF)
+    slot_active = jnp.arange(FF) < _num_free(prob)
 
     R_cw0, t_cw0 = _invert_poses(prob.R_wc, prob.t_wc)
 
@@ -299,7 +326,8 @@ def bundle_adjust(
             H_cc, b_c, H_pp, b_p, U, _ = builder(
                 prob, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg, active, use_huber
             )
-            delta_c, delta_p = solve_schur(H_cc, b_c, H_pp, b_p, U, frame_free, point_free, lam)
+            delta_c_free, delta_p = solve_schur(H_cc, b_c, H_pp, b_p, U, slot_active, point_free, lam)
+            delta_c = delta_c_free[free_rank] * frame_free[:, None].astype(delta_c_free.dtype)
             R_try, t_try, X_try = _apply_update(R_cw, t_cw, X, delta_c, delta_p, frame_free, point_free)
             r, _, _, is_stereo, _ = _residuals(R_try, t_try, X_try, prob, fx, fy, cx, cy, bf)
             cost_try = jnp.sum(

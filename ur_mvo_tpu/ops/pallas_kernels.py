@@ -119,8 +119,67 @@ def log_optimal_transport_pallas(
     return jnp.where(pair_mask, Z, _NEG)
 
 
+def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref):
+    """Fused masked attention for one head: logits, softmax and the value
+    contraction stay in VMEM (a (K, K) f32 logits tile is 4 MB at
+    K=1024)."""
+    q = q_ref[0]  # (K, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    mask = mask_ref[:]  # (1, K) bool as int8
+    d = q.shape[-1]
+    logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) / jnp.sqrt(
+        jnp.asarray(d, jnp.float32)
+    )
+    logits = jnp.where(mask > 0, logits, -1e9)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    out_ref[0] = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array, kv_valid: jax.Array,
+                     interpret: bool = False) -> jax.Array:
+    """Masked multi-head attention, one Pallas program per head.
+
+    ``q``: (K, H, D), ``k``/``v``: (Kkv, H, D), ``kv_valid``: (Kkv,).
+    Returns (K, H, D). Equivalent to the XLA attention in
+    ``models/superglue._attention`` (tested); keeps the logits tile
+    VMEM-resident instead of round-tripping softmax through HBM.
+    """
+    K_, H_, D_ = q.shape
+    Kkv = k.shape[0]
+    qh = jnp.swapaxes(q, 0, 1)  # (H, K, D)
+    kh = jnp.swapaxes(k, 0, 1)
+    vh = jnp.swapaxes(v, 0, 1)
+    mask = kv_valid.astype(jnp.int8)[None, :]  # (1, Kkv)
+
+    out = pl.pallas_call(
+        _attention_kernel,
+        grid=(H_,),
+        in_specs=[
+            pl.BlockSpec((1, K_, D_), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kkv, D_), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kkv, D_), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kkv), lambda h: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, K_, D_), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H_, K_, D_), q.dtype),
+        interpret=interpret,
+    )(qh, kh, vh, mask)
+    return jnp.swapaxes(out, 0, 1)
+
+
 def pallas_available() -> bool:
-    """True when running on a real TPU backend (Mosaic compile path)."""
+    """True when the Pallas fast paths should be used: a real TPU backend
+    AND the opt-in flag URMVO_PALLAS=1. The kernels are numerically
+    verified in interpreter mode; the Mosaic compile path on this
+    development harness's remote TPU is still being qualified, so the
+    default stays on the (already fast) XLA implementations."""
+    import os
+
+    if os.environ.get("URMVO_PALLAS") != "1":
+        return False
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:

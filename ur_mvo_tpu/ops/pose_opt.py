@@ -23,7 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ur_mvo_tpu.ops.lie import HIGHEST, se3_exp, so3_exp
+from ur_mvo_tpu.ops.lie import HIGHEST, se3_exp
 
 einsum = partial(jnp.einsum, precision=HIGHEST)
 

@@ -22,7 +22,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ur_mvo_tpu.ops.ba import (
     BAConfig,
@@ -162,9 +162,17 @@ def dist_bundle_adjust(
 
         R_cw0, t_cw0 = _invert_poses(prob_l.R_wc, prob_l.t_wc)
 
-        from ur_mvo_tpu.ops.ba import build_normal_terms, build_normal_terms_matmul
+        from ur_mvo_tpu.ops.ba import (
+            _free_rank,
+            _num_free,
+            build_normal_terms,
+            build_normal_terms_matmul,
+        )
 
         builder = build_normal_terms_matmul if cfg.assembly == "matmul" else build_normal_terms
+        FF = cfg.max_free_frames
+        free_rank = _free_rank(prob_local, FF)
+        slot_active = jnp.arange(FF) < _num_free(prob_local)
 
         def build(R_cw, t_cw, X, active, use_huber):
             # shared builders work unchanged on the local shard: P is the
@@ -179,26 +187,27 @@ def dist_bundle_adjust(
                 eye6 = jnp.eye(6)
                 H_ppd = H_pp + lam * eye3[None] + (~point_free)[:, None, None] * eye3[None]
                 Hpp_inv = inv3x3(H_ppd) * point_free[:, None, None]
-                Ur = U.reshape(Pl, F * 6, 3)
+                Ur = U.reshape(Pl, FF * 6, 3)
                 V = einsum("pif,pfg->pig", Ur, Hpp_inv)
                 S_part = einsum("pif,pjf->ij", V, Ur)
                 b_red_part = einsum("pif,pf->i", V, b_p)
-                # --- collectives: global reduced camera system ---
+                # --- collectives: global reduced (free-frame) camera system ---
                 H_cc = jax.lax.psum(H_cc, AXIS)
                 b_c = jax.lax.psum(b_c, AXIS)
                 S_red = jax.lax.psum(S_part, AXIS)
                 b_red = jax.lax.psum(b_red_part, AXIS)
 
                 H_cc_d = H_cc + lam * eye6[None]
-                S_full = jnp.zeros((F, 6, F, 6))
-                idx = jnp.arange(F)
-                S_full = S_full.at[idx, :, idx, :].set(H_cc_d).reshape(F * 6, F * 6) - S_red
-                M = jnp.repeat(frame_free, 6).astype(S_full.dtype)
+                S_full = jnp.zeros((FF, 6, FF, 6))
+                idx = jnp.arange(FF)
+                S_full = S_full.at[idx, :, idx, :].set(H_cc_d).reshape(FF * 6, FF * 6) - S_red
+                M = jnp.repeat(slot_active, 6).astype(S_full.dtype)
                 S_full = S_full * M[:, None] * M[None, :] + jnp.diag(1.0 - M)
-                b_s = (b_c.reshape(F * 6) - b_red) * M
+                b_s = (b_c.reshape(FF * 6) - b_red) * M
                 chol = jax.scipy.linalg.cho_factor(S_full)
-                delta_c = jax.scipy.linalg.cho_solve(chol, b_s).reshape(F, 6)
-                rhs_p = b_p - einsum("pif,i->pf", Ur, delta_c.reshape(F * 6))
+                delta_c_free = jax.scipy.linalg.cho_solve(chol, b_s).reshape(FF, 6)
+                delta_c = delta_c_free[free_rank] * frame_free[:, None].astype(delta_c_free.dtype)
+                rhs_p = b_p - einsum("pif,i->pf", Ur, delta_c_free.reshape(FF * 6))
                 delta_p = einsum("pfg,pg->pf", Hpp_inv, rhs_p)
 
                 R_try, t_try, X_try = _apply_update(R_cw, t_cw, X, delta_c, delta_p, frame_free, point_free)

@@ -11,7 +11,6 @@ serializes through one GPU mutex (``tracking.h:134-135``).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ur_mvo_tpu.models import superglue

@@ -115,6 +115,7 @@ class NeuralExtractor:
                     compute_dtype=compute_dtype,
                     num_heads=sg_cfg.num_heads,
                     use_pallas_sinkhorn=use_pallas,
+                    use_pallas_attention=use_pallas,
                 )
                 m = decode_assignment(Z, bank0.valid, bank1.valid, sg_cfg.matching_threshold)
             if outlier_rejection:

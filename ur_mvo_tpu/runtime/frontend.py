@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ur_mvo_tpu.camera import Camera
-from ur_mvo_tpu.config import Configs, SensorSetup
+from ur_mvo_tpu.config import Configs
 from ur_mvo_tpu.ops import lie
 from ur_mvo_tpu.ops.epipolar import two_view_init
 from ur_mvo_tpu.ops.matching import Matches

@@ -18,7 +18,7 @@ SURVEY §5 'race detection'; here there is exactly one owner).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional
+from typing import Dict
 
 import numpy as np
 
