@@ -169,15 +169,14 @@ def main():
     t_extract = sustained_ms(lambda im: extract(im), (img,))
 
     # --- stage 2: match (GNN + sinkhorn + decode + F-RANSAC) ----------
-    from ur_mvo_tpu.ops.pallas_kernels import pallas_available
-
-    use_pallas = pallas_available()
+    from ur_mvo_tpu.ops.pallas_kernels import attention_pallas_enabled, sinkhorn_pallas_enabled
 
     @jax.jit
     def match(k, b0, b1):
         Z = superglue.match_scores(
             sg, b0, b1, W, H, sinkhorn_iterations=20,
-            use_pallas_sinkhorn=use_pallas, use_pallas_attention=use_pallas,
+            use_pallas_sinkhorn=sinkhorn_pallas_enabled(),
+            use_pallas_attention=attention_pallas_enabled(),
         )
         m = decode_assignment(Z, b0.valid, b1.valid, 0.5)
         p0, p1, valid = gather_match_points(m, b0.kpts, b1.kpts)
@@ -223,7 +222,9 @@ def main():
         R_wc=jnp.tile(jnp.eye(3)[None], (F, 1, 1)),
         t_wc=pad(t_wc, F, (3,)),
         frame_valid=jnp.arange(F) < n_frames,
-        frame_fixed=jnp.arange(F) < 2,
+        # keep free frames within BAConfig.max_free_frames (16), matching
+        # the production window structure (most window frames are fixed)
+        frame_fixed=jnp.arange(F) < max(2, n_frames - 14),
         X=pad(Xw, P, (3,)),
         point_valid=jnp.arange(P) < n_pts,
         obs_frame=pad(obs_f, O, (), np.int32),

@@ -1,0 +1,55 @@
+"""CLI smoke tests: run_vo.py end-to-end as a subprocess (the user's
+actual entry point), train_superpoint.py one step."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_run_vo_cli(tmp_path):
+    data = tmp_path / "seq" / "cam0" / "data"
+    data.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    base = (rng.random((120, 160)) * 255).astype(np.uint8)
+    ts0 = 1403636579763555584
+    for i in range(6):
+        np.save(str(data / f"{ts0 + i * 33000000}.npy"), np.roll(base, 3 * i, axis=1))
+    out = tmp_path / "results"
+    env = dict(os.environ, URMVO_COMPILE_CACHE=str(tmp_path / "cache"))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_vo.py"),
+         "--images", str(tmp_path / "seq"), "--platform", "cpu",
+         "--results", str(out)],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert (out / "poses.txt").exists()
+    assert (out / "keyframes.txt").exists()
+    assert "processed 6 frames" in proc.stderr
+
+
+@pytest.mark.slow
+def test_train_cli(tmp_path):
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        np.save(str(img_dir / f"{i}.npy"), (rng.random((128, 128)) * 255).astype(np.uint8))
+    out = str(tmp_path / "ft.npz")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "train_superpoint.py"),
+         "--images", str(img_dir), "--out", out, "--epochs", "1", "--batch", "2",
+         "--crop", "64", "64", "--steps-per-epoch", "2", "--platform", "cpu"],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert os.path.exists(out)
+    d = np.load(out)
+    assert "convDb.weight" in d

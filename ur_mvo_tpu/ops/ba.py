@@ -150,13 +150,19 @@ def _robust_cost(chi2, is_stereo, th_mono, th_stereo, use_huber):
 def _free_rank(prob: BAProblem, FF: int) -> jax.Array:
     """Per-frame compact free-slot index in [0, FF); fixed/invalid frames
     get a clipped slot (their Jacobians are zero so any slot is safe)."""
-    frame_free = prob.frame_valid & ~prob.frame_fixed
+    frame_free = _effective_free(prob, FF)
     rank = jnp.cumsum(frame_free.astype(jnp.int32)) - 1
     return jnp.clip(rank, 0, FF - 1)
 
 
-def _num_free(prob: BAProblem) -> jax.Array:
-    return jnp.sum((prob.frame_valid & ~prob.frame_fixed).astype(jnp.int32))
+def _effective_free(prob: BAProblem, FF: int) -> jax.Array:
+    """Free-frame mask with overflow protection: if more than FF frames
+    are free, the excess (latest in index order) are treated as fixed
+    rather than silently aliasing camera-system slots. Callers should
+    size ``max_free_frames`` to avoid hitting this."""
+    frame_free = prob.frame_valid & ~prob.frame_fixed
+    rank = jnp.cumsum(frame_free.astype(jnp.int32)) - 1
+    return frame_free & (rank < FF)
 
 
 def build_normal_terms(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg: BAConfig, active, use_huber):
@@ -178,7 +184,7 @@ def build_normal_terms(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg: 
     # Fixed/invalid frames contribute no pose Jacobian; the camera system
     # is indexed by compact FREE-frame slots (fixed-frame observations
     # land on a clipped slot with an exactly-zero Jacobian).
-    frame_free = (prob.frame_valid & ~prob.frame_fixed)[prob.obs_frame]
+    frame_free = _effective_free(prob, FF)[prob.obs_frame]
     Jc = Jc * frame_free[:, None, None].astype(Jc.dtype)
     free_rank = _free_rank(prob, FF)
     obs_slot = free_rank[prob.obs_frame]
@@ -216,7 +222,7 @@ def build_normal_terms_matmul(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf
     w_huber = jnp.where(chi2 <= th, 1.0, delta / s)
     w = jnp.where(use_huber, w_huber, 1.0) * active
 
-    frame_free = (prob.frame_valid & ~prob.frame_fixed)[prob.obs_frame]
+    frame_free = _effective_free(prob, FF)[prob.obs_frame]
     Jc = Jc * frame_free[:, None, None].astype(Jc.dtype)
     obs_slot = _free_rank(prob, FF)[prob.obs_frame]
 
@@ -309,12 +315,12 @@ def bundle_adjust(
     cfg: BAConfig = BAConfig(),
 ) -> BAResult:
     """Two-phase robust LM bundle adjustment (one compiled program)."""
-    frame_free = prob.frame_valid & ~prob.frame_fixed
+    FF = cfg.max_free_frames
+    frame_free = _effective_free(prob, FF)
     # Points with at least one valid observation are free.
     point_free = prob.point_valid
-    FF = cfg.max_free_frames
     free_rank = _free_rank(prob, FF)
-    slot_active = jnp.arange(FF) < _num_free(prob)
+    slot_active = jnp.arange(FF) < jnp.sum(frame_free.astype(jnp.int32))
 
     R_cw0, t_cw0 = _invert_poses(prob.R_wc, prob.t_wc)
 

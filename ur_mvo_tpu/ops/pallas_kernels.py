@@ -126,12 +126,13 @@ def _attention_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref):
     q = q_ref[0]  # (K, D)
     k = k_ref[0]
     v = v_ref[0]
-    mask = mask_ref[:]  # (1, K) bool as int8
+    mask = mask_ref[:]  # (1, K) f32 {0, 1}
     d = q.shape[-1]
-    logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) / jnp.sqrt(
-        jnp.asarray(d, jnp.float32)
-    )
-    logits = jnp.where(mask > 0, logits, -1e9)
+    # contraction over D without materializing k.T (Mosaic-friendly)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (1.0 / (d**0.5))
+    logits = logits + (mask - 1.0) * 1e9  # 0 where valid, -1e9 where not
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
@@ -152,7 +153,7 @@ def attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array, kv_valid: jax.Arr
     qh = jnp.swapaxes(q, 0, 1)  # (H, K, D)
     kh = jnp.swapaxes(k, 0, 1)
     vh = jnp.swapaxes(v, 0, 1)
-    mask = kv_valid.astype(jnp.int8)[None, :]  # (1, Kkv)
+    mask = kv_valid.astype(jnp.float32)[None, :]  # (1, Kkv) in {0, 1}
 
     out = pl.pallas_call(
         _attention_kernel,
@@ -170,17 +171,34 @@ def attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array, kv_valid: jax.Arr
     return jnp.swapaxes(out, 0, 1)
 
 
-def pallas_available() -> bool:
-    """True when the Pallas fast paths should be used: a real TPU backend
-    AND the opt-in flag URMVO_PALLAS=1. The kernels are numerically
-    verified in interpreter mode; the Mosaic compile path on this
-    development harness's remote TPU is still being qualified, so the
-    default stays on the (already fast) XLA implementations."""
-    import os
-
-    if os.environ.get("URMVO_PALLAS") != "1":
-        return False
+def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+def sinkhorn_pallas_enabled() -> bool:
+    """The Pallas Sinkhorn is Mosaic-verified on TPU v5e: on by default
+    on TPU (URMVO_PALLAS=0 force-disables)."""
+    import os
+
+    if os.environ.get("URMVO_PALLAS") == "0":
+        return False
+    return _on_tpu()
+
+
+def attention_pallas_enabled() -> bool:
+    """Mosaic-verified on TPU v5e (after switching the mask to f32 and
+    the logits to an explicit dot_general contraction): on by default on
+    TPU; URMVO_PALLAS_ATTN=0 force-disables."""
+    import os
+
+    if os.environ.get("URMVO_PALLAS_ATTN") == "0":
+        return False
+    return _on_tpu()
+
+
+def pallas_available() -> bool:
+    """Back-compat alias for the Sinkhorn fast path."""
+    return sinkhorn_pallas_enabled()

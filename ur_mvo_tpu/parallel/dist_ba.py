@@ -155,7 +155,6 @@ def dist_bundle_adjust(
         # Points are block-partitioned: shard s owns globals
         # [s*Pl, (s+1)*Pl), so the local index is an offset subtract.
         obs_point_local = prob_l.obs_point - shard * Pl
-        frame_free = prob_l.frame_valid & ~prob_l.frame_fixed
         point_free = prob_l.point_valid
 
         prob_local = prob_l._replace(obs_point=obs_point_local)
@@ -163,8 +162,8 @@ def dist_bundle_adjust(
         R_cw0, t_cw0 = _invert_poses(prob_l.R_wc, prob_l.t_wc)
 
         from ur_mvo_tpu.ops.ba import (
+            _effective_free,
             _free_rank,
-            _num_free,
             build_normal_terms,
             build_normal_terms_matmul,
         )
@@ -172,7 +171,8 @@ def dist_bundle_adjust(
         builder = build_normal_terms_matmul if cfg.assembly == "matmul" else build_normal_terms
         FF = cfg.max_free_frames
         free_rank = _free_rank(prob_local, FF)
-        slot_active = jnp.arange(FF) < _num_free(prob_local)
+        frame_free = _effective_free(prob_local, FF)
+        slot_active = jnp.arange(FF) < jnp.sum(frame_free.astype(jnp.int32))
 
         def build(R_cw, t_cw, X, active, use_huber):
             # shared builders work unchanged on the local shard: P is the

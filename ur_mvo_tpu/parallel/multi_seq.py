@@ -77,19 +77,19 @@ class MultiSequenceVO:
 
         cap = sp_cfg.capacity
 
-        def _extract_one(image):
+        def _extract_one(sp_params, image):
             img = image.astype(jnp.float32)
             img = jnp.where(jnp.max(img) > 1.5, img / 255.0, img)
-            scores, desc = superpoint.forward(self.sp_params, img[None, :, :, None], nms_radius=sp_cfg.nms_radius)
+            scores, desc = superpoint.forward(sp_params, img[None, :, :, None], nms_radius=sp_cfg.nms_radius)
             return select_keypoints(
                 scores[0], desc[0], capacity=cap,
                 threshold=sp_cfg.keypoint_threshold, border=sp_cfg.remove_borders,
                 max_keypoints=sp_cfg.max_keypoints,
             )
 
-        def _match_one(key, b0, b1):
+        def _match_one(sg_params, key, b0, b1):
             Z = superglue.match_scores(
-                self.sg_params, b0, b1, sg_cfg.image_width, sg_cfg.image_height,
+                sg_params, b0, b1, sg_cfg.image_width, sg_cfg.image_height,
                 sinkhorn_iterations=sg_cfg.sinkhorn_iterations,
             )
             m = decode_assignment(Z, b0.valid, b1.valid, sg_cfg.matching_threshold)
@@ -98,8 +98,12 @@ class MultiSequenceVO:
             keep = jnp.where(m.num_valid() >= 8, res.inliers, valid)
             return filter_matches(m, keep)
 
-        self._extract_batched = jax.jit(jax.vmap(_extract_one))
-        self._match_batched = jax.jit(jax.vmap(_match_one))
+        _ext_v = jax.vmap(_extract_one, in_axes=(None, 0))
+        _match_v = jax.vmap(_match_one, in_axes=(None, 0, 0, 0))
+        ext_jit = jax.jit(_ext_v)
+        match_jit = jax.jit(_match_v)
+        self._extract_batched = lambda imgs: ext_jit(self.sp_params, imgs)
+        self._match_batched = lambda keys, b0, b1: match_jit(self.sg_params, keys, b0, b1)
 
         self.trackers: List[Tracker] = []
         for i in range(self.S):

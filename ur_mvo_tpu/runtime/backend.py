@@ -53,6 +53,10 @@ class Backend:
             chi2_stereo=opt_cfg.stereo_point,
             iters_phase1=backend_cfg.ba_iterations_phase1,
             iters_phase2=backend_cfg.ba_iterations_phase2,
+            # free frames are bounded by both the window size and the
+            # fix-older-than horizon (only keyframes within the last
+            # fix_older_than frame ids stay free), +1 for the new frame
+            max_free_frames=((min(backend_cfg.window_opt_frames, backend_cfg.fix_older_than) + 1 + 7) // 8) * 8,
         )
         cam = camera
 
@@ -395,6 +399,9 @@ class Backend:
             chi2_stereo=self.opt_cfg.stereo_point,
             iters_phase1=self.cfg.ba_iterations_phase1,
             iters_phase2=self.cfg.ba_iterations_phase2,
+            # full BA optimizes (almost) every keyframe: the free-frame
+            # bound must cover them all
+            max_free_frames=F,
         )
         if mesh is not None:
             from ur_mvo_tpu.parallel.dist_ba import dist_bundle_adjust, shard_problem

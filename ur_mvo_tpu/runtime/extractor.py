@@ -57,17 +57,21 @@ class NeuralExtractor:
         )
         capacity = sp_cfg.capacity
         compute_dtype = jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jnp.float32
-        from ur_mvo_tpu.ops.pallas_kernels import pallas_available
+        from ur_mvo_tpu.ops.pallas_kernels import attention_pallas_enabled, sinkhorn_pallas_enabled
 
-        use_pallas = pallas_available()
+        use_pallas_sink = sinkhorn_pallas_enabled()
+        use_pallas_attn = attention_pallas_enabled()
 
+        # NOTE: params are traced arguments, not closure constants —
+        # embedding multi-MB weights as XLA constants slows compilation
+        # and keys the persistent cache on the weight values.
         @jax.jit
-        def _extract(image_u8: jax.Array, mask: jax.Array) -> FeatureBank:
+        def _extract(sp_params, image_u8: jax.Array, mask: jax.Array) -> FeatureBank:
             img = image_u8.astype(jnp.float32) / 255.0
             if undistort_map is not None:
                 img = remap_bilinear(img, undistort_map)
             scores, desc = superpoint.forward(
-                self.sp_params, img[None, :, :, None], nms_radius=sp_cfg.nms_radius,
+                sp_params, img[None, :, :, None], nms_radius=sp_cfg.nms_radius,
                 compute_dtype=compute_dtype,
             )
             return select_keypoints(
@@ -81,12 +85,12 @@ class NeuralExtractor:
             )
 
         @jax.jit
-        def _extract_nomask(image_u8: jax.Array) -> FeatureBank:
+        def _extract_nomask(sp_params, image_u8: jax.Array) -> FeatureBank:
             img = image_u8.astype(jnp.float32) / 255.0
             if undistort_map is not None:
                 img = remap_bilinear(img, undistort_map)
             scores, desc = superpoint.forward(
-                self.sp_params, img[None, :, :, None], nms_radius=sp_cfg.nms_radius,
+                sp_params, img[None, :, :, None], nms_radius=sp_cfg.nms_radius,
                 compute_dtype=compute_dtype,
             )
             return select_keypoints(
@@ -99,14 +103,14 @@ class NeuralExtractor:
             )
 
         @partial(jax.jit, static_argnames=("outlier_rejection",))
-        def _match(key, bank0: FeatureBank, bank1: FeatureBank, outlier_rejection: bool = True) -> Matches:
+        def _match(sg_params, key, bank0: FeatureBank, bank1: FeatureBank, outlier_rejection: bool = True) -> Matches:
             if sg_cfg.matcher == "nn":
                 from ur_mvo_tpu.ops.nn_matcher import match_nn
 
                 m = match_nn(bank0, bank1, sg_cfg.nn_min_similarity, sg_cfg.nn_ratio)
             else:
                 Z = superglue.match_scores(
-                    self.sg_params,
+                    sg_params,
                     bank0,
                     bank1,
                     sg_cfg.image_width,
@@ -114,8 +118,8 @@ class NeuralExtractor:
                     sinkhorn_iterations=sg_cfg.sinkhorn_iterations,
                     compute_dtype=compute_dtype,
                     num_heads=sg_cfg.num_heads,
-                    use_pallas_sinkhorn=use_pallas,
-                    use_pallas_attention=use_pallas,
+                    use_pallas_sinkhorn=use_pallas_sink,
+                    use_pallas_attention=use_pallas_attn,
                 )
                 m = decode_assignment(Z, bank0.valid, bank1.valid, sg_cfg.matching_threshold)
             if outlier_rejection:
@@ -135,12 +139,12 @@ class NeuralExtractor:
 
     def extract(self, image: np.ndarray, mask: Optional[np.ndarray] = None) -> FeatureBank:
         if mask is not None:
-            return self._extract_fn(jnp.asarray(image), jnp.asarray(mask))
-        return self._extract_nomask_fn(jnp.asarray(image))
+            return self._extract_fn(self.sp_params, jnp.asarray(image), jnp.asarray(mask))
+        return self._extract_nomask_fn(self.sp_params, jnp.asarray(image))
 
     def match(self, bank0: FeatureBank, bank1: FeatureBank, outlier_rejection: bool = True) -> Matches:
         self._key, sub = jax.random.split(self._key)
-        return self._match_fn(sub, bank0, bank1, outlier_rejection)
+        return self._match_fn(self.sg_params, sub, bank0, bank1, outlier_rejection)
 
 
 class OracleExtractor:

@@ -185,7 +185,7 @@ class Tracker:
         if num_match < self.cfg.keyframe.min_num_match:
             promoted = self._promote_last_frame(timestamp)
             if promoted is None:
-                self._after_track(bank, None, timestamp, frame_id, track_well=False)
+                self._after_track(bank, None, timestamp, frame_id, track_well=False, uvr=uvr)
                 return None
             ref_track = self.backend.store.kf_track[self._ref_slot]
             ref_frame_id = self._ref_frame_id
@@ -203,7 +203,7 @@ class Tracker:
 
         track_well = num_inliers >= self.cfg.keyframe.min_num_match
         if not track_well:
-            self._after_track(bank, None, timestamp, frame_id, track_well=False)
+            self._after_track(bank, None, timestamp, frame_id, track_well=False, uvr=uvr)
             return None
 
         if self.cfg.local_map_tracking.enabled:
