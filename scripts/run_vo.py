@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--results", default="results")
     ap.add_argument("--stride", type=int, default=5, help="pose subsampling for poses.txt")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the run into DIR (view with TensorBoard/XProf)")
+    ap.add_argument("--timing-csv", default=None, help="write per-stage host timing CSV")
     args = ap.parse_args()
 
     import jax
@@ -54,6 +57,9 @@ def main():
     os.makedirs(args.results, exist_ok=True)
 
     all_ts, all_pos, all_quat = [], [], []
+    profile_ctx = jax.profiler.trace(args.profile) if args.profile else None
+    if profile_ctx:
+        profile_ctx.__enter__()
     t0 = time.perf_counter()
     for data in ds:
         frame = Frame(image=Image(data.image, data.time))
@@ -70,6 +76,10 @@ def main():
                 all_pos.append(p.translation)
                 all_quat.append(p.quaternion)
     elapsed = time.perf_counter() - t0
+    if profile_ctx:
+        profile_ctx.__exit__(None, None, None)
+    if args.timing_csv:
+        vo.tracker.timer.write_csv(args.timing_csv)
     fps = len(ds) / max(elapsed, 1e-9)
 
     # every-Nth subsampling like the reference eval

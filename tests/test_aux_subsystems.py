@@ -154,3 +154,29 @@ def test_dataset_flat_layout(tmp_path):
     ds = Dataset(str(tmp_path))
     assert len(ds) == 3
     assert ds.get(1).image[0, 0] == 1
+
+
+def test_neural_extractor_mask_filtering():
+    """Engine-level semantic mask: masked-out regions yield no keypoints
+    (reference filter_points semantics, super_point.cpp:178-194)."""
+    import jax
+
+    from ur_mvo_tpu.camera import make_pinhole
+    from ur_mvo_tpu.config import Configs
+    from ur_mvo_tpu.runtime.extractor import NeuralExtractor
+
+    cfg = Configs()
+    cfg.superpoint.capacity = 256
+    cfg.superpoint.max_keypoints = 200
+    cfg.superpoint.keypoint_threshold = 1e-5
+    cfg.superglue.num_layers = 1
+    cam = make_pinhole(128, 96, 100.0, 100.0, 64.0, 48.0)
+    ext = NeuralExtractor(cfg, cam)
+    rng = np.random.default_rng(0)
+    img = (rng.random((96, 128)) * 255).astype(np.uint8)
+    mask = np.ones((96, 128), np.uint8)
+    mask[:, :64] = 0
+    bank = ext.extract(img, mask)
+    k = np.asarray(bank.kpts)[np.asarray(bank.valid)]
+    assert len(k) > 10
+    assert k[:, 0].min() >= 64

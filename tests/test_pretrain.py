@@ -54,3 +54,50 @@ def test_pretrain_learns_corners():
         corner_scores.extend(cell_max[labels[b] != 64].tolist())
         bg_scores.extend(cell_max[labels[b] == 64].tolist())
     assert np.mean(corner_scores) > 1.3 * np.mean(bg_scores)
+
+
+def test_shipped_checkpoint_loads_and_detects():
+    """The in-repo pretrained checkpoint (weights/superpoint_scratch.npz,
+    3000 synthetic-shape steps on TPU) loads into the engine extractor
+    and produces well-spread keypoints with healthy scores on rendered
+    imagery. (Descriptor discriminability at this training budget is not
+    yet sufficient for full VO — tracked as a roadmap item; the detector
+    gate is what this asserts.)"""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "weights", "superpoint_scratch.npz")
+    if not os.path.exists(path):
+        pytest.skip("checkpoint not present")
+    from tests.test_neural_e2e import render_plane_sequence
+    from ur_mvo_tpu.camera import make_pinhole
+    from ur_mvo_tpu.config import Configs
+    from ur_mvo_tpu.runtime.extractor import NeuralExtractor
+
+    H, W = 240, 320
+    images, _ = render_plane_sequence(2, H, W, 260.0)
+    cfg = Configs()
+    cfg.superpoint.capacity = 512
+    cfg.superpoint.max_keypoints = 400
+    cfg.superpoint.keypoint_threshold = 1e-4
+    cfg.superpoint.weights_path = path
+    cfg.superglue.matcher = "nn"
+    cfg.superglue.image_width = W
+    cfg.superglue.image_height = H
+    cfg.runtime.compute_dtype = "float32"
+    cam = make_pinhole(W, H, 260.0, 260.0, W / 2, H / 2)
+    ext = NeuralExtractor(cfg, cam)
+    bank = ext.extract(images[0])
+    n = int(bank.num_valid())
+    assert n >= 300
+    scores = np.asarray(bank.scores)[np.asarray(bank.valid)]
+    assert scores.max() > 0.05  # trained detector produces confident peaks
+    # spread check: keypoints cover at least half the image quadrants
+    k = np.asarray(bank.kpts)[np.asarray(bank.valid)]
+    qx = (k[:, 0] > W / 2).astype(int) * 2 + (k[:, 1] > H / 2).astype(int)
+    assert len(np.unique(qx)) == 4
+    # adjacent-frame mutual-NN matching finds a usable correspondence set
+    b1 = ext.extract(images[1])
+    from ur_mvo_tpu.ops.nn_matcher import match_nn
+
+    m = match_nn(bank, b1, min_similarity=0.2, ratio=0.99)
+    assert int(m.num_valid()) >= 60

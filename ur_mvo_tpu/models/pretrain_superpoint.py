@@ -125,7 +125,7 @@ def detector_loss(params: Dict[str, Any], images: jax.Array, labels: jax.Array) 
     return jnp.sum(nll * w) / jnp.sum(w)
 
 
-def pretrain_loss(params, det_batch, desc_batch, lambda_desc: float = 0.0001):
+def pretrain_loss(params, det_batch, desc_batch, lambda_desc: float = 0.001):
     """Joint detector + descriptor loss (descriptor term uses the
     homography Siamese pairs of ``train_superpoint``)."""
     det = detector_loss(params, det_batch["image"], det_batch["labels"])
