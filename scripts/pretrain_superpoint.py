@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--size", type=int, nargs=2, default=(128, 128), metavar=("H", "W"))
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--lambda-desc", type=float, default=0.001)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -48,6 +49,7 @@ def main():
         lr=args.lr,
         seed=args.seed,
         log_every=max(1, args.steps // 50),
+        lambda_desc=args.lambda_desc,
     )
     superpoint.save_npz(params, args.out)
     print(f"saved {args.out}")

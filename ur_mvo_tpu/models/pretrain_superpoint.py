@@ -135,11 +135,11 @@ def pretrain_loss(params, det_batch, desc_batch, lambda_desc: float = 0.001):
     return det + lambda_desc * desc, (det, desc)
 
 
-def make_pretrain_step(tx: optax.GradientTransformation):
+def make_pretrain_step(tx: optax.GradientTransformation, lambda_desc: float = 0.001):
     @jax.jit
     def step(params, opt_state, det_batch, desc_batch):
         (loss, (det, desc)), grads = jax.value_and_grad(pretrain_loss, has_aux=True)(
-            params, det_batch, desc_batch
+            params, det_batch, desc_batch, lambda_desc
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -157,14 +157,17 @@ def pretrain(
     lr: float = 1e-3,
     seed: int = 0,
     log_every: int = 100,
+    lambda_desc: float = 0.001,
 ):
     """Run pretraining from random init; returns trained params."""
+    import functools
+
     from ur_mvo_tpu.models.train_superpoint import make_batch as make_desc_batch
 
     params = superpoint.init_params(key)
     tx = optax.adam(lr)
     opt_state = tx.init(params)
-    step = make_pretrain_step(tx)
+    step = make_pretrain_step(tx, lambda_desc)
     rng = np.random.default_rng(seed)
     jkey = jax.random.PRNGKey(seed + 1)
     for i in range(steps):
