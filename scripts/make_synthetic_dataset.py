@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Generate an on-disk synthetic VO dataset (EuRoC layout + TUM GT).
+
+Renders views of a textured plane under a smooth camera trajectory and
+writes PNG frames with nanosecond timestamps plus a TUM ground-truth
+file — a self-contained stand-in for an Aqualoc sequence so the full
+CLI workflow (``run_vo.py --images ... --gt ...``) can be exercised and
+demonstrated without external data.
+
+  python scripts/make_synthetic_dataset.py --out seq_dir [--frames 60]
+      [--size 240 320] [--gt gt.txt] [--seed 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def render_plane_sequence(n_frames, H, W, fx, seed=0):
+    """Textured-plane renderer (shared with tests/test_neural_e2e.py)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    import ur_mvo_tpu.ops.lie as lie
+
+    rng = np.random.default_rng(seed)
+    tex_coarse = rng.random((200, 260))
+    texture = (np.kron(tex_coarse, np.ones((4, 4))) * 255).astype(np.float32)
+    TH, TW = texture.shape
+    Z0 = 4.0
+    scale_px = 90.0
+    cx, cy = W / 2.0, H / 2.0
+    images = np.zeros((n_frames, H, W), np.uint8)
+    poses = np.zeros((n_frames, 4, 4))
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    for i in range(n_frames):
+        yaw = 0.03 * np.sin(0.3 * i)
+        R = np.asarray(lie.so3_exp(jnp.array([0.0, yaw, 0.015 * np.sin(0.2 * i)])))
+        t = np.array([0.08 * i, 0.04 * np.sin(0.3 * i), 0.02 * np.sin(0.17 * i)])
+        poses[i, :3, :3] = R
+        poses[i, :3, 3] = t
+        poses[i, 3, 3] = 1.0
+        rays = np.stack([(xx - cx) / fx, (yy - cy) / fx, np.ones_like(xx)], -1)
+        rays_w = rays @ R.T
+        lam = (Z0 - t[2]) / rays_w[..., 2]
+        pw = t + rays_w * lam[..., None]
+        u = pw[..., 0] * scale_px + TW / 2
+        v = pw[..., 1] * scale_px + TH / 2
+        u0 = np.clip(np.floor(u).astype(int), 0, TW - 2)
+        v0 = np.clip(np.floor(v).astype(int), 0, TH - 2)
+        du = np.clip(u - u0, 0, 1)
+        dv = np.clip(v - v0, 0, 1)
+        img = (
+            texture[v0, u0] * (1 - du) * (1 - dv)
+            + texture[v0, u0 + 1] * du * (1 - dv)
+            + texture[v0 + 1, u0] * (1 - du) * dv
+            + texture[v0 + 1, u0 + 1] * du * dv
+        )
+        images[i] = np.clip(img, 0, 255).astype(np.uint8)
+    return images, poses
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--size", type=int, nargs=2, default=(240, 320), metavar=("H", "W"))
+    ap.add_argument("--fx", type=float, default=260.0)
+    ap.add_argument("--gt", default=None, help="TUM ground-truth output path")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fps", type=float, default=30.0)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    import jax.numpy as jnp
+    from PIL import Image as PILImage
+
+    from ur_mvo_tpu.ops.lie import rotmat_to_quat
+    from ur_mvo_tpu.utils.tum_io import write_tum
+
+    H, W = args.size
+    images, T_wc = render_plane_sequence(args.frames, H, W, args.fx, args.seed)
+    data_dir = os.path.join(args.out, "cam0", "data")
+    os.makedirs(data_dir, exist_ok=True)
+    ts0 = 1400000000000000000
+    dt = int(1e9 / args.fps)
+    ts = []
+    for i in range(args.frames):
+        t = ts0 + i * dt
+        PILImage.fromarray(images[i]).save(os.path.join(data_dir, f"{t}.png"))
+        ts.append(t * 1e-9)
+    gt_path = args.gt or os.path.join(args.out, "gt.txt")
+    q = np.asarray(rotmat_to_quat(jnp.asarray(T_wc[:, :3, :3])))
+    write_tum(gt_path, ts, T_wc[:, :3, 3], q)
+    print(f"wrote {args.frames} frames to {data_dir} and GT to {gt_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -201,6 +201,17 @@ class Configs:
             for k in ("mono_point", "stereo_point", "rate"):
                 if k in sub:
                     setattr(target, k, float(sub[k]))
+        # extended (non-reference) sections: any dataclass field by name
+        for section, target in (
+            ("superglue", cfg.superglue),
+            ("initializer", cfg.initializer),
+            ("backend", cfg.backend),
+            ("runtime", cfg.runtime),
+            ("local_map_tracking", cfg.local_map_tracking),
+        ):
+            for k, v in (raw.get(section) or {}).items():
+                if hasattr(target, k):
+                    setattr(target, k, v)
         return cfg
 
     def apply_overrides(self, overrides: dict) -> None:
