@@ -53,3 +53,25 @@ def test_train_cli(tmp_path):
     assert os.path.exists(out)
     d = np.load(out)
     assert "convDb.weight" in d
+
+
+@pytest.mark.slow
+def test_make_dataset_and_eval_roundtrip(tmp_path):
+    """Full workflow: generate dataset -> run VO -> ATE JSON out."""
+    seq = tmp_path / "seq"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_synthetic_dataset.py"),
+         "--out", str(seq), "--frames", "6"],
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert (seq / "gt.txt").exists()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_vo.py"),
+         "--images", str(seq), "--gt", str(seq / "gt.txt"), "--platform", "cpu",
+         "--results", str(tmp_path / "out"), "--stride", "1"],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+        env=dict(os.environ, URMVO_COMPILE_CACHE=str(tmp_path / "cache")),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "processed 6 frames" in proc.stderr
