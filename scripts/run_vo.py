@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the run into DIR (view with TensorBoard/XProf)")
     ap.add_argument("--timing-csv", default=None, help="write per-stage host timing CSV")
+    ap.add_argument("--plot", default=None, metavar="PNG",
+                    help="save a top-down trajectory + map plot (matplotlib)")
     args = ap.parse_args()
 
     import jax
@@ -89,6 +91,31 @@ def main():
     vo.save_trajectory(os.path.join(args.results, "keyframes.txt"))
     print(f"processed {len(ds)} frames in {elapsed:.1f}s ({fps:.1f} fps); "
           f"{len(all_ts)} poses -> {pose_path}", file=sys.stderr)
+
+    if args.plot:
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            st = vo.tracker.backend.store
+            _, _, kt = vo.keyframe_trajectory()
+            good = st.mp_good & ~st.mp_bad
+            mp = st.mp_pos[good]
+            fig, axp = plt.subplots(figsize=(7, 7))
+            if len(mp):
+                axp.scatter(mp[:, 0], mp[:, 2], s=1, c="#999999", label=f"map ({len(mp)} pts)")
+            if len(kt):
+                axp.plot(kt[:, 0], kt[:, 2], "b.-", lw=1.5, label=f"keyframes ({len(kt)})")
+            axp.set_xlabel("x [m]")
+            axp.set_ylabel("z [m]")
+            axp.set_aspect("equal", adjustable="datalim")
+            axp.legend()
+            fig.savefig(args.plot, dpi=120, bbox_inches="tight")
+            print(f"plot -> {args.plot}", file=sys.stderr)
+        except Exception as e:  # plotting must never fail the run
+            print(f"plot failed: {e}", file=sys.stderr)
 
     if args.gt:
         if args.gt.endswith("images.txt"):
