@@ -196,3 +196,40 @@ def test_local_map_tracking_mode():
     gt = T_wc[np.clip(idx, 0, n_frames - 1), :3, 3]
     ate = ate_rmse(kpos, gt, align=True, correct_scale=True)
     assert ate < 0.08, ate
+
+
+def test_e2e_rgbd_through_engine():
+    """The ENGINE's RGB-D path: float depth images built by splatting
+    landmark depths at their projected pixels; UR_MVO.process must
+    produce a metric-scale trajectory."""
+    cfg = small_config()
+    cam = make_camera()
+    n_frames = 25
+    T_wc, ts = make_trajectory(n_frames, advance=0.05)
+    X = make_landmarks(400, along=1.5)
+    oracle = OracleExtractor(X, cam, capacity=cfg.superpoint.capacity, noise_px=0.2, seed=21)
+    vo = UR_MVO(cfg, SensorSetup.RGBD, camera=cam, extractor=oracle)
+
+    from ur_mvo_tpu.components import DepthMap
+
+    for i in range(n_frames):
+        R_wc = T_wc[i, :3, :3]
+        t_wc = T_wc[i, :3, 3]
+        pc = (X - t_wc) @ R_wc
+        u = (cam.fx * pc[:, 0] / pc[:, 2] + cam.cx).round().astype(int)
+        v = (cam.fy * pc[:, 1] / pc[:, 2] + cam.cy).round().astype(int)
+        depth = np.zeros((cam.height, cam.width), np.float32)
+        ok = (pc[:, 2] > 0) & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+        depth[v[ok], u[ok]] = pc[ok, 2]
+        frame = Frame(image=Image(np.zeros((2, 2), np.uint8), ts[i]), depth_map=DepthMap(depth))
+        frame.meta["T_wc"] = T_wc[i]
+        vo.process(frame)
+    assert vo.tracker.initialized
+    kts, kpos, _ = vo.keyframe_trajectory()
+    idx = np.searchsorted(ts, kts)
+    gt = T_wc[np.clip(idx, 0, n_frames - 1), :3, 3]
+    # metric scale through the engine's depth_lookup: within 15%
+    travel_est = np.linalg.norm(kpos[-1] - kpos[0])
+    travel_gt = np.linalg.norm(gt[-1] - gt[0])
+    assert abs(travel_est / max(travel_gt, 1e-9) - 1.0) < 0.15, (travel_est, travel_gt)
+    assert ate_rmse(kpos, gt, align=True, correct_scale=False) < 0.1
