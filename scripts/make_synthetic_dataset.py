@@ -74,7 +74,13 @@ def main():
     ap.add_argument("--gt", default=None, help="TUM ground-truth output path")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fps", type=float, default=30.0)
+    ap.add_argument("--platform", default="cpu",
+                    help="JAX platform (default cpu — rendering is host-side)")
     args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", args.platform)
 
     import numpy as np
 

@@ -170,6 +170,59 @@ def match_scores(
 
 
 # ---------------------------------------------------------------------------
+# Native checkpoint save/load (flat-key .npz of this pytree)
+# ---------------------------------------------------------------------------
+
+_NATIVE_MARKER = "__urmvo_superglue__"
+
+
+def _flatten(node, prefix=""):
+    flat = {}
+    if isinstance(node, dict):
+        for k, v in node.items():
+            flat.update(_flatten(v, f"{prefix}{k}."))
+    elif isinstance(node, (list, tuple)):
+        for i, v in enumerate(node):
+            flat.update(_flatten(v, f"{prefix}{i}."))
+    else:
+        flat[prefix[:-1]] = np.asarray(node)
+    return flat
+
+
+def save_npz(path: str, params: Dict[str, Any]) -> None:
+    """Save params trained here (``models/train_superglue.py``) as a flat-key
+    .npz; reloadable via :func:`load_weights`."""
+    flat = _flatten(params)
+    flat[_NATIVE_MARKER] = np.asarray(1)
+    np.savez(path, **flat)
+
+
+def load_npz(path: str, num_layers: int = 9, num_heads: int = 4) -> Dict[str, Any]:
+    state = dict(np.load(path))
+
+    def fill(node, prefix=""):
+        if isinstance(node, dict):
+            return {k: fill(v, f"{prefix}{k}.") for k, v in node.items()}
+        if isinstance(node, list):
+            return [fill(v, f"{prefix}{i}.") for i, v in enumerate(node)]
+        return jnp.asarray(state[prefix[:-1]])
+
+    template = init_params(jax.random.PRNGKey(0), num_layers, num_heads)
+    return fill(template)
+
+
+def load_weights(path: str, num_layers: int = 9, num_heads: int = 4) -> Dict[str, Any]:
+    """Load either a native .npz checkpoint (saved by :func:`save_npz`) or a
+    torch state dict / torch-layout .npz (``load_torch_weights``)."""
+    if path.endswith(".npz"):
+        with np.load(path) as state:
+            native = _NATIVE_MARKER in state.files
+        if native:
+            return load_npz(path, num_layers, num_heads)
+    return load_torch_weights(path, num_layers, num_heads)
+
+
+# ---------------------------------------------------------------------------
 # Torch weight import (MagicLeap superglue_indoor.pth layout)
 # ---------------------------------------------------------------------------
 

@@ -48,7 +48,7 @@ class NeuralExtractor:
         else:
             self.sp_params = superpoint.init_params(k1)
         if sg_cfg.weights_path:
-            self.sg_params = superglue.load_torch_weights(sg_cfg.weights_path, sg_cfg.num_layers, sg_cfg.num_heads)
+            self.sg_params = superglue.load_weights(sg_cfg.weights_path, sg_cfg.num_layers, sg_cfg.num_heads)
         else:
             self.sg_params = superglue.init_params(k2, sg_cfg.num_layers, sg_cfg.num_heads)
 
