@@ -87,28 +87,35 @@ def init_params(key: jax.Array, num_layers: int = 9, num_heads: int = 4, dtype=j
 
 def _attention(layer, x_q: jax.Array, x_kv: jax.Array, kv_valid: jax.Array, num_heads: int,
                use_pallas: bool = False) -> jax.Array:
-    """Multi-head attention with invalid-slot key masking. (K, D) inputs.
+    """Multi-head attention with invalid-slot key masking.
+
+    Inputs are batched over the two banks: (B, K, D) queries against
+    (B, K, D) keys/values (B=2 for a frame pair). Both banks share the
+    layer weights, so projecting them in ONE (B*K, D) x (D, D) matmul and
+    running one batched attention einsum halves the number of device ops
+    per GNN layer versus per-bank calls — at K~1024 these ops are too
+    small to saturate the MXU individually.
 
     Matmuls run in the input dtype (bf16 on TPU doubles MXU rate, and the
     reference runs this net in TRT fp16); logits/softmax accumulate f32.
     With ``use_pallas`` the logits/softmax/value core runs as a fused
     VMEM-resident kernel (``ops/pallas_kernels.attention_pallas``).
     """
-    K = x_q.shape[0]
+    B, K, _ = x_q.shape
     head_dim = D // num_heads
-    q = (x_q @ layer["q"]["w"] + layer["q"]["b"]).reshape(K, num_heads, head_dim)
-    k = (x_kv @ layer["k"]["w"] + layer["k"]["b"]).reshape(-1, num_heads, head_dim)
-    v = (x_kv @ layer["v"]["w"] + layer["v"]["b"]).reshape(-1, num_heads, head_dim)
+    q = (x_q.reshape(B * K, D) @ layer["q"]["w"] + layer["q"]["b"]).reshape(B, K, num_heads, head_dim)
+    k = (x_kv.reshape(B * K, D) @ layer["k"]["w"] + layer["k"]["b"]).reshape(B, K, num_heads, head_dim)
+    v = (x_kv.reshape(B * K, D) @ layer["v"]["w"] + layer["v"]["b"]).reshape(B, K, num_heads, head_dim)
     if use_pallas:
         from ur_mvo_tpu.ops.pallas_kernels import attention_pallas
 
-        msg = attention_pallas(q, k, v, kv_valid).reshape(K, D)
+        msg = jax.vmap(attention_pallas)(q, k, v, kv_valid).reshape(B, K, D)
     else:
-        logits = jnp.einsum("qhd,khd->hqk", q, k, preferred_element_type=jnp.float32) / jnp.sqrt(head_dim)
-        logits = jnp.where(kv_valid[None, None, :], logits, -1e9)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) / jnp.sqrt(head_dim)
+        logits = jnp.where(kv_valid[:, None, None, :], logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1).astype(x_q.dtype)
-        msg = jnp.einsum("hqk,khd->qhd", attn, v).reshape(K, D)
-    return msg @ layer["merge"]["w"] + layer["merge"]["b"]
+        msg = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, K, D)
+    return (msg.reshape(B * K, D) @ layer["merge"]["w"] + layer["merge"]["b"]).reshape(B, K, D)
 
 
 def encode(params: Dict[str, Any], bank: FeatureBank, width: int, height: int) -> jax.Array:
@@ -120,18 +127,24 @@ def encode(params: Dict[str, Any], bank: FeatureBank, width: int, height: int) -
 
 def gnn(params: Dict[str, Any], x0: jax.Array, x1: jax.Array, valid0: jax.Array, valid1: jax.Array, num_heads: int = 4,
         use_pallas: bool = False):
-    """Alternating self/cross attentional message passing."""
+    """Alternating self/cross attentional message passing.
+
+    The two banks are stacked on a leading axis of 2 so every projection,
+    attention and message-MLP runs as one batched op for the whole pair
+    (see :func:`_attention`); cross-attention is the same batched op with
+    the key/value banks flipped."""
     nh = num_heads
+    x = jnp.stack([x0, x1])  # (2, K, D)
+    valid = jnp.stack([valid0, valid1])
+    valid_flip = valid[::-1]
+    K = x.shape[1]
     for i, layer in enumerate(params["layers"]):
         if i % 2 == 0:  # self-attention
-            m0 = _attention(layer, x0, x0, valid0, nh, use_pallas)
-            m1 = _attention(layer, x1, x1, valid1, nh, use_pallas)
+            m = _attention(layer, x, x, valid, nh, use_pallas)
         else:  # cross-attention
-            m0 = _attention(layer, x0, x1, valid1, nh, use_pallas)
-            m1 = _attention(layer, x1, x0, valid0, nh, use_pallas)
-        x0 = x0 + _mlp(layer["mlp"], jnp.concatenate([x0, m0], axis=-1))
-        x1 = x1 + _mlp(layer["mlp"], jnp.concatenate([x1, m1], axis=-1))
-    return x0, x1
+            m = _attention(layer, x, x[::-1], valid_flip, nh, use_pallas)
+        x = x + _mlp(layer["mlp"], jnp.concatenate([x, m], axis=-1).reshape(2 * K, 2 * D)).reshape(2, K, D)
+    return x[0], x[1]
 
 
 def match_scores(

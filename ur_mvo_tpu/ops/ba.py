@@ -200,7 +200,27 @@ def build_normal_terms(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg: 
     return H_cc, b_c, H_pp, b_p, U, cost
 
 
-def build_normal_terms_matmul(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg: BAConfig, active, use_huber):
+def make_one_hots(prob: BAProblem, cfg: BAConfig):
+    """Loop-invariant indicator matrices for the matmul assembly.
+
+    ``(Ef (O, FF) f32, Ep (O, P) f32, Ep_b (O, P) bf16)``. These depend
+    only on the problem's index structure, not on the linearization point,
+    so callers running LM iterations inside a ``lax.scan`` should build
+    them ONCE outside the scan and pass them to
+    :func:`build_normal_terms_matmul` — XLA does not hoist loop-invariant
+    code out of a scan body, and ``Ep`` alone is an O x P materialization
+    (tens of MB at production padding) per iteration otherwise.
+    """
+    FF = cfg.max_free_frames
+    P = prob.X.shape[0]
+    obs_slot = _free_rank(prob, FF)[prob.obs_frame]
+    Ef = jax.nn.one_hot(obs_slot, FF, dtype=jnp.float32)
+    Ep = jax.nn.one_hot(prob.obs_point, P, dtype=jnp.float32)
+    return Ef, Ep, Ep.astype(jnp.bfloat16)
+
+
+def build_normal_terms_matmul(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg: BAConfig, active, use_huber,
+                              one_hots=None):
     """MXU formulation of :func:`build_normal_terms`.
 
     TPU scatter-adds serialize; on profiled windows they dominate the LM
@@ -210,6 +230,11 @@ def build_normal_terms_matmul(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf
     Ep[o,p] Ef[o,f] A_o`` is built as ``Ep^T (Ef ⊗ A)``, etc. The
     indicators are bf16 (exact for 0/1 values); accumulation is f32 on
     the MXU. Numerically identical to the scatter path (tested).
+
+    The frame-side and point-side H/b reductions are fused into single
+    matmuls (42- and 12-wide value matrices) so the heavy ``Ep`` operand
+    streams through HBM once; pass precomputed ``one_hots`` (see
+    :func:`make_one_hots`) when calling from inside an LM scan.
     """
     P = prob.X.shape[0]
     O = prob.obs_frame.shape[0]
@@ -224,10 +249,10 @@ def build_normal_terms_matmul(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf
 
     frame_free = _effective_free(prob, FF)[prob.obs_frame]
     Jc = Jc * frame_free[:, None, None].astype(Jc.dtype)
-    obs_slot = _free_rank(prob, FF)[prob.obs_frame]
 
-    Ef = jax.nn.one_hot(obs_slot, FF, dtype=jnp.float32)
-    Ep = jax.nn.one_hot(prob.obs_point, P, dtype=jnp.float32)
+    if one_hots is None:
+        one_hots = make_one_hots(prob, cfg)
+    Ef, Ep, Ep_b = one_hots
 
     JcJc = einsum("oij,oik,o->ojk", Jc, Jc, w).reshape(O, 36)
     Jcr = einsum("oij,oi,o->oj", Jc, r, w)
@@ -235,11 +260,15 @@ def build_normal_terms_matmul(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf
     Jpr = einsum("oij,oi,o->oj", Jp, r, w)
     A = einsum("oij,oik,o->ojk", Jc, Jp, w).reshape(O, 18)
 
-    # small reductions: exact f32 segment matmuls
-    H_cc = einsum("of,ov->fv", Ef, JcJc).reshape(FF, 6, 6)
-    b_c = -einsum("of,ov->fv", Ef, Jcr)
-    H_pp = einsum("op,ov->pv", Ep, JpJp).reshape(P, 3, 3)
-    b_p = -einsum("op,ov->pv", Ep, Jpr)
+    # exact f32 segment matmuls, H and b fused per side (one Ef/Ep pass)
+    Vc = jnp.concatenate([JcJc, Jcr], axis=1)  # (O, 42)
+    Hb_c = einsum("of,ov->fv", Ef, Vc)
+    H_cc = Hb_c[:, :36].reshape(FF, 6, 6)
+    b_c = -Hb_c[:, 36:]
+    Vp = jnp.concatenate([JpJp, Jpr], axis=1)  # (O, 12)
+    Hb_p = einsum("op,ov->pv", Ep, Vp)
+    H_pp = Hb_p[:, :9].reshape(P, 3, 3)
+    b_p = -Hb_p[:, 9:]
     # U[p, f, :, :] = sum_o Ep[o,p] Ef[o,f] A_o — the large contraction.
     # bf16 values with f32 accumulation: ~0.4% error on a term of the
     # Schur *preconditioner* only (b is exact above); the LM
@@ -247,7 +276,7 @@ def build_normal_terms_matmul(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf
     # bf16.
     C = (Ef.astype(jnp.bfloat16)[:, :, None] * A.astype(jnp.bfloat16)[:, None, :]).reshape(O, FF * 18)
     U = jnp.einsum(
-        "op,ov->pv", Ep.astype(jnp.bfloat16), C, preferred_element_type=jnp.float32
+        "op,ov->pv", Ep_b, C, preferred_element_type=jnp.float32
     ).reshape(P, FF, 6, 3)
     cost = jnp.sum(_robust_cost(chi2, is_stereo, cfg.chi2_mono, cfg.chi2_stereo, use_huber) * active)
     return H_cc, b_c, H_pp, b_p, U, cost
@@ -324,7 +353,11 @@ def bundle_adjust(
 
     R_cw0, t_cw0 = _invert_poses(prob.R_wc, prob.t_wc)
 
-    builder = build_normal_terms_matmul if cfg.assembly == "matmul" else build_normal_terms
+    if cfg.assembly == "matmul":
+        # indicator matrices are loop-invariant: build once, not per LM step
+        builder = partial(build_normal_terms_matmul, one_hots=make_one_hots(prob, cfg))
+    else:
+        builder = build_normal_terms
 
     def lm_phase(state, active, n_iters, use_huber):
         def step(carry, _):

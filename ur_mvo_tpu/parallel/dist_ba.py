@@ -166,9 +166,16 @@ def dist_bundle_adjust(
             _free_rank,
             build_normal_terms,
             build_normal_terms_matmul,
+            make_one_hots,
         )
 
-        builder = build_normal_terms_matmul if cfg.assembly == "matmul" else build_normal_terms
+        if cfg.assembly == "matmul":
+            # loop-invariant per-shard indicators: build once outside the scan
+            from functools import partial as _partial
+
+            builder = _partial(build_normal_terms_matmul, one_hots=make_one_hots(prob_local, cfg))
+        else:
+            builder = build_normal_terms
         FF = cfg.max_free_frames
         free_rank = _free_rank(prob_local, FF)
         frame_free = _effective_free(prob_local, FF)
