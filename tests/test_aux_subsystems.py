@@ -180,3 +180,35 @@ def test_neural_extractor_mask_filtering():
     k = np.asarray(bank.kpts)[np.asarray(bank.valid)]
     assert len(k) > 10
     assert k[:, 0].min() >= 64
+
+
+def test_mappoint_descriptor_medoid_update():
+    """Running-mean representative update: after observing a noisy cluster
+    of descriptors, the stored descriptor is the observation closest to
+    the cluster mean — not the (outlier) first observation."""
+    D = 32
+    cfg = StoreConfig(max_keyframes=8, max_mappoints=16, keypoints_per_frame=4, descriptor_dim=D)
+    st = MapStore(cfg)
+    mp = st.alloc_mappoints(1)
+    rng = np.random.default_rng(0)
+    center = rng.normal(size=D)
+    center /= np.linalg.norm(center)
+    outlier = rng.normal(size=D)
+    outlier /= np.linalg.norm(outlier)
+    # first observation: the outlier
+    st.mp_desc[mp] = outlier.astype(np.float16)
+    st.update_descriptors(mp, outlier[None])
+    # five near-center observations
+    near = []
+    for _ in range(5):
+        d = center + 0.1 * rng.normal(size=D)
+        d /= np.linalg.norm(d)
+        near.append(d)
+        st.update_descriptors(mp, d[None])
+    stored = st.mp_desc[mp[0]].astype(np.float32)
+    assert float(stored @ center) > 0.75  # converged to the cluster
+    assert float(stored @ outlier) < 0.5
+    # and the stored vector is one of the actual observations (a medoid,
+    # not a mean)
+    sims = [float(stored @ d) for d in near]
+    assert max(sims) > 0.999

@@ -127,6 +127,9 @@ class Backend:
         # Register all observations of this keyframe.
         obs_idx = np.nonzero(valid_slots & (track >= 0))[0]
         st.add_observations(slot, track[obs_idx], obs_idx)
+        if desc is not None:
+            # representative-descriptor refresh (mapping.cc:207-258)
+            st.update_descriptors(track[obs_idx], desc[obs_idx])
 
         # Triangulate untriangulated points with > 2 observers
         # (mapping.cc:107-110 requires ObverserNum() > 2).

@@ -58,6 +58,11 @@ class MapStore:
         self.mp_desc = (
             np.zeros((MP, cfg.descriptor_dim), np.float16) if cfg.store_descriptors else None
         )
+        # running sum of observer descriptors for the medoid approximation
+        # (update_descriptors); f32 to avoid drift over many observers
+        self.mp_desc_sum = (
+            np.zeros((MP, cfg.descriptor_dim), np.float32) if cfg.store_descriptors else None
+        )
         # observer relation: slot of mappoint in keyframe, -1 when absent
         self.obs_slot = np.full((MP, KF), -1, np.int16)
         # covisibility weights between keyframes
@@ -114,6 +119,31 @@ class MapStore:
         counts[kf_slot] = 0
         self.covis[kf_slot] += counts
         self.covis[:, kf_slot] += counts
+
+    def update_descriptors(self, mp_ids: np.ndarray, descs: np.ndarray) -> None:
+        """Representative-descriptor update on new observations.
+
+        The reference recomputes the medoid of all observer descriptors
+        after each keyframe (``Mapping::UpdateMappointDescriptor``,
+        ``mapping.cc:207-258`` — the observation minimizing summed
+        distance ``2(1 - f·f')`` to the others). Exact medoids need all
+        observer descriptors; here each mappoint keeps the observation
+        whose cosine to the *running mean* descriptor is highest — an
+        O(1)-per-observation approximation with the same intent (pick a
+        central, view-stable representative), batched over all points
+        touched by the keyframe.
+        """
+        if self.mp_desc is None or len(mp_ids) == 0:
+            return
+        mp_ids = np.asarray(mp_ids, np.int64)
+        d = descs.astype(np.float32)
+        self.mp_desc_sum[mp_ids] += d
+        mean = self.mp_desc_sum[mp_ids]
+        norm = np.linalg.norm(mean, axis=1, keepdims=True)
+        mean = mean / np.maximum(norm, 1e-8)
+        cur = self.mp_desc[mp_ids].astype(np.float32)
+        keep_new = np.sum(d * mean, axis=1) >= np.sum(cur * mean, axis=1)
+        self.mp_desc[mp_ids] = np.where(keep_new[:, None], d, cur).astype(np.float16)
 
     def remove_observation(self, kf_slot: int, mp_id: int) -> None:
         """Detach one observation (outlier removal, ``mapping.cc:550-603``)."""
@@ -238,6 +268,7 @@ class MapStore:
         state["_frame_slots"] = np.asarray(list(self.frame_id_to_slot.values()), np.int64)
         if self.mp_desc is not None:
             state["mp_desc"] = self.mp_desc
+            state["mp_desc_sum"] = self.mp_desc_sum
         np.savez_compressed(path, **state)
 
     @classmethod
@@ -251,6 +282,8 @@ class MapStore:
             setattr(store, f, saved.copy())
         if store.mp_desc is not None and "mp_desc" in data:
             store.mp_desc = data["mp_desc"].copy()
+            if "mp_desc_sum" in data:
+                store.mp_desc_sum = data["mp_desc_sum"].copy()
         store._next_kf = int(data["_next_kf"])
         store._next_mp = int(data["_next_mp"])
         store.frame_id_to_slot = dict(zip(data["_frame_ids"].tolist(), data["_frame_slots"].tolist()))
