@@ -34,6 +34,10 @@ class SuperPointConfig:
     remove_borders: int = 4
     nms_radius: int = 4
     weights_path: Optional[str] = None  # .npz / .pth; None = random init
+    # "network" = SuperPoint descriptor head; "patch" = weights-free
+    # normalized 16x16 intensity patches (256-d, ops/gridsample.py) —
+    # lets the full pipeline run with an untrained/detector-only model.
+    descriptor_source: str = "network"
     # Padded keypoint capacity of the fixed-shape feature bank. Must be a
     # multiple of 128 for MXU-aligned downstream matmuls and >= max_keypoints.
     capacity: int = 1024
@@ -184,7 +188,7 @@ class Configs:
             cfg.camera_config_path = cam_rel if os.path.isabs(cam_rel) else os.path.join(base_dir, cam_rel)
         cfg.use_mask = bool(inp.get("use_mask", 0))
         sp = raw.get("superpoint", {})
-        for k in ("max_keypoints", "keypoint_threshold", "remove_borders", "nms_radius", "weights_path", "capacity"):
+        for k in ("max_keypoints", "keypoint_threshold", "remove_borders", "nms_radius", "weights_path", "capacity", "descriptor_source"):
             if k in sp:
                 setattr(cfg.superpoint, k, sp[k])
         sg = raw.get("superglue", {})

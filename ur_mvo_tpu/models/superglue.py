@@ -39,12 +39,23 @@ def _init_linear(key, cin, cout, dtype=jnp.float32):
     return {"w": w, "b": jnp.zeros((cout,), dtype)}
 
 
-def _init_mlp(key, dims, dtype=jnp.float32, with_norm=True):
-    """MLP params: linear layers + folded-BN scale/shift between them."""
+def _init_mlp(key, dims, dtype=jnp.float32, with_norm=True, out_scale=1.0):
+    """MLP params: linear layers + folded-BN scale/shift between them.
+
+    ``out_scale`` scales the last layer's init. The public SuperGlue
+    trains with live BatchNorm which keeps the residual stream bounded;
+    with folded (identity) norms, He-init message MLPs grow activations
+    exponentially over 18 residual layers — zero-initializing each
+    message-MLP output (``out_scale=0``) starts the GNN at identity so
+    from-scratch training is stable at any depth (ReZero-style init;
+    gradients to the zero layer are nonzero since its inputs are not).
+    """
     layers = []
     for i in range(len(dims) - 1):
         key, sub = jax.random.split(key)
         layer = _init_linear(sub, dims[i], dims[i + 1], dtype)
+        if i == len(dims) - 2 and out_scale != 1.0:
+            layer["w"] = layer["w"] * out_scale
         if with_norm and i < len(dims) - 2:
             layer["scale"] = jnp.ones((dims[i + 1],), dtype)
             layer["shift"] = jnp.zeros((dims[i + 1],), dtype)
@@ -76,7 +87,7 @@ def init_params(key: jax.Array, num_layers: int = 9, num_heads: int = 4, dtype=j
                 "k": _init_linear(k2, D, D, dtype),
                 "v": _init_linear(k3, D, D, dtype),
                 "merge": _init_linear(k4, D, D, dtype),
-                "mlp": _init_mlp(k5, _MLP_DIMS, dtype),
+                "mlp": _init_mlp(k5, _MLP_DIMS, dtype, out_scale=0.0),
             }
         )
     key, sub = jax.random.split(key)

@@ -295,7 +295,7 @@ def train(
     rng = np.random.default_rng(seed)
     if params is None:
         params = superglue.init_params(jax.random.PRNGKey(seed), num_layers, num_heads)
-    optimizer = optax.adam(lr)
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
     opt_state = optimizer.init(params)
     step = make_train_step(width, height, sinkhorn_iterations, num_heads, optimizer)
     for i in range(steps):
@@ -331,7 +331,7 @@ def train_on_device(
     bk = batch_kwargs or {}
     if params is None:
         params = superglue.init_params(jax.random.PRNGKey(seed), num_layers, num_heads)
-    optimizer = optax.adam(lr)
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
     opt_state = optimizer.init(params)
 
     def one_step(carry, key):

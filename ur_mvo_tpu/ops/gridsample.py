@@ -45,6 +45,38 @@ def grid_sample_nearest_corners(feature_map: jax.Array, grid_xy: jax.Array) -> j
     )
 
 
+def patch_descriptors(img: jax.Array, kpts_xy: jax.Array, patch: int = 16, stride: float = 1.0) -> jax.Array:
+    """Normalized intensity-patch descriptors sampled on device.
+
+    ``img``: (H, W) grayscale in [0, 1]; ``kpts_xy``: (K, 2) pixel
+    coordinates. Bilinearly samples a ``patch`` x ``patch`` window (spacing
+    ``stride`` px) centered on each keypoint and returns zero-mean,
+    L2-normalized flattened patches — (K, patch**2), i.e. 256-d at the
+    default size, drop-in compatible with SuperPoint descriptors.
+
+    This is a weights-free descriptor source ("superpoint.descriptor_source:
+    patch"): robust for the translation-dominant inter-frame motion VO
+    tracks, and usable with the from-scratch detector when no trained
+    descriptor head is available (the reference has no equivalent — it
+    cannot run without its TensorRT engines).
+    """
+    H, W = img.shape
+    K = kpts_xy.shape[0]
+    half = (patch - 1) / 2.0
+    offs = (jnp.arange(patch) - half) * stride
+    oy, ox = jnp.meshgrid(offs, offs, indexing="ij")
+    # (K, patch*patch, 2) absolute sample coordinates
+    sx = kpts_xy[:, 0:1] + ox.reshape(1, -1)
+    sy = kpts_xy[:, 1:2] + oy.reshape(1, -1)
+    gx = sx / (W - 1) * 2.0 - 1.0
+    gy = sy / (H - 1) * 2.0 - 1.0
+    grid = jnp.stack([gx, gy], axis=-1).reshape(K * patch * patch, 2)
+    vals = grid_sample_nearest_corners(img[:, :, None], grid).reshape(K, patch * patch)
+    vals = vals - jnp.mean(vals, axis=1, keepdims=True)
+    norm = jnp.maximum(jnp.linalg.norm(vals, axis=1, keepdims=True), 1e-6)
+    return vals / norm
+
+
 def sample_descriptors(desc_map: jax.Array, kpts_xy: jax.Array, cell: int = 8) -> jax.Array:
     """Sample L2-normalized descriptors at keypoint pixel locations.
 

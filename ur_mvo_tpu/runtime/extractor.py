@@ -65,8 +65,9 @@ class NeuralExtractor:
         # NOTE: params are traced arguments, not closure constants —
         # embedding multi-MB weights as XLA constants slows compilation
         # and keys the persistent cache on the weight values.
-        @jax.jit
-        def _extract(sp_params, image_u8: jax.Array, mask: jax.Array) -> FeatureBank:
+        use_patch_desc = sp_cfg.descriptor_source == "patch"
+
+        def _extract_impl(sp_params, image_u8, mask=None):
             img = image_u8.astype(jnp.float32) / 255.0
             if undistort_map is not None:
                 img = remap_bilinear(img, undistort_map)
@@ -74,7 +75,7 @@ class NeuralExtractor:
                 sp_params, img[None, :, :, None], nms_radius=sp_cfg.nms_radius,
                 compute_dtype=compute_dtype,
             )
-            return select_keypoints(
+            bank = select_keypoints(
                 scores[0],
                 desc[0],
                 capacity=capacity,
@@ -83,24 +84,19 @@ class NeuralExtractor:
                 max_keypoints=sp_cfg.max_keypoints,
                 mask=mask,
             )
+            if use_patch_desc:
+                from ur_mvo_tpu.ops.gridsample import patch_descriptors
+
+                bank = bank._replace(desc=patch_descriptors(img, bank.kpts))
+            return bank
+
+        @jax.jit
+        def _extract(sp_params, image_u8: jax.Array, mask: jax.Array) -> FeatureBank:
+            return _extract_impl(sp_params, image_u8, mask)
 
         @jax.jit
         def _extract_nomask(sp_params, image_u8: jax.Array) -> FeatureBank:
-            img = image_u8.astype(jnp.float32) / 255.0
-            if undistort_map is not None:
-                img = remap_bilinear(img, undistort_map)
-            scores, desc = superpoint.forward(
-                sp_params, img[None, :, :, None], nms_radius=sp_cfg.nms_radius,
-                compute_dtype=compute_dtype,
-            )
-            return select_keypoints(
-                scores[0],
-                desc[0],
-                capacity=capacity,
-                threshold=sp_cfg.keypoint_threshold,
-                border=sp_cfg.remove_borders,
-                max_keypoints=sp_cfg.max_keypoints,
-            )
+            return _extract_impl(sp_params, image_u8)
 
         @partial(jax.jit, static_argnames=("outlier_rejection",))
         def _match(sg_params, key, bank0: FeatureBank, bank1: FeatureBank, outlier_rejection: bool = True) -> Matches:
