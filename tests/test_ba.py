@@ -180,7 +180,9 @@ def test_matmul_assembly_matches_scatter():
         x = np.asarray(x)
         y = np.asarray(y)
         scale = max(np.abs(x).max(), 1.0)
-        tol = 1e-5 if name != "U" else 5e-3  # U uses bf16 values
+        # the whole point side (H_pp, b_p, U) rides one bf16 matmul with
+        # f32 accumulation; the frame side and cost stay exact f32
+        tol = 1e-5 if name in ("H_cc", "b_c", "cost") else 5e-3
         np.testing.assert_allclose(y / scale, x / scale, atol=tol, err_msg=name)
 
 

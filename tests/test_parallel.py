@@ -30,8 +30,10 @@ def test_dist_ba_matches_single_chip():
     res1 = bundle_adjust(prob, FX, FY, CX, CY)
     prob_s = shard_problem(prob, 8)
     res8 = dist_bundle_adjust(prob_s, mesh, FX, FY, CX, CY)
-    np.testing.assert_allclose(np.asarray(res8.t_wc[:6]), np.asarray(res1.t_wc[:6]), atol=2e-4)
-    np.testing.assert_allclose(np.asarray(res8.R_wc[:6]), np.asarray(res1.R_wc[:6]), atol=2e-4)
+    # point-side normal terms are bf16-summand (ops/ba.py): shard order
+    # changes the rounding path, so agreement is ~1e-3, not bit-level
+    np.testing.assert_allclose(np.asarray(res8.t_wc[:6]), np.asarray(res1.t_wc[:6]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res8.R_wc[:6]), np.asarray(res1.R_wc[:6]), atol=1e-3)
     assert int(res8.obs_inlier.sum()) == int(res1.obs_inlier.sum())
 
 

@@ -129,8 +129,10 @@ def _residuals(R_cw, t_cw, X, prob: BAProblem, fx, fy, cx, cy, bf):
     )
     eye = jnp.broadcast_to(jnp.eye(3), neg_skew.shape)
     J_xi = jnp.concatenate([neg_skew, eye], axis=2)  # (O, 3, 6)
-    Jc = einsum("oij,ojk->oik", J_pc, J_xi)
-    Jp = einsum("oij,ojk->oik", J_pc, Rf)  # d pc / d X = R_cw
+    # batched 3x3 x 3x6 products as broadcast-sums (VPU, fused; see the
+    # assembly note in build_normal_terms_matmul)
+    Jc = jnp.sum(J_pc[:, :, :, None] * J_xi[:, None, :, :], axis=2)
+    Jp = jnp.sum(J_pc[:, :, :, None] * Rf[:, None, :, :], axis=2)  # d pc / d X = R_cw
     depth_pos = pc[:, 2] > 0
     return r, Jc, Jp, is_stereo, depth_pos
 
@@ -203,20 +205,21 @@ def build_normal_terms(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg: 
 def make_one_hots(prob: BAProblem, cfg: BAConfig):
     """Loop-invariant indicator matrices for the matmul assembly.
 
-    ``(Ef (O, FF) f32, Ep (O, P) f32, Ep_b (O, P) bf16)``. These depend
-    only on the problem's index structure, not on the linearization point,
-    so callers running LM iterations inside a ``lax.scan`` should build
-    them ONCE outside the scan and pass them to
-    :func:`build_normal_terms_matmul` — XLA does not hoist loop-invariant
-    code out of a scan body, and ``Ep`` alone is an O x P materialization
-    (tens of MB at production padding) per iteration otherwise.
+    ``(Ef (O, FF) f32, Ep_b (O, P) bf16)``. These depend only on the
+    problem's index structure, not on the linearization point, so callers
+    running LM iterations inside a ``lax.scan`` should build them ONCE
+    outside the scan and pass them to :func:`build_normal_terms_matmul` —
+    XLA does not hoist loop-invariant code out of a scan body, and
+    ``Ep_b`` alone is an O x P materialization (tens of MB at production
+    padding) per iteration otherwise. The indicator values 0/1 are exact
+    in bf16.
     """
     FF = cfg.max_free_frames
     P = prob.X.shape[0]
     obs_slot = _free_rank(prob, FF)[prob.obs_frame]
     Ef = jax.nn.one_hot(obs_slot, FF, dtype=jnp.float32)
-    Ep = jax.nn.one_hot(prob.obs_point, P, dtype=jnp.float32)
-    return Ef, Ep, Ep.astype(jnp.bfloat16)
+    Ep_b = jax.nn.one_hot(prob.obs_point, P, dtype=jnp.bfloat16)
+    return Ef, Ep_b
 
 
 def build_normal_terms_matmul(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg: BAConfig, active, use_huber,
@@ -252,32 +255,42 @@ def build_normal_terms_matmul(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf
 
     if one_hots is None:
         one_hots = make_one_hots(prob, cfg)
-    Ef, Ep, Ep_b = one_hots
+    Ef, Ep_b = one_hots
 
-    JcJc = einsum("oij,oik,o->ojk", Jc, Jc, w).reshape(O, 36)
-    Jcr = einsum("oij,oi,o->oj", Jc, r, w)
-    JpJp = einsum("oij,oik,o->ojk", Jp, Jp, w).reshape(O, 9)
-    Jpr = einsum("oij,oi,o->oj", Jp, r, w)
-    A = einsum("oij,oik,o->ojk", Jc, Jp, w).reshape(O, 18)
+    # tiny per-observation outer products: broadcast-multiply-sum over the
+    # 3-long residual axis (VPU elementwise, fused) — einsum would lower
+    # these to batched 6x3x6 MXU matmuls at <5% tile utilization
+    Jcw = Jc * w[:, None, None]
+    JcJc = jnp.sum(Jcw[:, :, :, None] * Jc[:, :, None, :], axis=1).reshape(O, 36)
+    Jcr = jnp.sum(Jcw * r[:, :, None], axis=1)
+    Jpw = Jp * w[:, None, None]
+    JpJp = jnp.sum(Jpw[:, :, :, None] * Jp[:, :, None, :], axis=1).reshape(O, 9)
+    Jpr = jnp.sum(Jpw * r[:, :, None], axis=1)
+    A = jnp.sum(Jcw[:, :, :, None] * Jp[:, :, None, :], axis=1).reshape(O, 18)
 
-    # exact f32 segment matmuls, H and b fused per side (one Ef/Ep pass)
+    # frame-side reductions: exact f32, H and b fused (Ef is only O x FF)
     Vc = jnp.concatenate([JcJc, Jcr], axis=1)  # (O, 42)
     Hb_c = einsum("of,ov->fv", Ef, Vc)
     H_cc = Hb_c[:, :36].reshape(FF, 6, 6)
     b_c = -Hb_c[:, 36:]
+    # Point-side segment reductions — H_pp, b_p and the coupling
+    # U[p, f] = sum_o Ep[o,p] Ef[o,f] A_o — as ONE (O, P)^T x (O, 300)
+    # matmul in bf16 with f32 accumulation. Profiled on v5e, a separate
+    # f32-HIGHEST pass for the 12-wide H_pp/b_p block costs more than the
+    # whole U contraction (6 MXU passes at <10% tile utilization plus a
+    # second 67MB read of the indicator matrix). bf16 summand rounding is
+    # ~0.4% relative on normal-equation terms; the LM accept/reject step
+    # guards convergence and the two-phase chi^2 gates operate at pixel
+    # scale. Indicators are exact in bf16.
     Vp = jnp.concatenate([JpJp, Jpr], axis=1)  # (O, 12)
-    Hb_p = einsum("op,ov->pv", Ep, Vp)
-    H_pp = Hb_p[:, :9].reshape(P, 3, 3)
-    b_p = -Hb_p[:, 9:]
-    # U[p, f, :, :] = sum_o Ep[o,p] Ef[o,f] A_o — the large contraction.
-    # bf16 values with f32 accumulation: ~0.4% error on a term of the
-    # Schur *preconditioner* only (b is exact above); the LM
-    # accept/reject step guards convergence. Indicators are exact in
-    # bf16.
     C = (Ef.astype(jnp.bfloat16)[:, :, None] * A.astype(jnp.bfloat16)[:, None, :]).reshape(O, FF * 18)
-    U = jnp.einsum(
-        "op,ov->pv", Ep_b, C, preferred_element_type=jnp.float32
-    ).reshape(P, FF, 6, 3)
+    C_full = jnp.concatenate([C, Vp.astype(jnp.bfloat16)], axis=1)  # (O, FF*18 + 12)
+    out = jnp.einsum(
+        "op,ov->pv", Ep_b, C_full, preferred_element_type=jnp.float32
+    )
+    U = out[:, : FF * 18].reshape(P, FF, 6, 3)
+    H_pp = out[:, FF * 18 : FF * 18 + 9].reshape(P, 3, 3)
+    b_p = -out[:, FF * 18 + 9 :]
     cost = jnp.sum(_robust_cost(chi2, is_stereo, cfg.chi2_mono, cfg.chi2_stereo, use_huber) * active)
     return H_cc, b_c, H_pp, b_p, U, cost
 

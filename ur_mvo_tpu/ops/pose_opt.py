@@ -82,7 +82,9 @@ def _residuals_jac(R_cw, t_cw, obs: PoseObs, fx, fy, cx, cy, bf):
     )  # (N, 3, 3) = -[pc]x
     eye = jnp.broadcast_to(jnp.eye(3), neg_skew.shape)
     J_xi = jnp.concatenate([neg_skew, eye], axis=2)  # (N, 3, 6)
-    J = einsum("nij,njk->nik", J_pc, J_xi)
+    # batched 3x3 x 3x6 product as a broadcast-sum: einsum lowers these to
+    # tiny batched MXU matmuls at <5% tile utilization (see ops/ba.py)
+    J = jnp.sum(J_pc[:, :, :, None] * J_xi[:, None, :, :], axis=2)
     depth_pos = pc[:, 2] > 0
     return r, J, is_stereo, depth_pos
 
@@ -120,8 +122,10 @@ def optimize_pose(
             delta = jnp.where(is_stereo, delta_stereo, delta_mono)
             w_huber = jnp.where(rnorm <= delta, 1.0, delta / rnorm)
             w = jnp.where(use_huber, w_huber, 1.0) * inlier_mask
-            H = einsum("nij,nik,n->jk", J, J, w)
-            g = einsum("nij,ni,n->j", J, r, w)
+            # (6,6)/(6,) normal terms as single flat (6, 3N) contractions
+            Jwf = (J * w[:, None, None]).reshape(-1, 6)
+            H = jnp.matmul(Jwf.T, J.reshape(-1, 6), precision=HIGHEST)
+            g = jnp.matmul(Jwf.T, r.reshape(-1), precision=HIGHEST)
             H = H + damping * jnp.eye(6) * jnp.maximum(jnp.trace(H) / 6.0, 1e-6)
             dx = jnp.linalg.solve(H, -g)
             dR, dt = se3_exp(dx)
