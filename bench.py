@@ -158,9 +158,11 @@ def main():
     K_mat = jnp.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]], jnp.float32)
 
     # --- stage 1: extract ---------------------------------------------
+    # networks run in bf16, mirroring the engine's runtime.compute_dtype
+    # default (geometry stages stay f32-HIGHEST like production)
     @jax.jit
     def extract(img):
-        scores, desc = superpoint.forward(sp, img[None, :, :, None])
+        scores, desc = superpoint.forward(sp, img[None, :, :, None], compute_dtype=jnp.bfloat16)
         return select_keypoints(scores[0], desc[0], capacity=CAP, threshold=5e-4, max_keypoints=MAXK)
 
     img = jax.random.uniform(ks[2], (H, W))
@@ -175,6 +177,7 @@ def main():
     def match(k, b0, b1):
         Z = superglue.match_scores(
             sg, b0, b1, W, H, sinkhorn_iterations=20,
+            compute_dtype=jnp.bfloat16,
             use_pallas_sinkhorn=sinkhorn_pallas_enabled(),
             use_pallas_attention=attention_pallas_enabled(),
         )
