@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--lambda-desc", type=float, default=0.001)
+    ap.add_argument("--init", default=None, help="warm-start from an existing .npz checkpoint")
+    ap.add_argument("--flat-desc", action="store_true", help="descriptor pairs from flat shapes (no texture)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -40,6 +42,7 @@ def main():
     from ur_mvo_tpu.models import superpoint
     from ur_mvo_tpu.models.pretrain_superpoint import pretrain
 
+    init_params = superpoint.load_torch_weights(args.init) if args.init else None
     params = pretrain(
         jax.random.PRNGKey(args.seed),
         steps=args.steps,
@@ -50,6 +53,8 @@ def main():
         seed=args.seed,
         log_every=max(1, args.steps // 50),
         lambda_desc=args.lambda_desc,
+        init_params=init_params,
+        textured_desc=not args.flat_desc,
     )
     superpoint.save_npz(params, args.out)
     print(f"saved {args.out}")

@@ -85,6 +85,55 @@ def render_shapes(rng: np.random.Generator, H: int, W: int) -> Tuple[np.ndarray,
     return img, pts[inb]
 
 
+def _resize_bilinear_np(a: np.ndarray, H: int, W: int) -> np.ndarray:
+    """Pure-numpy bilinear upsample of a small 2D grid."""
+    h, w = a.shape
+    ys = np.linspace(0, h - 1, H)
+    xs = np.linspace(0, w - 1, W)
+    y0 = np.clip(ys.astype(int), 0, h - 2)
+    x0 = np.clip(xs.astype(int), 0, w - 2)
+    dy = (ys - y0)[:, None]
+    dx = (xs - x0)[None, :]
+    return (
+        a[y0][:, x0] * (1 - dy) * (1 - dx)
+        + a[y0][:, x0 + 1] * (1 - dy) * dx
+        + a[y0 + 1][:, x0] * dy * (1 - dx)
+        + a[y0 + 1][:, x0 + 1] * dy * dx
+    )
+
+
+def render_texture(rng: np.random.Generator, H: int, W: int) -> np.ndarray:
+    """Multi-octave value-noise texture in [0, 1].
+
+    Descriptor training needs *texture*: flat synthetic shapes give the
+    descriptor head nothing local to discriminate, and a head trained on
+    them transfers worse than random projections on textured scenes
+    (measured: ~100 px median mutual-NN displacement vs 8 px for random
+    init on a rendered textured plane). The homography-pair descriptor
+    loss is fully self-supervised, so any image content works — octave
+    noise supplies dense, scale-diverse structure."""
+    img = np.zeros((H, W), np.float32)
+    amp_total = 0.0
+    for octave, amp in ((4, 1.0), (8, 0.6), (16, 0.35), (32, 0.2)):
+        g = rng.uniform(0, 1, (octave, octave)).astype(np.float32)
+        img += amp * _resize_bilinear_np(g, H, W)
+        amp_total += amp
+    return img / amp_total
+
+
+def make_texture_batch(rng: np.random.Generator, batch: int, H: int, W: int) -> np.ndarray:
+    """Images for the descriptor pairs: synthetic shapes blended over
+    octave-noise texture (shapes keep corner structure in-domain; the
+    texture provides discriminative local appearance)."""
+    imgs = np.zeros((batch, H, W), np.float32)
+    for i in range(batch):
+        shapes, _ = render_shapes(rng, H, W)
+        tex = render_texture(rng, H, W)
+        alpha = rng.uniform(0.35, 0.65)
+        imgs[i] = np.clip(alpha * shapes + (1 - alpha) * tex, 0, 1)
+    return imgs
+
+
 def corners_to_cell_labels(pts: np.ndarray, H: int, W: int) -> np.ndarray:
     """(Hc, Wc) int labels in [0, 65): 8*dy+dx of the corner inside its
     cell, or 64 (dustbin) for empty cells — the SuperPoint detector
@@ -158,13 +207,18 @@ def pretrain(
     seed: int = 0,
     log_every: int = 100,
     lambda_desc: float = 0.001,
+    init_params=None,
+    textured_desc: bool = True,
 ):
-    """Run pretraining from random init; returns trained params."""
-    import functools
+    """Run pretraining; returns trained params.
 
+    ``init_params`` warm-starts from an existing checkpoint (e.g. to
+    re-train the descriptor head on textured pairs after the detector
+    converged). ``textured_desc`` feeds octave-noise-textured images to
+    the descriptor pairs instead of flat synthetic shapes."""
     from ur_mvo_tpu.models.train_superpoint import make_batch as make_desc_batch
 
-    params = superpoint.init_params(key)
+    params = init_params if init_params is not None else superpoint.init_params(key)
     tx = optax.adam(lr)
     opt_state = tx.init(params)
     step = make_pretrain_step(tx, lambda_desc)
@@ -173,7 +227,10 @@ def pretrain(
     for i in range(steps):
         det_batch = jax.tree.map(jnp.asarray, make_pretrain_batch(rng, batch, H, W))
         jkey, sub = jax.random.split(jkey)
-        desc_batch = make_desc_batch(sub, det_batch["image"])
+        desc_imgs = (
+            jnp.asarray(make_texture_batch(rng, batch, H, W)) if textured_desc else det_batch["image"]
+        )
+        desc_batch = make_desc_batch(sub, desc_imgs)
         params, opt_state, loss, det, desc = step(params, opt_state, det_batch, desc_batch)
         if log_every and (i + 1) % log_every == 0:
             print(f"pretrain step {i + 1}/{steps}: loss {float(loss):.4f} (det {float(det):.4f} desc {float(desc):.4f})")

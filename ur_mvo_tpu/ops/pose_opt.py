@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ur_mvo_tpu.ops.lie import HIGHEST, se3_exp
+from ur_mvo_tpu.ops.linalg import spd_inverse_small
 
 einsum = partial(jnp.einsum, precision=HIGHEST)
 
@@ -127,7 +128,11 @@ def optimize_pose(
             H = jnp.matmul(Jwf.T, J.reshape(-1, 6), precision=HIGHEST)
             g = jnp.matmul(Jwf.T, r.reshape(-1), precision=HIGHEST)
             H = H + damping * jnp.eye(6) * jnp.maximum(jnp.trace(H) / 6.0, 1e-6)
-            dx = jnp.linalg.solve(H, -g)
+            # H is SPD (damped normal matrix): unrolled-Cholesky inverse
+            # instead of a sequential 6x6 LAPACK LU per scan iteration.
+            scale = jnp.maximum(jnp.trace(H) / 6.0, 1e-12)
+            Hinv = spd_inverse_small(H / scale) / scale
+            dx = -jnp.sum(Hinv * g[None, :], axis=-1)
             dR, dt = se3_exp(dx)
             R_new = jnp.matmul(dR, R, precision=HIGHEST)
             t_new = einsum("ij,j->i", dR, t) + dt

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ur_mvo_tpu.ops.lie import HIGHEST
-from ur_mvo_tpu.ops.linalg import eigh3x3, smallest_singular_vector
+from ur_mvo_tpu.ops.linalg import eigh3x3, inv3x3, smallest_singular_vector
 
 einsum = partial(jnp.einsum, precision=HIGHEST)
 
@@ -99,7 +99,7 @@ def fit_homography_dlt(p1: jax.Array, p2: jax.Array) -> jax.Array:
     rows_b = jnp.stack([z, z, z, -x1, -y1, -o, y2 * x1, y2 * y1, y2], axis=1)
     A = jnp.concatenate([rows_a, rows_b], axis=0)  # (2n, 9)
     Hn = smallest_singular_vector(A).reshape(3, 3)
-    H = matmul3(matmul3(jnp.linalg.inv(T2), Hn), T1)
+    H = matmul3(matmul3(inv3x3(T2), Hn), T1)
     return H / jnp.where(jnp.abs(H[2, 2]) > 1e-8, H[2, 2], 1.0)
 
 
@@ -111,42 +111,58 @@ def matmul3(a, b):
 # Scoring (ORB-SLAM3-style symmetric transfer chi^2)
 # ---------------------------------------------------------------------------
 
+def _apply_lines(F: jax.Array, x: jax.Array, transpose: bool) -> jax.Array:
+    """``l[..., k, i] = sum_j F[..., i, j] x[k, j]`` (or F^T) as a
+    broadcast-sum: tiny 3-dim contractions over a hypothesis batch are
+    VPU elementwise work, not MXU matmuls — a vmapped einsum here was as
+    expensive as the whole SuperGlue GNN on TPU."""
+    if transpose:
+        return jnp.sum(F[..., None, :, :] * x[:, :, None], axis=-2)
+    return jnp.sum(F[..., None, :, :] * x[:, None, :], axis=-1)
+
+
 def score_fundamental(F: jax.Array, p1: jax.Array, p2: jax.Array, valid: jax.Array, sigma: float = 1.0):
-    """Symmetric epipolar-distance chi^2 score. Returns (score, inliers)."""
+    """Symmetric epipolar-distance chi^2 score. ``F`` may carry leading
+    hypothesis dims (..., 3, 3); all hypotheses score in one broadcast
+    batch. Returns (score (...,), inliers (..., K))."""
     inv_s2 = 1.0 / (sigma * sigma)
-    x1 = jnp.concatenate([p1, jnp.ones_like(p1[..., :1])], axis=-1)
+    x1 = jnp.concatenate([p1, jnp.ones_like(p1[..., :1])], axis=-1)  # (K, 3)
     x2 = jnp.concatenate([p2, jnp.ones_like(p2[..., :1])], axis=-1)
-    l2 = einsum("ij,nj->ni", F, x1)  # epipolar line in image 2
-    l1 = einsum("ji,nj->ni", F, x2)  # in image 1
-    d2 = einsum("ni,ni->n", l2, x2) ** 2 / jnp.maximum(l2[:, 0] ** 2 + l2[:, 1] ** 2, 1e-12)
-    d1 = einsum("ni,ni->n", l1, x1) ** 2 / jnp.maximum(l1[:, 0] ** 2 + l1[:, 1] ** 2, 1e-12)
+    l2 = _apply_lines(F, x1, False)  # (..., K, 3) epipolar lines in image 2
+    l1 = _apply_lines(F, x2, True)  # (..., K, 3) in image 1
+    d2 = jnp.sum(l2 * x2, -1) ** 2 / jnp.maximum(l2[..., 0] ** 2 + l2[..., 1] ** 2, 1e-12)
+    d1 = jnp.sum(l1 * x1, -1) ** 2 / jnp.maximum(l1[..., 0] ** 2 + l1[..., 1] ** 2, 1e-12)
     chi1 = d2 * inv_s2
     chi2 = d1 * inv_s2
     ok1 = chi1 <= F_CHI2_TH
     ok2 = chi2 <= F_CHI2_TH
     score = jnp.sum(
         jnp.where(valid & ok1, SCORE_CAP - chi1, 0.0)
-        + jnp.where(valid & ok2, SCORE_CAP - chi2, 0.0)
+        + jnp.where(valid & ok2, SCORE_CAP - chi2, 0.0),
+        axis=-1,
     )
     return score, valid & ok1 & ok2
 
 
 def score_homography(H21: jax.Array, p1: jax.Array, p2: jax.Array, valid: jax.Array, sigma: float = 1.0):
-    """Symmetric transfer-error chi^2 score for a homography."""
+    """Symmetric transfer-error chi^2 score for a homography; ``H21``
+    may carry leading hypothesis dims (broadcast-batched like
+    ``score_fundamental``)."""
     inv_s2 = 1.0 / (sigma * sigma)
-    H12 = jnp.linalg.inv(H21)
+    H12 = inv3x3(H21)
 
     def transfer(H, p):
         x = jnp.concatenate([p, jnp.ones_like(p[..., :1])], axis=-1)
-        y = einsum("ij,nj->ni", H, x)
-        return y[:, :2] / jnp.where(jnp.abs(y[:, 2:3]) > 1e-12, y[:, 2:3], 1e-12)
+        y = _apply_lines(H, x, False)  # (..., K, 3)
+        return y[..., :2] / jnp.where(jnp.abs(y[..., 2:3]) > 1e-12, y[..., 2:3], 1e-12)
 
     d1 = jnp.sum((p1 - transfer(H12, p2)) ** 2, axis=-1) * inv_s2
     d2 = jnp.sum((p2 - transfer(H21, p1)) ** 2, axis=-1) * inv_s2
     ok1 = d1 <= H_CHI2_TH
     ok2 = d2 <= H_CHI2_TH
     score = jnp.sum(
-        jnp.where(valid & ok1, SCORE_CAP - d1, 0.0) + jnp.where(valid & ok2, SCORE_CAP - d2, 0.0)
+        jnp.where(valid & ok1, SCORE_CAP - d1, 0.0) + jnp.where(valid & ok2, SCORE_CAP - d2, 0.0),
+        axis=-1,
     )
     return score, valid & ok1 & ok2
 
@@ -172,7 +188,7 @@ def ransac_fundamental(
     """All-hypotheses-at-once fundamental RANSAC over padded match arrays."""
     sets = sample_minimal_sets(key, valid, iterations, 8)
     Fs = jax.vmap(lambda idx: fit_fundamental_8pt(p1[idx], p2[idx]))(sets)
-    scores, inliers = jax.vmap(lambda F: score_fundamental(F, p1, p2, valid, sigma))(Fs)
+    scores, inliers = score_fundamental(Fs, p1, p2, valid, sigma)
     best = jnp.argmax(scores)
     return RansacResult(model=Fs[best], score=scores[best], inliers=inliers[best])
 
@@ -189,6 +205,6 @@ def ransac_homography(
     initializer uses — ``epipolar_geometry.cc:53-71``)."""
     sets = sample_minimal_sets(key, valid, iterations, 8)
     Hs = jax.vmap(lambda idx: fit_homography_dlt(p1[idx], p2[idx]))(sets)
-    scores, inliers = jax.vmap(lambda H: score_homography(H, p1, p2, valid, sigma))(Hs)
+    scores, inliers = score_homography(Hs, p1, p2, valid, sigma)
     best = jnp.argmax(scores)
     return RansacResult(model=Hs[best], score=scores[best], inliers=inliers[best])

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ur_mvo_tpu.ops.lie import HIGHEST
-from ur_mvo_tpu.ops.linalg import eigh3x3, smallest_singular_vector
+from ur_mvo_tpu.ops.linalg import eigh3x3, inv3x3, smallest_singular_vector
 
 einsum = partial(jnp.einsum, precision=HIGHEST)
 
@@ -74,5 +74,7 @@ def triangulate_bearings(
     evals, _ = eigh3x3(A)
     ok = (n >= 2) & (evals[0] > rank_tol)
     A_safe = jnp.where(ok, A, jnp.eye(3, dtype=A.dtype))
-    point = jnp.linalg.solve(A_safe, rhs)
+    # closed-form 3x3 solve (adjugate) — no LAPACK LU on the hot path;
+    # this runs batched under vmap for every pending mappoint.
+    point = jnp.sum(inv3x3(A_safe) * rhs[None, :], axis=-1)
     return jnp.where(ok, point, 0.0), ok
