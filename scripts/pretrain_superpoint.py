@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--lambda-desc", type=float, default=0.001)
     ap.add_argument("--init", default=None, help="warm-start from an existing .npz checkpoint")
     ap.add_argument("--flat-desc", action="store_true", help="descriptor pairs from flat shapes (no texture)")
+    ap.add_argument("--desc-objective", default="nce", choices=["nce", "hinge"])
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -55,6 +56,7 @@ def main():
         lambda_desc=args.lambda_desc,
         init_params=init_params,
         textured_desc=not args.flat_desc,
+        desc_objective=args.desc_objective,
     )
     superpoint.save_npz(params, args.out)
     print(f"saved {args.out}")

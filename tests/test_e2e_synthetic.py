@@ -29,8 +29,10 @@ def small_config():
     return cfg
 
 
-def run_vo(n_frames=40, noise_px=0.2, n_points=400, setup=SensorSetup.MONO, advance=0.05):
+def run_vo(n_frames=40, noise_px=0.2, n_points=400, setup=SensorSetup.MONO, advance=0.05, cfg_hook=None):
     cfg = small_config()
+    if cfg_hook is not None:
+        cfg_hook(cfg)
     cam = make_camera()
     T_wc, ts = make_trajectory(n_frames, advance=advance)
     X = make_landmarks(n_points, along=n_frames * advance)
@@ -233,3 +235,21 @@ def test_e2e_rgbd_through_engine():
     travel_gt = np.linalg.norm(gt[-1] - gt[0])
     assert abs(travel_est / max(travel_gt, 1e-9) - 1.0) < 0.15, (travel_est, travel_gt)
     assert ate_rmse(kpos, gt, align=True, correct_scale=False) < 0.1
+
+
+def test_e2e_async_ba():
+    """Async keyframe BA (one-keyframe-stale write-back on a secondary
+    device) must track with accuracy comparable to the synchronous path."""
+
+    def enable_async(cfg):
+        cfg.backend.ba_async = True
+
+    vo, est, gt, n_kf = run_vo(cfg_hook=enable_async)
+    assert vo.tracker.initialized
+    assert n_kf >= 4, n_kf
+    # the solve runs on a secondary virtual device (conftest provides 8)
+    assert vo.tracker.backend._ba_device is not None
+    ate = ate_rmse(est, gt, align=True, correct_scale=True)
+    assert ate < 0.08, ate
+    # trajectory reads flush pending results: nothing left in flight
+    assert vo.tracker.backend._pending_ba is None

@@ -95,6 +95,13 @@ class InitializerConfig:
     min_features_first: int = 200
     reseed_time: float = 3.0
     median_depth_scale: float = 4.0
+    # Minimum two-view parallax (deg, ORB-SLAM 50th-best-point metric)
+    # to accept a monocular initialization. The reference uses 1.0
+    # (epipolar_geometry.cc acceptance), which admits marginal-baseline
+    # inits whose shallow triangulations drift downstream (measured 5x
+    # worse 200-frame ATE); 2.0 rejects those while still initializing
+    # within a few frames at normal motion.
+    min_parallax_deg: float = 2.0
 
 
 @dataclasses.dataclass
@@ -121,6 +128,13 @@ class BackendConfig:
     enable_culling: bool = False
     cull_max_keyframes: int = 30
     cull_max_mappoints: int = 10000
+    # Asynchronous keyframe BA: dispatch the windowed BA without blocking
+    # and apply its result at the next keyframe (one-keyframe-stale
+    # write-back, like a mapping thread). With >1 device the solve runs
+    # on the last device, fully off the frontend chip's critical path —
+    # the TPU-native analog of the reference's extraction/tracking
+    # thread split (tracking.cc:57-59).
+    ba_async: bool = False
 
 
 @dataclasses.dataclass

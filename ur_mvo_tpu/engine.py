@@ -177,6 +177,7 @@ class UR_MVO:
 
         from ur_mvo_tpu.ops.lie import rotmat_to_quat
 
+        self.tracker.backend.flush_pending_ba()
         ts, R, t = self.tracker.backend.store.trajectory()
         quats = np.asarray(rotmat_to_quat(jnp.asarray(R)))
         return ts, t.astype(np.float64), quats

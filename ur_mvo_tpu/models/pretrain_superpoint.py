@@ -118,6 +118,16 @@ def render_texture(rng: np.random.Generator, H: int, W: int) -> np.ndarray:
         g = rng.uniform(0, 1, (octave, octave)).astype(np.float32)
         img += amp * _resize_bilinear_np(g, H, W)
         amp_total += amp
+    # blocky (nearest-neighbor) octave: piecewise-constant noise with
+    # sharp edges, the texture class of block-noise renders/sensor
+    # mosaics — smooth octaves alone teach descriptors that transfer
+    # poorly to high-frequency content
+    block = rng.integers(2, 5)
+    gh, gw = (H + block - 1) // block, (W + block - 1) // block
+    g = rng.uniform(0, 1, (gh, gw)).astype(np.float32)
+    amp = rng.uniform(0.3, 0.8)
+    img += amp * np.kron(g, np.ones((block, block), np.float32))[:H, :W]
+    amp_total += amp
     return img / amp_total
 
 
@@ -174,21 +184,30 @@ def detector_loss(params: Dict[str, Any], images: jax.Array, labels: jax.Array) 
     return jnp.sum(nll * w) / jnp.sum(w)
 
 
-def pretrain_loss(params, det_batch, desc_batch, lambda_desc: float = 0.001):
+def pretrain_loss(params, det_batch, desc_batch, lambda_desc: float = 0.001, desc_objective: str = "nce"):
     """Joint detector + descriptor loss (descriptor term uses the
-    homography Siamese pairs of ``train_superpoint``)."""
+    homography Siamese pairs of ``train_superpoint``).
+
+    ``desc_objective``: "nce" (InfoNCE over cell correspondences — the
+    effective from-scratch signal) or "hinge" (the reference's
+    double-normalized hinge, kept for parity experiments)."""
     det = detector_loss(params, det_batch["image"], det_batch["labels"])
     d0 = superpoint.descriptor_head(params, superpoint.backbone(params, desc_batch["orig"][..., None]))
     d1 = superpoint.descriptor_head(params, superpoint.backbone(params, desc_batch["warped"][..., None]))
-    desc = descriptor_loss(d0, d1, desc_batch["H"], desc_batch["mask"])
+    if desc_objective == "nce":
+        from ur_mvo_tpu.models.train_superpoint import descriptor_loss_nce
+
+        desc = descriptor_loss_nce(d0, d1, desc_batch["H"], desc_batch["mask"])
+    else:
+        desc = descriptor_loss(d0, d1, desc_batch["H"], desc_batch["mask"])
     return det + lambda_desc * desc, (det, desc)
 
 
-def make_pretrain_step(tx: optax.GradientTransformation, lambda_desc: float = 0.001):
+def make_pretrain_step(tx: optax.GradientTransformation, lambda_desc: float = 0.001, desc_objective: str = "nce"):
     @jax.jit
     def step(params, opt_state, det_batch, desc_batch):
         (loss, (det, desc)), grads = jax.value_and_grad(pretrain_loss, has_aux=True)(
-            params, det_batch, desc_batch, lambda_desc
+            params, det_batch, desc_batch, lambda_desc, desc_objective
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -209,6 +228,7 @@ def pretrain(
     lambda_desc: float = 0.001,
     init_params=None,
     textured_desc: bool = True,
+    desc_objective: str = "nce",
 ):
     """Run pretraining; returns trained params.
 
@@ -221,7 +241,7 @@ def pretrain(
     params = init_params if init_params is not None else superpoint.init_params(key)
     tx = optax.adam(lr)
     opt_state = tx.init(params)
-    step = make_pretrain_step(tx, lambda_desc)
+    step = make_pretrain_step(tx, lambda_desc, desc_objective)
     rng = np.random.default_rng(seed)
     jkey = jax.random.PRNGKey(seed + 1)
     for i in range(steps):
@@ -230,7 +250,9 @@ def pretrain(
         desc_imgs = (
             jnp.asarray(make_texture_batch(rng, batch, H, W)) if textured_desc else det_batch["image"]
         )
-        desc_batch = make_desc_batch(sub, desc_imgs)
+        # large translations so absolute position cannot shortcut the
+        # correspondence task (see make_pair)
+        desc_batch = make_desc_batch(sub, desc_imgs, translation=0.35, scale=0.25, rotation=0.3)
         params, opt_state, loss, det, desc = step(params, opt_state, det_batch, desc_batch)
         if log_every and (i + 1) % log_every == 0:
             print(f"pretrain step {i + 1}/{steps}: loss {float(loss):.4f} (det {float(det):.4f} desc {float(desc):.4f})")

@@ -167,37 +167,79 @@ def spd_inverse_small(M: jax.Array) -> jax.Array:
     return einsum("...ki,...kj->...ij", Linv, Linv)
 
 
+def qr_r_small(A: jax.Array) -> jax.Array:
+    """Unrolled Householder QR of (..., m, n), m >= n: returns the upper
+    triangular factor R (..., n, n) with A = Q R. Fully unrolled over
+    the (tiny, static) column count so it fuses into a few VPU kernels
+    over any leading batch dims — no LAPACK-style sequential kernels."""
+    m, n = A.shape[-2], A.shape[-1]
+    for j in range(n):
+        x = A[..., j:, j]  # (..., m-j)
+        norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+        x0 = x[..., :1]
+        # sign chosen to avoid cancellation; alpha = -sign(x0) * |x|
+        sign = jnp.where(x0 >= 0, 1.0, -1.0)
+        alpha = -sign * norm
+        v = x.at[..., :1].add(-alpha)
+        vtv = jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-30)
+        sub = A[..., j:, j:]  # (..., m-j, n-j)
+        vt_sub = jnp.sum(v[..., :, None] * sub, axis=-2)  # (..., n-j)
+        sub = sub - (2.0 / vtv)[..., :, None] * v[..., :, None] * vt_sub[..., None, :]
+        # column j is exactly (alpha, 0, ..., 0) after the reflection
+        sub = sub.at[..., :, 0].set(0.0)
+        sub = sub.at[..., 0, 0].set(alpha[..., 0])
+        A = A.at[..., j:, j:].set(sub)
+    return jnp.triu(A[..., :n, :])
+
+
 def smallest_singular_vector(A: jax.Array, iterations: int = 8) -> jax.Array:
-    """Right-singular vector of the smallest singular value of
-    ``A`` (..., m, n) via inverse iteration on A^T A + eps*I.
+    """Right-singular vector of the smallest singular value of ``A``
+    (..., m, n), m >= n.
 
     Replaces ``svd(A)[2][-1]`` in the 8-point / DLT-PnP / homography
-    minimal solvers. The shifted normal matrix is SPD, so its inverse is
-    formed once with the unrolled Cholesky (no LAPACK-style sequential
-    LU, which dominated the RANSAC profile on TPU) and the iterations
-    are plain normalized matvecs. The shift eps is scaled to the matrix
-    magnitude; for RANSAC minimal solves the smallest singular value is
-    well separated from the rest, so a few iterations converge far
-    below the noise floor.
+    minimal solvers. Computed as inverse iteration with the triangular
+    factor of an unrolled Householder QR of ``A`` itself — never forming
+    A^T A, whose f32 rounding (eps * cond^2) limited null-vector
+    accuracy to ~1e-2 rotations on near-degenerate PnP systems. Each
+    iteration applies (R^-1 R^-T), i.e. the exact (A^T A)^-1 of the
+    computed R, via an explicit unrolled triangular inverse; a
+    rank-deficient R has (near-)zero diagonal entries which are clamped
+    relative to the largest diagonal, leaving R^-1 finite and dominated
+    by the estimated null direction — exactly what inverse iteration
+    amplifies. No LAPACK-style sequential kernels anywhere (batched
+    lu_factor/lu_solve dominated the RANSAC profile on TPU).
     """
     n = A.shape[-1]
-    AtA = einsum("...mi,...mj->...ij", A, A)
-    scale = jnp.maximum(jnp.trace(AtA, axis1=-2, axis2=-1)[..., None, None] / n, 1e-20)
-    # Normalize to O(1) eigenvalues and shift by 1e-8: the isotropic
-    # shift leaves eigenvectors exactly unchanged, and a *small* shift
-    # preserves the inverse-iteration gap (lam_min+s)/(lam_2+s) on
-    # near-degenerate systems (short-baseline triangulation, PnP DLT) —
-    # measured on the 200-frame synthetic run, shift 1e-6 drifts 1.1 m
-    # ATE vs 0.03 m at 1e-8. When f32 rounding makes the shifted matrix
-    # numerically indefinite, ``cholesky_small``'s pivot floor (1e-10)
-    # keeps M^{-1} finite and dominated by the estimated null direction
-    # — exactly what inverse iteration amplifies (the previous
-    # LAPACK-LU formulation NaN'd on such spectra).
-    M = AtA / scale + 1e-8 * jnp.eye(n, dtype=A.dtype)
-    Minv = spd_inverse_small(M)
+    m = A.shape[-2]
+    scale = jnp.sqrt(jnp.maximum(jnp.mean(A * A, axis=(-2, -1), keepdims=True), 1e-30))
+    A = A / scale
+    if m < n:
+        # underdetermined minimal systems (e.g. the 8x9 eight-point
+        # matrix): pad with zero rows — A^T A is unchanged and the QR
+        # factor gains exact zero diagonal entries for the null space,
+        # which the clamp below turns into the dominant inverse
+        # directions.
+        pad = jnp.zeros(A.shape[:-2] + (n - m, n), A.dtype)
+        A = jnp.concatenate([A, pad], axis=-2)
+    R = qr_r_small(A)
+    # clamp near-zero diagonal (rank deficiency) relative to the matrix
+    # magnitude, preserving sign
+    diag = jnp.diagonal(R, axis1=-2, axis2=-1)
+    dmax = jnp.maximum(jnp.max(jnp.abs(diag), axis=-1, keepdims=True), 1e-30)
+    dsafe = jnp.where(jnp.abs(diag) < 1e-7 * dmax, 1e-7 * dmax * jnp.where(diag >= 0, 1.0, -1.0), diag)
+    ii = jnp.arange(n)
+    R = R.at[..., ii, ii].set(dsafe)
+    # explicit triangular inverse (R upper): R^-1 = (tril_inv(R^T))^T
+    Rinv = jnp.swapaxes(tril_inverse_small(jnp.swapaxes(R, -1, -2)), -1, -2)
     v = jnp.ones(A.shape[:-2] + (n,), A.dtype) / jnp.sqrt(jnp.asarray(n, A.dtype))
     for _ in range(iterations):
-        v = jnp.sum(Minv * v[..., None, :], axis=-1)
+        # v <- R^-1 (R^-T v): inverse iteration on A^T A. Normalize
+        # after EACH triangular application — R^-1 entries reach ~1/clamp
+        # (1e7) on rank-deficient systems, so the unnormalized double
+        # application can overflow f32 and collapse v to zero.
+        w = jnp.sum(Rinv * v[..., :, None], axis=-2)
+        w = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-30)
+        v = jnp.sum(Rinv * w[..., None, :], axis=-1)
         v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
     return v
 
@@ -216,5 +258,14 @@ def nearest_rotation(M: jax.Array) -> tuple[jax.Array, jax.Array]:
     d = jnp.stack([sign / s[..., 0], 1.0 / s[..., 1], 1.0 / s[..., 2]], axis=-1)
     inv_sqrt = einsum("...ik,...k,...jk->...ij", V, d, V)
     R = mm(M, inv_sqrt)
+    # Higham polar polish: R <- (R + R^-T) / 2. When M is a nearly
+    # *exact* scaled rotation, M^T M ~ s^2 I has degenerate eigenvalues
+    # and the Cardano eigenvectors above lose orthogonality (measured
+    # ~4e-2 rotation error on exact DLT-PnP systems); the computed
+    # inv_sqrt is still symmetric PSD, so the polar factor of R equals
+    # the true rotation and the quadratically-convergent Newton polish
+    # recovers it. No-op (to rounding) when R is already orthogonal.
+    for _ in range(3):
+        R = 0.5 * (R + jnp.swapaxes(inv3x3(R), -1, -2))
     scale = jnp.mean(s, axis=-1) * sign
     return R, scale

@@ -123,10 +123,11 @@ def optimize_pose(
             delta = jnp.where(is_stereo, delta_stereo, delta_mono)
             w_huber = jnp.where(rnorm <= delta, 1.0, delta / rnorm)
             w = jnp.where(use_huber, w_huber, 1.0) * inlier_mask
-            # (6,6)/(6,) normal terms as single flat (6, 3N) contractions
+            # (6,7) normal terms [H | g] in ONE flat (6, 3N) contraction
             Jwf = (J * w[:, None, None]).reshape(-1, 6)
-            H = jnp.matmul(Jwf.T, J.reshape(-1, 6), precision=HIGHEST)
-            g = jnp.matmul(Jwf.T, r.reshape(-1), precision=HIGHEST)
+            Jr = jnp.concatenate([J.reshape(-1, 6), r.reshape(-1, 1)], axis=1)
+            Hg = jnp.matmul(Jwf.T, Jr, precision=HIGHEST)
+            H, g = Hg[:, :6], Hg[:, 6]
             H = H + damping * jnp.eye(6) * jnp.maximum(jnp.trace(H) / 6.0, 1e-6)
             # H is SPD (damped normal matrix): unrolled-Cholesky inverse
             # instead of a sequential 6x6 LAPACK LU per scan iteration.
@@ -138,7 +139,11 @@ def optimize_pose(
             t_new = einsum("ij,j->i", dR, t) + dt
             return (R_new, t_new), None
 
-        (R, t), _ = jax.lax.scan(gn_step, (R, t), None, length=iters_per_round, unroll=min(iters_per_round, 5))
+        # fully unrolled: the body is ~50 tiny ops over (N, 3, 6) arrays,
+        # so a rolled scan is per-op-overhead-bound on TPU (profiled at
+        # ~2 ms for the 4x10 schedule); unrolling lets XLA fuse across
+        # iterations.
+        (R, t), _ = jax.lax.scan(gn_step, (R, t), None, length=iters_per_round, unroll=iters_per_round)
         return R, t
 
     def round_body(carry, round_idx):
@@ -154,7 +159,7 @@ def optimize_pose(
         return (R, t, inliers), None
 
     init = (R_cw0, t_cw0, obs.valid)
-    (R, t, inliers), _ = jax.lax.scan(round_body, init, jnp.arange(rounds))
+    (R, t, inliers), _ = jax.lax.scan(round_body, init, jnp.arange(rounds), unroll=rounds)
     return PoseOptResult(
         R_cw=R, t_cw=t, inliers=inliers, n_inliers=jnp.sum(inliers.astype(jnp.int32))
     )

@@ -65,6 +65,13 @@ class Backend:
             return bundle_adjust(prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, ba_cfg)
 
         self._ba = _ba
+        # Async keyframe BA (cfg.ba_async): the solve is dispatched
+        # without blocking and written back one keyframe later. With >1
+        # device it is placed on the last device so the frontend chip
+        # never serializes behind it.
+        self._pending_ba = None
+        devs = jax.devices()
+        self._ba_device = devs[-1] if (backend_cfg.ba_async and len(devs) > 1) else None
 
     # ------------------------------------------------------------------
     # Keyframe insertion (Mapping::InsertKeyframe, mapping.cc:41-130)
@@ -139,6 +146,9 @@ class Backend:
             self.local_bundle_adjustment(slot)
 
         if self.cfg.enable_culling:
+            # culling compacts slots: a pending async BA holds slot
+            # indices, so it must land first
+            self.flush_pending_ba()
             st.cull(self.cfg.cull_max_keyframes, self.cfg.cull_max_mappoints)
 
         s = st.frame_id_to_slot[frame_id]
@@ -188,9 +198,20 @@ class Backend:
     # Local BA (Mapping::LocalMapOptimization, mapping.cc:335-539)
     # ------------------------------------------------------------------
 
+    def flush_pending_ba(self) -> None:
+        """Block on and write back an in-flight async BA result (no-op
+        when nothing is pending). Called before the next BA dispatch and
+        before any trajectory/map read that must see optimized state."""
+        if self._pending_ba is None:
+            return
+        res, meta = self._pending_ba
+        self._pending_ba = None
+        self._apply_ba_result(res, *meta)
+
     def local_bundle_adjustment(self, new_slot: int) -> None:
         st = self.store
         cfg = self.cfg
+        self.flush_pending_ba()
         window = st.window_frames(new_slot, cfg.window_opt_frames)
         new_frame_id = st.kf_frame_id[new_slot]
 
@@ -274,8 +295,20 @@ class Backend:
             obs_uv=jnp.asarray(pad(uvr, O, (3,))),
             obs_valid=jnp.asarray(np.arange(O) < len(pi)),
         )
+        if self._ba_device is not None:
+            prob = jax.device_put(prob, self._ba_device)
         res = self._ba(prob)
 
+        meta = (frames, frame_fixed, mp_sel, pi, fi, p_idx, uvr)
+        if self.cfg.ba_async:
+            # JAX dispatch is already asynchronous: stash the on-device
+            # result and return without materializing it on the host.
+            self._pending_ba = (res, meta)
+        else:
+            self._apply_ba_result(res, *meta)
+
+    def _apply_ba_result(self, res, frames, frame_fixed, mp_sel, pi, fi, p_idx, uvr) -> None:
+        st = self.store
         # write back (mapping.cc:506-538)
         free = ~frame_fixed
         st.kf_R[frames[free]] = np.asarray(res.R_wc)[: len(frames)][free]
@@ -317,6 +350,7 @@ class Backend:
             sequential_edges_from_trajectory,
         )
 
+        self.flush_pending_ba()
         st = self.store
         slots = st.keyframe_slots()
         order = slots[np.argsort(st.kf_frame_id[slots])]

@@ -118,6 +118,7 @@ class Tracker:
                 iterations=init_cfg.ransac_iterations,
                 sigma=init_cfg.sigma,
                 min_triangulated=50,
+                min_parallax_deg=init_cfg.min_parallax_deg,
             )
 
         self._init_kernel = _init_kernel
