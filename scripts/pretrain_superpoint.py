@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--init", default=None, help="warm-start from an existing .npz checkpoint")
     ap.add_argument("--flat-desc", action="store_true", help="descriptor pairs from flat shapes (no texture)")
     ap.add_argument("--desc-objective", default="nce", choices=["nce", "hinge"])
+    ap.add_argument("--detector-only", action="store_true",
+                    help="train only the detector head; keep the random backbone/descriptors")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -57,6 +59,7 @@ def main():
         init_params=init_params,
         textured_desc=not args.flat_desc,
         desc_objective=args.desc_objective,
+        detector_only=args.detector_only,
     )
     superpoint.save_npz(params, args.out)
     print(f"saved {args.out}")

@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--timing-csv", default=None, help="write per-stage host timing CSV")
     ap.add_argument("--plot", default=None, metavar="PNG",
                     help="save a top-down trajectory + map plot (matplotlib)")
+    ap.add_argument("--weights", default=None,
+                    help="SuperPoint checkpoint (.npz/.pth); overrides the config's superpoint.weights_path")
+    ap.add_argument("--matcher", default=None, choices=["superglue", "nn"],
+                    help="matcher override (nn = mutual nearest-neighbor, no learned weights needed)")
     args = ap.parse_args()
 
     import jax
@@ -54,7 +58,14 @@ def main():
     from ur_mvo_tpu.utils.tum_io import associate, read_tum, write_tum
 
     setup = {"mono": Setup.MONO, "stereo": Setup.STEREO, "rgbd": Setup.RGBD}[args.setup]
-    vo = UR_MVO(args.config, setup)
+    from ur_mvo_tpu.config import Configs
+
+    cfg = Configs.from_yaml(args.config, setup) if args.config else Configs()
+    if args.weights:
+        cfg.superpoint.weights_path = args.weights
+    if args.matcher:
+        cfg.superglue.matcher = args.matcher
+    vo = UR_MVO(cfg, setup)
     ds = Dataset(args.images, use_right=(setup == Setup.STEREO), use_depth=(setup == Setup.RGBD))
     os.makedirs(args.results, exist_ok=True)
 

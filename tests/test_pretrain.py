@@ -101,3 +101,56 @@ def test_shipped_checkpoint_loads_and_detects():
 
     m = match_nn(bank, b1, min_similarity=0.2, ratio=0.99)
     assert int(m.num_valid()) >= 60
+
+
+@pytest.mark.slow
+def test_shipped_v3_checkpoint_vo_capable():
+    """weights/superpoint_scratch_v3.npz (detector-only pretraining on a
+    frozen random backbone — see ``detector_head_mask``) must carry full
+    VO on a rendered textured scene: initialization succeeds and the
+    trajectory beats the coarse drift gate."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "weights", "superpoint_scratch_v3.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip("v3 checkpoint not present")
+    from tests.test_neural_e2e import render_plane_sequence
+    from ur_mvo_tpu.camera import make_pinhole
+    from ur_mvo_tpu.components import Frame, Image
+    from ur_mvo_tpu.config import Configs, SensorSetup
+    from ur_mvo_tpu.engine import UR_MVO
+    from ur_mvo_tpu.utils.metrics import ate_rmse
+
+    H, W, fx = 240, 320, 260.0
+    n = 24
+    images, T_wc = render_plane_sequence(n, H, W, fx)
+    cam = make_pinhole(W, H, fx, fx, W / 2, H / 2)
+    cfg = Configs()
+    cfg.superpoint.capacity = 512
+    cfg.superpoint.max_keypoints = 400
+    cfg.superpoint.keypoint_threshold = 1e-4
+    cfg.superpoint.weights_path = path
+    cfg.superglue.matcher = "nn"
+    cfg.superglue.image_width = W
+    cfg.superglue.image_height = H
+    cfg.initializer.min_matches = 60
+    cfg.initializer.min_features_first = 100
+    cfg.backend.window_opt_frames = 8
+    cfg.backend.window_fixed_frames = 6
+    cfg.backend.ba_max_points = 1024
+    cfg.backend.ba_max_observations = 4096
+    cfg.backend.ba_iterations_phase1 = 6
+    cfg.backend.ba_iterations_phase2 = 3
+    cfg.runtime.compute_dtype = "float32"
+    vo = UR_MVO(cfg, SensorSetup.MONO, camera=cam)
+    for i in range(n):
+        vo.process(Frame(image=Image(images[i], i / 30.0)))
+    assert vo.tracker.initialized
+    kts, kpos, _ = vo.keyframe_trajectory()
+    assert len(kts) >= 3
+    idx = np.clip((np.asarray(kts) * 30.0).round().astype(int), 0, n - 1)
+    gt = T_wc[idx, :3, 3]
+    ate = ate_rmse(kpos, gt, align=True, correct_scale=True)
+    assert ate < 0.2, ate

@@ -192,6 +192,9 @@ def pretrain_loss(params, det_batch, desc_batch, lambda_desc: float = 0.001, des
     effective from-scratch signal) or "hinge" (the reference's
     double-normalized hinge, kept for parity experiments)."""
     det = detector_loss(params, det_batch["image"], det_batch["labels"])
+    if lambda_desc == 0.0:
+        # detector-only mode: skip the Siamese descriptor forward entirely
+        return det, (det, jnp.zeros(()))
     d0 = superpoint.descriptor_head(params, superpoint.backbone(params, desc_batch["orig"][..., None]))
     d1 = superpoint.descriptor_head(params, superpoint.backbone(params, desc_batch["warped"][..., None]))
     if desc_objective == "nce":
@@ -201,6 +204,20 @@ def pretrain_loss(params, det_batch, desc_batch, lambda_desc: float = 0.001, des
     else:
         desc = descriptor_loss(d0, d1, desc_batch["H"], desc_batch["mask"])
     return det + lambda_desc * desc, (det, desc)
+
+
+def detector_head_mask(params):
+    """Trainable mask: detector head (convPa/convPb) only.
+
+    Training the shared VGG backbone for cornerness collapses the
+    feature diversity the descriptor path needs — measured: matching
+    with a *random* descriptor head on a detector-trained backbone is as
+    bad as the fully-trained descriptors (~90 px median mutual-NN
+    displacement on a textured render), while a fully random network
+    matches coherently (~8 px; random projections of raw patches are
+    strong descriptors). Freezing the backbone at its random init keeps
+    that property and still lets the detector head learn corners."""
+    return {name: jax.tree.map(lambda _: name in ("convPa", "convPb"), p) for name, p in params.items()}
 
 
 def make_pretrain_step(tx: optax.GradientTransformation, lambda_desc: float = 0.001, desc_objective: str = "nce"):
@@ -229,19 +246,29 @@ def pretrain(
     init_params=None,
     textured_desc: bool = True,
     desc_objective: str = "nce",
+    detector_only: bool = False,
 ):
     """Run pretraining; returns trained params.
 
     ``init_params`` warm-starts from an existing checkpoint (e.g. to
     re-train the descriptor head on textured pairs after the detector
     converged). ``textured_desc`` feeds octave-noise-textured images to
-    the descriptor pairs instead of flat synthetic shapes."""
+    the descriptor pairs instead of flat synthetic shapes.
+    ``detector_only`` freezes everything except the detector head,
+    preserving the random backbone/descriptors (see
+    :func:`detector_head_mask` for why that matches better)."""
     from ur_mvo_tpu.models.train_superpoint import make_batch as make_desc_batch
 
     params = init_params if init_params is not None else superpoint.init_params(key)
-    tx = optax.adam(lr)
+    if detector_only:
+        tx = optax.multi_transform(
+            {True: optax.adam(lr), False: optax.set_to_zero()},
+            param_labels=detector_head_mask,
+        )
+    else:
+        tx = optax.adam(lr)
     opt_state = tx.init(params)
-    step = make_pretrain_step(tx, lambda_desc, desc_objective)
+    step = make_pretrain_step(tx, 0.0 if detector_only else lambda_desc, desc_objective)
     rng = np.random.default_rng(seed)
     jkey = jax.random.PRNGKey(seed + 1)
     for i in range(steps):

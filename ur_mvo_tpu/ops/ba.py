@@ -373,12 +373,15 @@ def bundle_adjust(
         builder = build_normal_terms
 
     def lm_phase(state, active, n_iters, use_huber):
-        def step(carry, _):
-            R_cw, t_cw, X, lam, cost_prev = carry
+        def linearize(R_cw, t_cw, X):
             H_cc, b_c, H_pp, b_p, U, _ = builder(
                 prob, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg, active, use_huber
             )
-            delta_c_free, delta_p = solve_schur(H_cc, b_c, H_pp, b_p, U, slot_active, point_free, lam)
+            return (H_cc, b_c, H_pp, b_p, U)
+
+        def step(carry, _):
+            R_cw, t_cw, X, lam, cost_prev, lin = carry
+            delta_c_free, delta_p = solve_schur(*lin, slot_active, point_free, lam)
             delta_c = delta_c_free[free_rank] * frame_free[:, None].astype(delta_c_free.dtype)
             R_try, t_try, X_try = _apply_update(R_cw, t_cw, X, delta_c, delta_p, frame_free, point_free)
             r, _, _, is_stereo, _ = _residuals(R_try, t_try, X_try, prob, fx, fy, cx, cy, bf)
@@ -393,15 +396,19 @@ def bundle_adjust(
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
             lam = jnp.clip(lam, 1e-8, 1e6)
             cost = jnp.where(accept, cost_try, cost_prev)
-            return (R_cw, t_cw, X, lam, cost), None
+            # g2o-style LM: a rejected step retries with larger lambda
+            # against the SAME linearization — re-linearizing is only
+            # needed (and only paid, via cond) after an accepted step.
+            lin = jax.lax.cond(accept, lambda: linearize(R_cw, t_cw, X), lambda: lin)
+            return (R_cw, t_cw, X, lam, cost, lin), None
 
         R_cw, t_cw, X = state
         r0, _, _, st0, _ = _residuals(R_cw, t_cw, X, prob, fx, fy, cx, cy, bf)
         cost0 = jnp.sum(
             _robust_cost(_chi2(r0, st0), st0, cfg.chi2_mono, cfg.chi2_stereo, use_huber) * active
         )
-        init = (R_cw, t_cw, X, jnp.asarray(cfg.lm_lambda0), cost0)
-        (R_cw, t_cw, X, _, cost), _ = jax.lax.scan(step, init, None, length=n_iters)
+        init = (R_cw, t_cw, X, jnp.asarray(cfg.lm_lambda0), cost0, linearize(R_cw, t_cw, X))
+        (R_cw, t_cw, X, _, cost, _), _ = jax.lax.scan(step, init, None, length=n_iters)
         return (R_cw, t_cw, X), cost
 
     active0 = prob.obs_valid.astype(jnp.float32)

@@ -123,11 +123,14 @@ def optimize_pose(
             delta = jnp.where(is_stereo, delta_stereo, delta_mono)
             w_huber = jnp.where(rnorm <= delta, 1.0, delta / rnorm)
             w = jnp.where(use_huber, w_huber, 1.0) * inlier_mask
-            # (6,7) normal terms [H | g] in ONE flat (6, 3N) contraction
-            Jwf = (J * w[:, None, None]).reshape(-1, 6)
-            Jr = jnp.concatenate([J.reshape(-1, 6), r.reshape(-1, 1)], axis=1)
-            Hg = jnp.matmul(Jwf.T, Jr, precision=HIGHEST)
-            H, g = Hg[:, :6], Hg[:, 6]
+            # normal terms as fused VPU broadcast-reductions: a (6, 3N) x
+            # (3N, 7) matmul here forces an MXU round-trip (M=6 -> <5%
+            # tile use) and a fusion boundary in a 40-iteration sequential
+            # chain that is launch-overhead-bound; these reductions fuse
+            # with the residual/Jacobian computation instead.
+            Jw = J * w[:, None, None]
+            H = jnp.sum(Jw[:, :, :, None] * J[:, :, None, :], axis=(0, 1))
+            g = jnp.sum(Jw * r[:, :, None], axis=(0, 1))
             H = H + damping * jnp.eye(6) * jnp.maximum(jnp.trace(H) / 6.0, 1e-6)
             # H is SPD (damped normal matrix): unrolled-Cholesky inverse
             # instead of a sequential 6x6 LAPACK LU per scan iteration.
