@@ -54,3 +54,45 @@ def test_pallas_attention_matches_xla():
 
     out = attention_pallas(q, k, v, valid, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_pallas_pose_opt_matches_xla():
+    """The single-program Pallas pose optimizer (interpret mode on CPU)
+    must match the XLA 4x10 schedule bit-closely, including Huber, the
+    stereo rows and the per-round chi^2 reclassification."""
+    import numpy as np
+
+    from ur_mvo_tpu.ops import lie
+    from ur_mvo_tpu.ops.pallas_pose import optimize_pose_pallas
+    from ur_mvo_tpu.ops.pose_opt import PoseObs, optimize_pose
+
+    rng = np.random.default_rng(3)
+    N = 300
+    X = rng.uniform([-2, -2, 4], [2, 2, 9], (N, 3)).astype(np.float32)
+    R_true = np.asarray(lie.so3_exp(jnp.array([0.03, -0.05, 0.02])))
+    t_true = np.array([0.1, -0.05, 0.03], np.float32)
+    fx = fy = 400.0
+    cx, cy = 320.0, 240.0
+    bf = 40.0
+    pc = X @ R_true.T + t_true
+    u = fx * pc[:, 0] / pc[:, 2] + cx + rng.normal(0, 0.5, N)
+    v = fy * pc[:, 1] / pc[:, 2] + cy + rng.normal(0, 0.5, N)
+    ur = u - bf / pc[:, 2]
+    ur[: N // 2] = -1.0  # half mono
+    u[:30] += rng.uniform(20, 60, 30)  # outliers
+    uv = np.stack([u, v, ur], 1).astype(np.float32)
+    valid = np.ones(N, bool)
+    valid[280:] = False
+
+    obs = PoseObs(X=jnp.asarray(X), uv=jnp.asarray(uv), valid=jnp.asarray(valid))
+    res = optimize_pose(jnp.eye(3), jnp.zeros(3), obs, fx, fy, cx, cy, bf)
+    Rp, tp, inlp = optimize_pose_pallas(
+        jnp.eye(3), jnp.zeros(3), jnp.asarray(X), jnp.asarray(uv), jnp.asarray(valid),
+        fx, fy, cx, cy, bf, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(res.R_cw), np.asarray(Rp), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(res.t_cw), np.asarray(tp), atol=2e-4)
+    assert (np.asarray(res.inliers) == np.asarray(inlp)).mean() > 0.99
+    # converged to the true pose
+    assert np.abs(np.asarray(Rp) - R_true).max() < 5e-3
+    assert np.abs(np.asarray(tp) - t_true).max() < 2e-2
