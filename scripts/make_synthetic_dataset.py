@@ -104,7 +104,27 @@ def main():
     gt_path = args.gt or os.path.join(args.out, "gt.txt")
     q = np.asarray(rotmat_to_quat(jnp.asarray(T_wc[:, :3, :3])))
     write_tum(gt_path, ts, T_wc[:, :3, 3], q)
-    print(f"wrote {args.frames} frames to {data_dir} and GT to {gt_path}")
+
+    # true calibration in the reference's OpenCV-YAML format, picked up
+    # automatically by scripts/run_vo.py (and loadable via
+    # input.camera_config_path in a config YAML)
+    cam_path = os.path.join(args.out, "camera.yaml")
+    fx = args.fx
+    cx, cy = W / 2.0, H / 2.0
+    with open(cam_path, "w") as f:
+        f.write(
+            "%YAML:1.0\n---\n"
+            f"image_width: {W}\n"
+            f"image_height: {H}\n"
+            "distortion_type: 0\n"
+            "LEFT_K: !!opencv-matrix\n"
+            "   rows: 3\n   cols: 3\n   dt: d\n"
+            f"   data: [{fx}, 0., {cx}, 0., {fx}, {cy}, 0., 0., 1.]\n"
+            "LEFT_D: !!opencv-matrix\n"
+            "   rows: 1\n   cols: 4\n   dt: d\n"
+            "   data: [0., 0., 0., 0.]\n"
+        )
+    print(f"wrote {args.frames} frames to {data_dir}, GT to {gt_path}, calib to {cam_path}")
 
 
 if __name__ == "__main__":

@@ -65,6 +65,10 @@ def main():
         cfg.superpoint.weights_path = args.weights
     if args.matcher:
         cfg.superglue.matcher = args.matcher
+    # dataset-local calibration (written by make_synthetic_dataset.py)
+    seq_cam = os.path.join(args.images, "camera.yaml")
+    if cfg.camera_config_path is None and os.path.exists(seq_cam):
+        cfg.camera_config_path = seq_cam
     vo = UR_MVO(cfg, setup)
     ds = Dataset(args.images, use_right=(setup == Setup.STEREO), use_depth=(setup == Setup.RGBD))
     os.makedirs(args.results, exist_ok=True)

@@ -201,14 +201,20 @@ class Configs:
         if cam_rel:
             cfg.camera_config_path = cam_rel if os.path.isabs(cam_rel) else os.path.join(base_dir, cam_rel)
         cfg.use_mask = bool(inp.get("use_mask", 0))
+        def _rel(p):
+            # weight/calibration paths in YAML resolve relative to the
+            # config file (the reference hardcodes container-absolute
+            # paths instead — read_configs.h:68-70)
+            return p if (p is None or os.path.isabs(p)) else os.path.join(base_dir, p)
+
         sp = raw.get("superpoint", {})
         for k in ("max_keypoints", "keypoint_threshold", "remove_borders", "nms_radius", "weights_path", "capacity", "descriptor_source"):
             if k in sp:
-                setattr(cfg.superpoint, k, sp[k])
+                setattr(cfg.superpoint, k, _rel(sp[k]) if k == "weights_path" else sp[k])
         sg = raw.get("superglue", {})
         for k in ("image_width", "image_height", "matching_threshold", "sinkhorn_iterations", "num_layers", "num_heads", "weights_path"):
             if k in sg:
-                setattr(cfg.superglue, k, sg[k])
+                setattr(cfg.superglue, k, _rel(sg[k]) if k == "weights_path" else sg[k])
         kf = raw.get("keyframe", {})
         for k in ("min_num_match", "max_num_match", "max_distance", "max_angle", "max_num_passed_frame"):
             if k in kf:

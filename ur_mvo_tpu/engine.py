@@ -88,6 +88,11 @@ class UR_MVO:
                 cfg.superglue.image_width, cfg.superglue.image_height,
                 400.0, 400.0, cfg.superglue.image_width / 2, cfg.superglue.image_height / 2,
             )
+        # keep the matcher's keypoint-normalization dimensions in sync
+        # with the actual camera (the reference reads them from separate
+        # config keys and they can silently disagree)
+        cfg.superglue.image_width = self.camera.width
+        cfg.superglue.image_height = self.camera.height
         self._injected_camera = camera
         self._injected_extractor = extractor
         self.extractor = extractor or NeuralExtractor(cfg, self.camera)

@@ -119,10 +119,20 @@ def _pose_kernel(
         chi2 = ru * ru + rv * rv + rr * rr
         return pcx, pcy, pcz, iz, ru, rv, rr, chi2
 
+    def robust_cost(chi2, mask, use_huber):
+        if not use_huber:
+            return jnp.sum(chi2 * mask)
+        s = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+        rho = jnp.where(chi2 <= th, chi2, 2.0 * delta_th * s - th)
+        return jnp.sum(rho * mask)
+
     inl = valid
     R, t = R0, t0
     for rnd in range(rounds):
-        use_huber = rnd < rounds - 1
+        # g2o drops the robust kernel in the 4th round
+        # (g2o_optimization.cc FrameOptimization; same constant as the
+        # XLA path's `round_idx < 3`)
+        use_huber = rnd < 3
         R, t = R0, t0  # g2o resets the vertex each round
         for _ in range(iters_per_round):
             pcx, pcy, pcz, iz, ru, rv, rr, chi2 = project(R, t)
@@ -170,7 +180,16 @@ def _pose_kernel(
                 for i in range(3)
             ]
             t_new = [dR[i][0] * t[0] + dR[i][1] * t[1] + dR[i][2] * t[2] + dt[i] for i in range(3)]
-            R, t = R_new, t_new
+            # LM step acceptance (matches the XLA path): revert steps
+            # that increase the active robust cost — rank-deficient
+            # problems otherwise diverge along unobserved directions.
+            cost0 = robust_cost(chi2, inl, use_huber)
+            _, _, _, _, _, _, _, chi2_new = project(R_new, t_new)
+            cost1 = robust_cost(chi2_new, inl, use_huber)
+            ok = (cost1 <= cost0) & jnp.isfinite(t_new[0] + t_new[1] + t_new[2])
+            okf = ok.astype(jnp.float32)
+            R = [[okf * R_new[i][j] + (1.0 - okf) * R[i][j] for j in range(3)] for i in range(3)]
+            t = [okf * t_new[i] + (1.0 - okf) * t[i] for i in range(3)]
         # chi^2 reclassification at the round's result
         _, _, pcz, _, _, _, _, chi2 = project(R, t)
         inl = valid * (chi2 <= th).astype(jnp.float32) * (pcz > 0.0).astype(jnp.float32)

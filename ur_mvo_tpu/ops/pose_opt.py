@@ -127,11 +127,21 @@ def optimize_pose(
     def chi2_of(r, is_stereo):
         return jnp.where(is_stereo, jnp.sum(r * r, -1), jnp.sum(r[:, :2] * r[:, :2], -1))
 
+    def robust_cost(chi2, is_stereo, mask, use_huber):
+        # the objective g2o's LM monitors: Huber rho while the robust
+        # kernel is active, raw chi2 in the final round
+        th = jnp.where(is_stereo, th_stereo, th_mono)
+        delta = jnp.sqrt(th)
+        s = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+        rho = jnp.where(chi2 <= th, chi2, 2.0 * delta * s - th)
+        return jnp.sum(jnp.where(use_huber, rho, chi2) * mask)
+
     def gn_round(R, t, inlier_mask, use_huber):
         def gn_step(carry, _):
             R, t = carry
             r, J, is_stereo, _ = _residuals_jac(R, t, obs, fx, fy, cx, cy, bf)
             chi2 = chi2_of(r, is_stereo)
+            cost0 = robust_cost(chi2, is_stereo, inlier_mask, use_huber)
             rnorm = jnp.sqrt(jnp.maximum(chi2, 1e-12))
             delta = jnp.where(is_stereo, delta_stereo, delta_mono)
             w_huber = jnp.where(rnorm <= delta, 1.0, delta / rnorm)
@@ -153,6 +163,16 @@ def optimize_pose(
             dR, dt = se3_exp(dx)
             R_new = jnp.matmul(dR, R, precision=HIGHEST)
             t_new = einsum("ij,j->i", dR, t) + dt
+            # step acceptance (g2o's FrameOptimization is LM, not plain
+            # GN): a step that increases the robust cost is reverted.
+            # Without this, rank-deficient problems (a handful of wrong
+            # correspondences) diverge unboundedly along the unobserved
+            # pose directions.
+            r_new, _, st_new, _ = _residuals_jac(R_new, t_new, obs, fx, fy, cx, cy, bf)
+            cost1 = robust_cost(chi2_of(r_new, st_new), st_new, inlier_mask, use_huber)
+            ok = (cost1 <= cost0) & jnp.all(jnp.isfinite(t_new))
+            R_new = jnp.where(ok, R_new, R)
+            t_new = jnp.where(ok, t_new, t)
             return (R_new, t_new), None
 
         # fully unrolled: the body is ~50 tiny ops over (N, 3, 6) arrays,

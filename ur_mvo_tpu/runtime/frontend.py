@@ -96,8 +96,18 @@ class Tracker:
                 iterations=rt.pnp_ransac_iterations,
                 threshold_px=rt.pnp_reprojection_threshold,
             )
-            # fallback to last pose when PnP support is too weak
-            weak = pnp.n_inliers < kf.min_num_match
+            # fallback to last pose when PnP support is too weak. Beyond
+            # the reference's inlier gate (tracking.cc:800-818): with
+            # fewer than 6 correspondences the DLT minimal problem is
+            # underdetermined and every hypothesis is garbage (OpenCV's
+            # solvePnPRansac cannot even run there; our padded batched
+            # solver produces finite-but-meaningless poses), and a
+            # non-finite pose must never be carried forward.
+            weak = (
+                (pnp.n_inliers < kf.min_num_match)
+                | (jnp.sum(valid.astype(jnp.int32)) < 6)
+                | ~jnp.all(jnp.isfinite(pnp.t_cw))
+            )
             R0 = jnp.where(weak, R_last_cw, pnp.R_cw)
             t0 = jnp.where(weak, t_last_cw, pnp.t_cw)
             obs = PoseObs(X=X, uv=uvr, valid=valid)
@@ -463,6 +473,18 @@ class Tracker:
             pose[:3, :3] = R_cw.T
             pose[:3, 3] = -R_cw.T @ t_cw
             inl = np.asarray(res.inliers)
+            # Pose-jump guard: the reference hard-rejects |dt| > 0.5 m
+            # between consecutive frames for stereo (tracking.cc:800-818,
+            # mono variant commented out). With very permissive inlier
+            # gates (aqua ships min_num_match=1) a couple of wrong
+            # correspondences can teleport the pose and the error then
+            # compounds frame over frame; treat such jumps as a tracking
+            # failure instead.
+            jump = float(np.linalg.norm(pose[:3, 3] - self._last_pose[:3, 3]))
+            if not np.isfinite(jump) or jump > 4.0 * self.cfg.keyframe.max_distance:
+                n_inl = 0
+                pose = self._last_pose.copy()
+                inl = np.zeros(K, bool)
         else:
             pose = self._last_pose.copy()
             inl = np.zeros(K, bool)
