@@ -1,0 +1,139 @@
+"""One-shot sub-profile of the extract stage on TPU.
+
+Breaks ``NeuralExtractor``'s fused extract program into its pieces and
+measures each with the slope method (see ``bench.py::sustained_ms`` — the
+dev relay adds a ~24 ms completion floor, so never time single calls).
+Batch ALL measurements into this one script: remote TPU compiles take
+minutes and queue across processes (CLAUDE.md).
+
+Usage:  python scripts/profile_extract.py [--platform cpu] [--tiny]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from bench import _enable_compile_cache, sustained_ms
+
+    _enable_compile_cache()
+    import jax.numpy as jnp
+
+    from ur_mvo_tpu.models import superpoint
+    from ur_mvo_tpu.ops.keypoints import select_keypoints
+    from ur_mvo_tpu.ops.nms import simple_nms
+
+    if args.tiny:
+        H, W, CAP, MAXK = 128, 160, 256, 200
+    else:
+        H, W, CAP, MAXK = 512, 640, 1024, 1000
+
+    dev = jax.devices()[0]
+    print(f"# profile_extract on {dev.platform}:{dev.device_kind} H={H} W={W}", file=sys.stderr)
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    sp = superpoint.init_params(ks[0])
+    img = jax.random.uniform(ks[2], (H, W))
+    x4 = img[None, :, :, None].astype(jnp.bfloat16)
+
+    P = superpoint._ENCODER
+    names = [n for n, _, _, _ in P]
+
+    def run_stage(upto, frm=0, pooled_in=0):
+        """Backbone slice [frm:upto) as its own jitted program."""
+
+        def f(x):
+            for name in names[frm:upto]:
+                x = jax.nn.relu(superpoint._conv(x, sp[name]))
+                if name in superpoint._POOL_AFTER:
+                    x = superpoint._pool2(x)
+            return x
+
+        return jax.jit(f)
+
+    # stage inputs at the right resolutions/channel counts
+    s1 = run_stage(2)      # conv1a,conv1b,pool -> (H/2, W/2, 64)
+    a1 = s1(x4)
+    s2 = run_stage(4, 2)   # conv2a,conv2b,pool -> (H/4, W/4, 64)
+    a2 = s2(a1)
+    s3 = run_stage(6, 4)   # conv3a,conv3b,pool -> (H/8, W/8, 128)
+    a3 = s3(a2)
+    s4 = run_stage(8, 6)   # conv4a,conv4b -> (H/8, W/8, 128)
+    a4 = s4(a3)
+
+    heads = jax.jit(
+        lambda f: (
+            superpoint.detector_head(sp, f),
+            superpoint.descriptor_head(sp, f),
+        )
+    )
+    scores_raw, desc = heads(a4)
+    nms = jax.jit(lambda s: jax.vmap(lambda x: simple_nms(x, radius=4))(s.astype(jnp.float32)))
+    scores = nms(scores_raw)
+
+    sel = jax.jit(
+        lambda s, d: select_keypoints(
+            s[0].astype(jnp.float32), d[0].astype(jnp.float32),
+            capacity=CAP, threshold=5e-4, max_keypoints=MAXK,
+        )
+    )
+
+    full = jax.jit(
+        lambda im: superpoint.forward(sp, im[None, :, :, None], compute_dtype=jnp.bfloat16)
+    )
+    extract = jax.jit(
+        lambda im: select_keypoints(
+            *[t[0] for t in superpoint.forward(sp, im[None, :, :, None], compute_dtype=jnp.bfloat16)],
+            capacity=CAP, threshold=5e-4, max_keypoints=MAXK,
+        )
+    )
+
+    # optional: pallas fused stage-1 (if available)
+    try:
+        from ur_mvo_tpu.ops.pallas_conv import stage1_fused, stage1_pallas_supported
+
+        have_pallas = stage1_pallas_supported()
+    except Exception:
+        have_pallas = False
+
+    results = {}
+    results["stage1_conv1ab_pool"] = sustained_ms(s1, (x4,))
+    results["stage2_conv2ab_pool"] = sustained_ms(s2, (a1,))
+    results["stage3_conv3ab_pool"] = sustained_ms(s3, (a2,))
+    results["stage4_conv4ab"] = sustained_ms(s4, (a3,))
+    results["heads_P_D"] = sustained_ms(heads, (a4,))
+    results["nms_r4"] = sustained_ms(nms, (scores_raw,))
+    results["select_keypoints"] = sustained_ms(sel, (scores, desc))
+    results["forward_full"] = sustained_ms(full, (img,))
+    results["extract_full"] = sustained_ms(extract, (img,))
+    if have_pallas:
+        p1 = jax.jit(lambda x: stage1_fused(sp, x))
+        out_p = p1(x4)
+        err = float(jnp.max(jnp.abs(out_p.astype(jnp.float32) - a1.astype(jnp.float32))))
+        results["stage1_pallas"] = sustained_ms(p1, (x4,))
+        print(f"# stage1 pallas max|err| vs XLA: {err:.3e}", file=sys.stderr)
+
+    for k, v in results.items():
+        print(f"{k:24s} {v:8.3f} ms")
+    ssum = sum(v for k, v in results.items() if k.startswith(("stage", "heads", "nms", "select")) and k != "stage1_pallas")
+    print(f"{'sum_of_stages':24s} {ssum:8.3f} ms  (vs forward+select {results['extract_full']:.3f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -119,6 +119,19 @@ class Tracker:
 
         self._track_kernel = _track_kernel
 
+        @jax.jit
+        def _track_kernel_nopnp(X, uvr, valid, R_last_cw, t_last_cw):
+            """Pose-only refinement seeded at the last frame's pose —
+            the rescue path when the PnP prior teleported the optimizer
+            into a garbage basin (see the jump guard in _track_frame)."""
+            obs = PoseObs(X=X, uv=uvr, valid=valid)
+            return optimize_pose(
+                R_last_cw, t_last_cw, obs, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+                chi2_mono=topt.mono_point, chi2_stereo=topt.stereo_point,
+            )
+
+        self._track_kernel_nopnp = _track_kernel_nopnp
+
         init_cfg = cfg.initializer
 
         @jax.jit
@@ -477,14 +490,36 @@ class Tracker:
             # between consecutive frames for stereo (tracking.cc:800-818,
             # mono variant commented out). With very permissive inlier
             # gates (aqua ships min_num_match=1) a couple of wrong
-            # correspondences can teleport the pose and the error then
-            # compounds frame over frame; treat such jumps as a tracking
-            # failure instead.
+            # correspondences can teleport the PnP prior and pose-opt
+            # then polishes a garbage basin. Declaring a hard tracking
+            # failure here is worse than the disease (the promote-
+            # keyframe recovery inserts a keyframe at a weak-geometry
+            # moment and corrupts the map); instead re-refine seeded at
+            # the last frame's pose — genuine motion survives the
+            # re-refinement, a teleport does not — and only fail if the
+            # rescue also jumps.
+            max_jump = 4.0 * self.cfg.keyframe.max_distance
             jump = float(np.linalg.norm(pose[:3, 3] - self._last_pose[:3, 3]))
-            if not np.isfinite(jump) or jump > 4.0 * self.cfg.keyframe.max_distance:
-                n_inl = 0
-                pose = self._last_pose.copy()
-                inl = np.zeros(K, bool)
+            if not np.isfinite(jump) or jump > max_jump:
+                res2 = self._track_kernel_nopnp(
+                    jnp.asarray(X), jnp.asarray(uv), jnp.asarray(valid),
+                    jnp.asarray(R_last_cw), jnp.asarray(t_last_cw),
+                )
+                n2 = int(res2.n_inliers)
+                R2 = np.asarray(res2.R_cw)
+                t2 = np.asarray(res2.t_cw)
+                pose2 = np.eye(4, dtype=np.float32)
+                pose2[:3, :3] = R2.T
+                pose2[:3, 3] = -R2.T @ t2
+                jump2 = float(np.linalg.norm(pose2[:3, 3] - self._last_pose[:3, 3]))
+                if np.isfinite(jump2) and jump2 <= max_jump and n2 >= self.cfg.keyframe.min_num_match:
+                    n_inl = n2
+                    pose = pose2
+                    inl = np.asarray(res2.inliers)
+                else:
+                    n_inl = 0
+                    pose = self._last_pose.copy()
+                    inl = np.zeros(K, bool)
         else:
             pose = self._last_pose.copy()
             inl = np.zeros(K, bool)
