@@ -104,6 +104,41 @@ def main():
         )
     )
 
+    def run_stage_folded(na, nb):
+        def f(x):
+            xf = superpoint._fold_cols(x)
+            xf = jax.nn.relu(superpoint._conv_folded(xf, sp[na]))
+            xf = jax.nn.relu(superpoint._conv_folded(xf, sp[nb]))
+            return superpoint._pool2_folded(xf)
+
+        return jax.jit(f)
+
+    s1f = run_stage_folded("conv1a", "conv1b")
+    s2f = run_stage_folded("conv2a", "conv2b")
+    s3f = run_stage_folded("conv3a", "conv3b")
+
+    # conv-level pieces of stage 1 (plain + folded + NCHW variant)
+    c1a = jax.jit(lambda x: jax.nn.relu(superpoint._conv(x, sp["conv1a"])))
+    a1a = c1a(x4)
+    c1b = jax.jit(lambda x: jax.nn.relu(superpoint._conv(x, sp["conv1b"])))
+    a1b = c1b(a1a)
+    poolj = jax.jit(superpoint._pool2)
+    x4f = superpoint._fold_cols(x4)
+    c1af = jax.jit(lambda x: jax.nn.relu(superpoint._conv_folded(x, sp["conv1a"])))
+    a1af = c1af(x4f)
+    c1bf = jax.jit(lambda x: jax.nn.relu(superpoint._conv_folded(x, sp["conv1b"])))
+
+    def conv_nchw(x, p, stride=1):
+        return jax.lax.conv_general_dilated(
+            x, p["w"].astype(x.dtype), (stride, stride), "SAME",
+            dimension_numbers=("NCHW", "HWIO", "NCHW"),
+        )
+
+    x_nchw = jnp.transpose(x4, (0, 3, 1, 2))
+    c1a_nchw = jax.jit(lambda x: jax.nn.relu(conv_nchw(x, sp["conv1a"])))
+    a1a_nchw = c1a_nchw(x_nchw)
+    c1b_nchw = jax.jit(lambda x: jax.nn.relu(conv_nchw(x, sp["conv1b"])))
+
     # optional: pallas fused stage-1 (if available)
     try:
         from ur_mvo_tpu.ops.pallas_conv import stage1_fused, stage1_pallas_supported
@@ -113,6 +148,9 @@ def main():
         have_pallas = False
 
     results = {}
+    results["stage1_folded"] = sustained_ms(s1f, (x4,))
+    results["stage2_folded"] = sustained_ms(s2f, (a1,))
+    results["stage3_folded"] = sustained_ms(s3f, (a2,))
     results["stage1_conv1ab_pool"] = sustained_ms(s1, (x4,))
     results["stage2_conv2ab_pool"] = sustained_ms(s2, (a1,))
     results["stage3_conv3ab_pool"] = sustained_ms(s3, (a2,))

