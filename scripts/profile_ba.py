@@ -118,23 +118,41 @@ def main():
 
     sred_j = jax.jit(sred)
 
-    ba_short = jax.jit(lambda p: B.bundle_adjust(p, fx, fy, cx, cy, 0.0, cfg._replace(iters_phase1=2, iters_phase2=1)))
-    ba_full = jax.jit(lambda p: B.bundle_adjust(p, fx, fy, cx, cy, 0.0, cfg))
-    ba_long = jax.jit(lambda p: B.bundle_adjust(p, fx, fy, cx, cy, 0.0, cfg._replace(iters_phase1=20, iters_phase2=10)))
+    one_hots_p = jax.jit(lambda p: B.make_one_hots_pallas(p, cfg))(prob)
+    lin_pallas = jax.jit(
+        lambda R, t, X: B.build_normal_terms_pallas(
+            prob, R, t, X, fx, fy, cx, cy, 0.0, cfg, active, True, one_hots=one_hots_p
+        )
+    )
+    # on-device correctness vs the matmul path
+    lp = lin_pallas(R_cw, t_cw, X)
+    lm = (H_cc, b_c, H_pp, b_p, U)
+    errs = [float(jnp.max(jnp.abs(a - b))) for a, b in zip(lp[:5], lm)]
+    print(f"# pallas-vs-matmul builder max|err| H_cc/b_c/H_pp/b_p/U: {errs}", file=sys.stderr)
+
+    mk = lambda asm, i1, i2: cfg._replace(assembly=asm, iters_phase1=i1, iters_phase2=i2)
+    ba_short = jax.jit(lambda p: B.bundle_adjust(p, fx, fy, cx, cy, 0.0, mk("matmul", 2, 1)))
+    ba_full = jax.jit(lambda p: B.bundle_adjust(p, fx, fy, cx, cy, 0.0, mk("matmul", 10, 5)))
+    ba_short_pl = jax.jit(lambda p: B.bundle_adjust(p, fx, fy, cx, cy, 0.0, mk("pallas", 2, 1)))
+    ba_full_pl = jax.jit(lambda p: B.bundle_adjust(p, fx, fy, cx, cy, 0.0, mk("pallas", 10, 5)))
 
     results = {}
-    results["linearize_matmul"] = sustained_ms(lin, (R_cw, t_cw, X))
-    results["residuals_only"] = sustained_ms(resid, (R_cw, t_cw, X))
-    results["solve_schur"] = sustained_ms(solve, (H_cc, b_c, H_pp, b_p, U))
-    results["cho_96"] = sustained_ms(chol, (S96, bs))
-    results["S_red_einsums"] = sustained_ms(sred_j, (U, H_pp))
-    t_short = sustained_ms(ba_short, (prob,), n1=1, n2=5, reps=4)
-    t_full = sustained_ms(ba_full, (prob,), n1=1, n2=5, reps=4)
-    t_long = sustained_ms(ba_long, (prob,), n1=1, n2=4, reps=4)
+    results["linearize_matmul"] = sustained_ms(lin, (R_cw, t_cw, X), n2=52)
+    results["linearize_pallas"] = sustained_ms(lin_pallas, (R_cw, t_cw, X), n2=52)
+    results["residuals_only"] = sustained_ms(resid, (R_cw, t_cw, X), n2=52)
+    results["solve_schur"] = sustained_ms(solve, (H_cc, b_c, H_pp, b_p, U), n2=52)
+    results["cho_96"] = sustained_ms(chol, (S96, bs), n2=52)
+    results["S_red_einsums"] = sustained_ms(sred_j, (U, H_pp), n2=52)
+    t_short = sustained_ms(ba_short, (prob,), n1=1, n2=9, reps=4)
+    t_full = sustained_ms(ba_full, (prob,), n1=1, n2=9, reps=4)
     results["ba_3_iters"] = t_short
     results["ba_15_iters"] = t_full
-    results["ba_30_iters"] = t_long
-    results["per_iter_slope"] = (t_long - t_short) / 27.0
+    results["per_iter_slope"] = (t_full - t_short) / 12.0
+    t_short_pl = sustained_ms(ba_short_pl, (prob,), n1=1, n2=9, reps=4)
+    t_full_pl = sustained_ms(ba_full_pl, (prob,), n1=1, n2=9, reps=4)
+    results["ba_3_iters_pallas"] = t_short_pl
+    results["ba_15_iters_pallas"] = t_full_pl
+    results["per_iter_slope_pallas"] = (t_full_pl - t_short_pl) / 12.0
 
     for k, v in results.items():
         print(f"{k:24s} {v:8.3f} ms")

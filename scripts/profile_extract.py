@@ -147,17 +147,80 @@ def main():
     except Exception:
         have_pallas = False
 
+    c1a_im2col = jax.jit(lambda x: jax.nn.relu(superpoint._conv_folded_im2col(x, sp["conv1a"])))
+    a1af2 = c1a_im2col(x4f)
+    err_im2col = float(
+        jnp.max(jnp.abs(a1af2.astype(jnp.float32) - a1af.astype(jnp.float32)))
+    )
+    print(f"# conv1a im2col vs folded max|err|: {err_im2col:.3e}", file=sys.stderr)
+
+    def run_stage1_v2():
+        def f(x):
+            xf = superpoint._fold_cols(x)
+            xf = jax.nn.relu(superpoint._conv_folded_im2col(xf, sp["conv1a"]))
+            xf = jax.nn.relu(superpoint._conv_folded(xf, sp["conv1b"]))
+            return superpoint._pool2_folded(xf)
+
+        return jax.jit(f)
+
+    s1v2 = run_stage1_v2()
+
+    # cumulative prefixes of the production forward program: differences
+    # give IN-CONTEXT stage costs (isolated stages let XLA pick free
+    # layouts; the full program may pay transitions the pieces don't).
+    def prefix(n_stages, with_heads=False, with_nms=False):
+        def f(im):
+            x = im[None, :, :, None].astype(jnp.bfloat16)
+            for i, (na, nb) in enumerate(
+                (("conv1a", "conv1b"), ("conv2a", "conv2b"), ("conv3a", "conv3b"))
+            ):
+                if i >= n_stages:
+                    break
+                xf = superpoint._fold_cols(x)
+                first = superpoint._conv_folded_im2col if sp[na]["w"].shape[2] <= 2 else superpoint._conv_folded
+                xf = jax.nn.relu(first(xf, sp[na]))
+                xf = jax.nn.relu(superpoint._conv_folded(xf, sp[nb]))
+                x = superpoint._pool2_folded(xf)
+            if n_stages < 4:
+                return x
+            x = jax.nn.relu(superpoint._conv(x, sp["conv4a"]))
+            x = jax.nn.relu(superpoint._conv(x, sp["conv4b"]))
+            if not with_heads:
+                return x
+            s = superpoint.detector_head(sp, x)
+            d = superpoint.descriptor_head(sp, x)
+            if not with_nms:
+                return s, d
+            s = jax.vmap(lambda m: simple_nms(m.astype(jnp.float32), radius=4))(s)
+            return s, d
+
+        return jax.jit(f)
+
     results = {}
     results["stage1_folded"] = sustained_ms(s1f, (x4,))
+    results["stage1_im2col1a"] = sustained_ms(s1v2, (x4,))
     results["stage2_folded"] = sustained_ms(s2f, (a1,))
     results["stage3_folded"] = sustained_ms(s3f, (a2,))
     results["stage1_conv1ab_pool"] = sustained_ms(s1, (x4,))
     results["stage2_conv2ab_pool"] = sustained_ms(s2, (a1,))
     results["stage3_conv3ab_pool"] = sustained_ms(s3, (a2,))
     results["stage4_conv4ab"] = sustained_ms(s4, (a3,))
+    results["conv1a_plain"] = sustained_ms(c1a, (x4,))
+    results["conv1b_plain"] = sustained_ms(c1b, (a1a,))
+    results["conv1a_folded"] = sustained_ms(c1af, (x4f,))
+    results["conv1a_im2col"] = sustained_ms(c1a_im2col, (x4f,))
+    results["conv1b_folded"] = sustained_ms(c1bf, (a1af,))
+    results["conv1a_nchw"] = sustained_ms(c1a_nchw, (x_nchw,))
+    results["conv1b_nchw"] = sustained_ms(c1b_nchw, (a1a_nchw,))
     results["heads_P_D"] = sustained_ms(heads, (a4,))
     results["nms_r4"] = sustained_ms(nms, (scores_raw,))
     results["select_keypoints"] = sustained_ms(sel, (scores, desc))
+    results["prefix_s1"] = sustained_ms(prefix(1), (img,))
+    results["prefix_s12"] = sustained_ms(prefix(2), (img,))
+    results["prefix_s123"] = sustained_ms(prefix(3), (img,))
+    results["prefix_backbone"] = sustained_ms(prefix(4), (img,))
+    results["prefix_heads"] = sustained_ms(prefix(4, True), (img,))
+    results["prefix_heads_nms"] = sustained_ms(prefix(4, True, True), (img,))
     results["forward_full"] = sustained_ms(full, (img,))
     results["extract_full"] = sustained_ms(extract, (img,))
     if have_pallas:

@@ -194,3 +194,63 @@ def test_ba_matmul_assembly_converges():
     Rerr, terr = _pose_errors(res, R_true, t_true, 6)
     assert Rerr < 5e-3 and terr < 2e-2
     assert int(res.obs_inlier.sum()) > 0.95 * n_obs
+
+
+def test_pallas_assembly_matches_scatter():
+    """The Pallas VMEM-resident assembly (interpret mode on CPU) must
+    agree with the scatter assembly to the same tolerance as the matmul
+    path (identical bf16 summands)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from ur_mvo_tpu.ops.ba import (
+        BAConfig,
+        build_normal_terms,
+        build_normal_terms_pallas,
+        _invert_poses,
+    )
+
+    prob, *_ = build_problem(jax.random.PRNGKey(6))
+    R_cw, t_cw = _invert_poses(prob.R_wc, prob.t_wc)
+    cfg = BAConfig()
+    act = prob.obs_valid.astype(jnp.float32)
+    a = build_normal_terms(prob, R_cw, t_cw, prob.X, FX, FY, CX, CY, 0.0, cfg, act, True)
+    b = build_normal_terms_pallas(
+        prob, R_cw, t_cw, prob.X, FX, FY, CX, CY, 0.0, cfg, act, True, interpret=True
+    )
+    names = ["H_cc", "b_c", "H_pp", "b_p", "U", "cost"]
+    for name, x, y in zip(names, a, b):
+        x = np.asarray(x)
+        y = np.asarray(y)
+        scale = max(np.abs(x).max(), 1.0)
+        tol = 1e-5 if name in ("H_cc", "b_c", "cost") else 5e-3
+        np.testing.assert_allclose(y / scale, x / scale, atol=tol, err_msg=name)
+
+
+def test_point_reduce_pallas_segments():
+    """Direct check of the Pallas segment reduction against numpy, with
+    odd O (internal chunk padding) and collision-heavy point ids."""
+    import jax.numpy as jnp
+
+    from ur_mvo_tpu.ops.pallas_ba import point_reduce_pallas
+
+    rng = np.random.default_rng(3)
+    O, P, FF = 700, 40, 4
+    A = rng.normal(size=(O, 18)).astype(np.float32)
+    Vp = rng.normal(size=(O, 12)).astype(np.float32)
+    pts = rng.integers(0, P, O).astype(np.int32)
+    slots = rng.integers(0, FF, O).astype(np.int32)
+    out = np.asarray(
+        point_reduce_pallas(
+            jnp.asarray(A), jnp.asarray(Vp), jnp.asarray(pts), jnp.asarray(slots),
+            P, FF, interpret=True,
+        )
+    )
+    A16 = A.astype(np.float32)  # summands are bf16 in-kernel; tolerance below
+    ref = np.zeros((P, FF * 18 + 12), np.float32)
+    for o in range(O):
+        ref[pts[o], slots[o] * 18 : slots[o] * 18 + 18] += A16[o]
+        ref[pts[o], FF * 18 :] += Vp[o]
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(out / scale, ref / scale, atol=5e-3)

@@ -131,6 +131,81 @@ def _conv_folded(x_folded: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
     return jnp.concatenate([out_q0, out_q1], axis=-1)  # folded: q*Cout+c
 
 
+def _folded_kernel(w: jax.Array, dt) -> jax.Array:
+    """Reshape a (3, 3, Cin, Cout) kernel into the combined column-folded
+    kernel (3, 3, 2*Cin, 2*Cout) computing BOTH output parities in one
+    conv. Output parity q at folded col u is original col 2u+q; tap
+    (dy, fx, input parity p) supplies original column offset
+    dx = 2*fx + p - q (zero weight when |dx| > 1 — 1/3 structural zeros).
+
+    TPU rationale: :func:`_conv_folded` runs two Cout=64 convs whose
+    output tiles fill only half the 128 MXU lanes; the combined kernel
+    trades 1.5x FLOPs (vs the unfolded conv's 1.33x) for full-lane
+    output tiles, which profiles faster under XLA's conv lowering.
+    """
+    Cin, Cout = w.shape[2], w.shape[3]
+    w = w.astype(dt)
+    zeros = jnp.zeros((Cin, Cout), dt)
+    rows = []
+    for dy in range(3):
+        drow = []
+        for fx in (-1, 0, 1):
+            prow = []
+            for pq in range(2):
+                qcat = []
+                for q in range(2):
+                    dx = 2 * fx + pq - q
+                    qcat.append(w[dy, dx + 1] if -1 <= dx <= 1 else zeros)
+                prow.append(jnp.concatenate(qcat, axis=1))  # (Cin, 2Cout)
+            drow.append(jnp.concatenate(prow, axis=0))  # (2Cin, 2Cout)
+        rows.append(jnp.stack(drow, axis=0))  # (3, 2Cin, 2Cout)
+    return jnp.stack(rows, axis=0)  # (3, 3, 2Cin, 2Cout)
+
+
+def _conv_folded2(x_folded: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
+    """Column-folded 3x3 conv as ONE full-lane conv (see
+    :func:`_folded_kernel`). Numerically identical to
+    :func:`_conv_folded` (tested)."""
+    dt = x_folded.dtype
+    K = _folded_kernel(p["w"], dt)
+    b = p["b"].astype(dt)
+    out = jax.lax.conv_general_dilated(
+        x_folded, K, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return out + jnp.concatenate([b, b])
+
+
+def _conv_folded_im2col(x_folded: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
+    """Column-folded 3x3 conv as an explicit im2col matmul.
+
+    XLA lowers convolutions with tiny input depth (conv1a: Cin=1, folded
+    Cin=2) far off the MXU roofline (~0.45 ms of stage 1 on v5e — the
+    contraction depth is too small to tile). Building the 18*Cin-tap
+    patch tensor with pad+slice+concat (VPU, fused) and contracting it
+    against a (18*Cin, 2*Cout) weight matrix puts the op back on the MXU
+    as one well-shaped matmul. Output layout/semantics are identical to
+    :func:`_conv_folded` (folded channel q*Cout + c). Only profitable
+    when Cin is small; used for conv1a.
+
+    Weight mapping: output parity q at folded col u is original col
+    2u+q; tap (dy, fx, parity p) supplies original column offset
+    dx = 2*fx + p - q, valid when |dx| <= 1.
+    """
+    w = p["w"]  # (3, 3, Cin, Cout)
+    Cin, Cout = w.shape[2], w.shape[3]
+    dt = x_folded.dtype
+    B, H, Wf, _ = x_folded.shape
+    xp = jnp.pad(x_folded, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    patches = jnp.concatenate(
+        [xp[:, dy : dy + H, fx : fx + Wf, :] for dy in range(3) for fx in range(3)],
+        axis=-1,
+    )  # (B, H, Wf, 9*2Cin), tap order (dy, fx, p*Cin+ci)
+    Wm = _folded_kernel(w, dt).reshape(9 * 2 * Cin, 2 * Cout)
+    b = p["b"].astype(dt)
+    out = jnp.einsum("bhwk,kc->bhwc", patches, Wm)
+    return out + jnp.concatenate([b, b])
+
+
 def _pool2_folded(x_folded: jax.Array) -> jax.Array:
     """2x2/2 maxpool consuming the folded layout; returns standard NHWC.
 
@@ -164,10 +239,24 @@ def backbone(params: Dict[str, Any], image: jax.Array, folded: bool | None = Non
     if folded is None:
         folded = _folding_enabled()
     if folded and W % 8 == 0 and H % 8 == 0:
-        for na, nb in (("conv1a", "conv1b"), ("conv2a", "conv2b"), ("conv3a", "conv3b")):
+        # Per-stage formulation, A/B-profiled on v5e (scripts/
+        # profile_conv_variants.py): stage 1 runs conv1a as an im2col
+        # matmul (Cin=1 defeats XLA's conv tiling) and conv1b as the
+        # combined full-lane folded kernel (0.562 ms vs 0.756 for the
+        # two-half-conv form); stages 2-3 keep the two-half-conv form
+        # (0.181/0.093 ms — at these resolutions it profiles faster,
+        # and conv3's per-parity convs are already full-lane).
+        stage_fns = (
+            (_conv_folded_im2col, _conv_folded2),
+            (_conv_folded, _conv_folded),
+            (_conv_folded, _conv_folded),
+        )
+        for (na, nb), (fa, fb) in zip(
+            (("conv1a", "conv1b"), ("conv2a", "conv2b"), ("conv3a", "conv3b")), stage_fns
+        ):
             xf = _fold_cols(x)
-            xf = jax.nn.relu(_conv_folded(xf, params[na]))
-            xf = jax.nn.relu(_conv_folded(xf, params[nb]))
+            xf = jax.nn.relu(fa(xf, params[na]))
+            xf = jax.nn.relu(fb(xf, params[nb]))
             x = _pool2_folded(xf)
         x = jax.nn.relu(_conv(x, params["conv4a"]))
         x = jax.nn.relu(_conv(x, params["conv4b"]))

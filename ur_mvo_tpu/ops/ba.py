@@ -78,9 +78,11 @@ class BAConfig(NamedTuple):
     iters_phase1: int = 10
     iters_phase2: int = 5
     lm_lambda0: float = 1e-4
-    # normal-equation assembly: "matmul" (one-hot MXU contraction, fast on
-    # TPU) or "scatter" (exact scatter-adds; reference for tests)
-    assembly: str = "matmul"
+    # normal-equation assembly: "auto"/"matmul" (lane-major linearization
+    # + one-hot MXU contraction — fastest measured), "pallas" (VMEM-
+    # resident Pallas reduction, kept for larger problems) or "scatter"
+    # (exact scatter-adds; reference for tests)
+    assembly: str = "auto"
     # Static bound on simultaneously-optimized (non-fixed) frames. The
     # camera system, coupling tensor U and reduced solve are built over
     # free frames only — fixed frames contribute exactly zero columns —
@@ -205,21 +207,22 @@ def build_normal_terms(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg: 
 def make_one_hots(prob: BAProblem, cfg: BAConfig):
     """Loop-invariant indicator matrices for the matmul assembly.
 
-    ``(Ef (O, FF) f32, Ep_b (O, P) bf16)``. These depend only on the
+    ``(EfT (FF, O) f32, Ep_b (O, P) bf16)``. These depend only on the
     problem's index structure, not on the linearization point, so callers
     running LM iterations inside a ``lax.scan`` should build them ONCE
     outside the scan and pass them to :func:`build_normal_terms_matmul` —
     XLA does not hoist loop-invariant code out of a scan body, and
     ``Ep_b`` alone is an O x P materialization (tens of MB at production
     padding) per iteration otherwise. The indicator values 0/1 are exact
-    in bf16.
+    in bf16. ``EfT`` is lane-major (observations in lanes) to match
+    :func:`_obs_value_rows_T`.
     """
     FF = cfg.max_free_frames
     P = prob.X.shape[0]
     obs_slot = _free_rank(prob, FF)[prob.obs_frame]
-    Ef = jax.nn.one_hot(obs_slot, FF, dtype=jnp.float32)
+    EfT = jax.nn.one_hot(obs_slot, FF, dtype=jnp.float32, axis=0)
     Ep_b = jax.nn.one_hot(prob.obs_point, P, dtype=jnp.bfloat16)
-    return Ef, Ep_b
+    return EfT, Ep_b
 
 
 def build_normal_terms_matmul(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg: BAConfig, active, use_huber,
@@ -240,6 +243,47 @@ def build_normal_terms_matmul(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf
     :func:`make_one_hots`) when calling from inside an LM scan.
     """
     P = prob.X.shape[0]
+    FF = cfg.max_free_frames
+    VcT, VpT, AT, cost = _obs_value_rows_T(
+        prob, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg, active, use_huber
+    )
+
+    if one_hots is None:
+        one_hots = make_one_hots(prob, cfg)
+    EfT, Ep_b = one_hots
+
+    # frame-side reductions: exact f32, H and b fused (EfT is only FF x O)
+    Hb_c = einsum("fo,vo->fv", EfT, VcT)
+    H_cc = Hb_c[:, :36].reshape(FF, 6, 6)
+    b_c = -Hb_c[:, 36:]
+    # Point-side segment reductions — H_pp, b_p and the coupling
+    # U[p, f] = sum_o Ep[o,p] Ef[o,f] A_o — as ONE (O, P)^T x (300, O)^T
+    # matmul in bf16 with f32 accumulation. Profiled on v5e, a separate
+    # f32-HIGHEST pass for the 12-wide H_pp/b_p block costs more than the
+    # whole U contraction (6 MXU passes at <10% tile utilization plus a
+    # second 67MB read of the indicator matrix). bf16 summand rounding is
+    # ~0.4% relative on normal-equation terms; the LM accept/reject step
+    # guards convergence and the two-phase chi^2 gates operate at pixel
+    # scale. Indicators are exact in bf16.
+    EfT_b = EfT.astype(jnp.bfloat16)
+    AT_b = AT.astype(jnp.bfloat16)
+    CT = jnp.concatenate(
+        [AT_b * EfT_b[f : f + 1] for f in range(FF)] + [VpT.astype(jnp.bfloat16)], axis=0
+    )  # (FF*18 + 12, O)
+    out = jnp.einsum(
+        "op,vo->pv", Ep_b, CT, preferred_element_type=jnp.float32
+    )
+    U = out[:, : FF * 18].reshape(P, FF, 6, 3)
+    H_pp = out[:, FF * 18 : FF * 18 + 9].reshape(P, 3, 3)
+    b_p = -out[:, FF * 18 + 9 :]
+    return H_cc, b_c, H_pp, b_p, U, cost
+
+
+def _obs_value_rows(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg: BAConfig, active, use_huber):
+    """Shared per-observation linearization rows for the matmul/Pallas
+    assemblies: ``Vc`` (O, 42) = [Jc^T W Jc | Jc^T W r], ``Vp`` (O, 12) =
+    [Jp^T W Jp | Jp^T W r], ``A`` (O, 18) = Jc^T W Jp, plus the robust
+    cost at the linearization point."""
     O = prob.obs_frame.shape[0]
     FF = cfg.max_free_frames
     r, Jc, Jp, is_stereo, _ = _residuals(R_cw, t_cw, X, prob, fx, fy, cx, cy, bf)
@@ -253,10 +297,6 @@ def build_normal_terms_matmul(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf
     frame_free = _effective_free(prob, FF)[prob.obs_frame]
     Jc = Jc * frame_free[:, None, None].astype(Jc.dtype)
 
-    if one_hots is None:
-        one_hots = make_one_hots(prob, cfg)
-    Ef, Ep_b = one_hots
-
     # tiny per-observation outer products: broadcast-multiply-sum over the
     # 3-long residual axis (VPU elementwise, fused) — einsum would lower
     # these to batched 6x3x6 MXU matmuls at <5% tile utilization
@@ -267,32 +307,195 @@ def build_normal_terms_matmul(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf
     JpJp = jnp.sum(Jpw[:, :, :, None] * Jp[:, :, None, :], axis=1).reshape(O, 9)
     Jpr = jnp.sum(Jpw * r[:, :, None], axis=1)
     A = jnp.sum(Jcw[:, :, :, None] * Jp[:, :, None, :], axis=1).reshape(O, 18)
+    Vc = jnp.concatenate([JcJc, Jcr], axis=1)
+    Vp = jnp.concatenate([JpJp, Jpr], axis=1)
+    cost = jnp.sum(_robust_cost(chi2, is_stereo, cfg.chi2_mono, cfg.chi2_stereo, use_huber) * active)
+    return Vc, Vp, A, cost
 
-    # frame-side reductions: exact f32, H and b fused (Ef is only O x FF)
-    Vc = jnp.concatenate([JcJc, Jcr], axis=1)  # (O, 42)
+
+# ---------------------------------------------------------------------------
+# Lane-major ("transposed") linearization.
+#
+# The row-major path materializes (O, 3, 6)/(O, 3, 3) Jacobian tensors whose
+# trailing dims occupy 6 (or 3) of a vector tile's 128 lanes — profiled at
+# 0.19 ms/call on v5e for O=8192, ~70% of the whole LM iteration. Here every
+# quantity is a flat (O,) vector (observations in lanes, fully occupied) and
+# the 3-term Jacobian contractions are expanded symbolically at trace time
+# with structural zeros skipped, so the entire linearization is ~250 full-
+# lane VPU ops plus one (9, O) gather relayout. Summand-identical to the
+# row-major path (tested).
+# ---------------------------------------------------------------------------
+
+
+def _mulz(a, b):
+    """Symbolic product where ``None`` is a structural zero and float 1.0
+    the identity."""
+    if a is None or b is None:
+        return None
+    if isinstance(a, float):
+        return b if a == 1.0 else (None if a == 0.0 else a * b)
+    if isinstance(b, float):
+        return a if b == 1.0 else (None if b == 0.0 else a * b)
+    return a * b
+
+
+def _sumz(terms):
+    terms = [t for t in terms if t is not None]
+    if not terms:
+        return None
+    s = terms[0]
+    for t in terms[1:]:
+        s = s + t
+    return s
+
+
+def _prelude_T(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf):
+    """Shared lane-major residual prelude: per-observation camera-frame
+    point, residual components, and the d(residual)/d(pc) rows, all as
+    (O,) vectors (structural zeros as ``None``)."""
+    F = R_cw.shape[0]
+    Rf = R_cw.reshape(F, 9)[prob.obs_frame].T  # (9, O)
+    tf = t_cw[prob.obs_frame].T  # (3, O)
+    Xp = X[prob.obs_point].T  # (3, O)
+    obs = prob.obs_uv.T  # (3, O)
+    pc = [
+        Rf[3 * i] * Xp[0] + Rf[3 * i + 1] * Xp[1] + Rf[3 * i + 2] * Xp[2] + tf[i]
+        for i in range(3)
+    ]
+    x, y = pc[0], pc[1]
+    z = jnp.maximum(pc[2], 1e-6)
+    iz = 1.0 / z
+    iz2 = iz * iz
+    u = fx * x * iz + cx
+    v = fy * y * iz + cy
+    is_st = obs[2] > 0
+    stf = is_st.astype(x.dtype)
+    r = [u - obs[0], v - obs[1], stf * (u - bf * iz - obs[2])]
+    du = [fx * iz, None, -fx * x * iz2]
+    dv = [None, fy * iz, -fy * y * iz2]
+    dur = [stf * du[0], None, stf * (du[2] + bf * iz2)]
+    Jpc = [du, dv, dur]  # rows: residual comp, cols: pc comp
+    return Rf, pc, r, Jpc, is_st
+
+
+def _chi2_T(r):
+    return r[0] * r[0] + r[1] * r[1] + r[2] * r[2]
+
+
+def _cost_T(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg: BAConfig, active, use_huber):
+    """Robust cost only, lane-major (for LM accept/reject evaluations)."""
+    _, _, r, _, is_st = _prelude_T(prob, R_cw, t_cw, X, fx, fy, cx, cy, bf)
+    chi2 = _chi2_T(r)
+    return jnp.sum(
+        _robust_cost(chi2, is_st, cfg.chi2_mono, cfg.chi2_stereo, use_huber) * active
+    )
+
+
+def _gate_T(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf):
+    """(chi2 (O,), is_stereo (O,), depth_pos (O,)) for inlier gating."""
+    _, pc, r, _, is_st = _prelude_T(prob, R_cw, t_cw, X, fx, fy, cx, cy, bf)
+    return _chi2_T(r), is_st, pc[2] > 0
+
+
+def _obs_value_rows_T(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg: BAConfig, active, use_huber):
+    """Lane-major equivalent of :func:`_obs_value_rows`: returns
+    ``VcT`` (42, O), ``VpT`` (12, O), ``AT`` (18, O) and the robust cost.
+    Row orders match the row-major reshapes (i*6+j etc.) exactly."""
+    FF = cfg.max_free_frames
+    Rf, pc, r, Jpc, is_st = _prelude_T(prob, R_cw, t_cw, X, fx, fy, cx, cy, bf)
+    chi2 = _chi2_T(r)
+    th = jnp.where(is_st, cfg.chi2_stereo, cfg.chi2_mono)
+    delta = jnp.sqrt(th)
+    s = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    w_huber = jnp.where(chi2 <= th, 1.0, delta / s)
+    w = jnp.where(use_huber, w_huber, 1.0) * active
+    ffm = _effective_free(prob, FF)[prob.obs_frame].astype(w.dtype)
+    wc = w * ffm  # camera-side weight (Jc is masked on fixed frames)
+
+    # J_xi = [-skew(pc) | I3]; Jc[a][j] = sum_k Jpc[a][k] * J_xi[k][j]
+    nsk = [[None, pc[2], -pc[1]], [-pc[2], None, pc[0]], [pc[1], -pc[0], None]]
+
+    def jxi(k, j):
+        if j < 3:
+            return nsk[k][j]
+        return 1.0 if (j - 3) == k else None
+
+    Jc = [[_sumz([_mulz(Jpc[a][k], jxi(k, j)) for k in range(3)]) for j in range(6)] for a in range(3)]
+    Jp = [[_sumz([_mulz(Jpc[a][k], Rf[3 * k + j]) for k in range(3)]) for j in range(3)] for a in range(3)]
+
+    def quad(weight, L, R_, nl, nr):
+        """rows[i*nr+j] = sum_a weight * L[a][i] * R_[a][j]"""
+        return [
+            _sumz([_mulz(_mulz(weight, L[a][i]), R_[a][j]) for a in range(3)])
+            for i in range(nl)
+            for j in range(nr)
+        ]
+
+    JcJc = quad(wc, Jc, Jc, 6, 6)  # 36
+    Jcr = [_sumz([_mulz(_mulz(wc, Jc[a][j]), r[a]) for a in range(3)]) for j in range(6)]
+    JpJp = quad(w, Jp, Jp, 3, 3)  # 9
+    Jpr = [_sumz([_mulz(_mulz(w, Jp[a][j]), r[a]) for a in range(3)]) for j in range(3)]
+    AT = quad(wc, Jc, Jp, 6, 3)  # 18, index i*3+j
+
+    zero = jnp.zeros_like(w)
+    stackT = lambda rows: jnp.stack([zero if e is None else e for e in rows])
+    cost = jnp.sum(_robust_cost(chi2, is_st, cfg.chi2_mono, cfg.chi2_stereo, use_huber) * active)
+    return stackT(JcJc + Jcr), stackT(JpJp + Jpr), stackT(AT), cost
+
+
+def build_normal_terms_pallas(prob: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg: BAConfig, active, use_huber,
+                              one_hots=None, interpret=None):
+    """Pallas-assembled normal equations (see ``ops.pallas_ba``): the
+    point-side segment reduction runs with indicator matrices and the
+    slot-expanded coupling rows built in VMEM, eliminating the ~43 MB/LM-
+    iteration HBM traffic of the dense one-hot contraction. Summand-
+    identical to :func:`build_normal_terms_matmul`."""
+    from ur_mvo_tpu.ops.pallas_ba import point_reduce_pallas
+
+    P = prob.X.shape[0]
+    FF = cfg.max_free_frames
+    Vc, Vp, A, cost = _obs_value_rows(
+        prob, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg, active, use_huber
+    )
+    if one_hots is None:
+        one_hots = make_one_hots_pallas(prob, cfg)
+    Ef, obs_slot = one_hots
+
     Hb_c = einsum("of,ov->fv", Ef, Vc)
     H_cc = Hb_c[:, :36].reshape(FF, 6, 6)
     b_c = -Hb_c[:, 36:]
-    # Point-side segment reductions — H_pp, b_p and the coupling
-    # U[p, f] = sum_o Ep[o,p] Ef[o,f] A_o — as ONE (O, P)^T x (O, 300)
-    # matmul in bf16 with f32 accumulation. Profiled on v5e, a separate
-    # f32-HIGHEST pass for the 12-wide H_pp/b_p block costs more than the
-    # whole U contraction (6 MXU passes at <10% tile utilization plus a
-    # second 67MB read of the indicator matrix). bf16 summand rounding is
-    # ~0.4% relative on normal-equation terms; the LM accept/reject step
-    # guards convergence and the two-phase chi^2 gates operate at pixel
-    # scale. Indicators are exact in bf16.
-    Vp = jnp.concatenate([JpJp, Jpr], axis=1)  # (O, 12)
-    C = (Ef.astype(jnp.bfloat16)[:, :, None] * A.astype(jnp.bfloat16)[:, None, :]).reshape(O, FF * 18)
-    C_full = jnp.concatenate([C, Vp.astype(jnp.bfloat16)], axis=1)  # (O, FF*18 + 12)
-    out = jnp.einsum(
-        "op,ov->pv", Ep_b, C_full, preferred_element_type=jnp.float32
-    )
+
+    if interpret is None:
+        # Mosaic compilation needs a real TPU; interpret elsewhere so the
+        # "pallas" assembly stays runnable (tests, CPU debugging).
+        interpret = jax.default_backend() != "tpu"
+    out = point_reduce_pallas(A, Vp, prob.obs_point, obs_slot, P, FF, interpret=interpret)
     U = out[:, : FF * 18].reshape(P, FF, 6, 3)
     H_pp = out[:, FF * 18 : FF * 18 + 9].reshape(P, 3, 3)
     b_p = -out[:, FF * 18 + 9 :]
-    cost = jnp.sum(_robust_cost(chi2, is_stereo, cfg.chi2_mono, cfg.chi2_stereo, use_huber) * active)
     return H_cc, b_c, H_pp, b_p, U, cost
+
+
+def make_one_hots_pallas(prob: BAProblem, cfg: BAConfig):
+    """Loop-invariant index structure for the Pallas assembly: the small
+    frame-side indicator (O, FF) plus raw per-observation slot ids."""
+    FF = cfg.max_free_frames
+    obs_slot = _free_rank(prob, FF)[prob.obs_frame]
+    Ef = jax.nn.one_hot(obs_slot, FF, dtype=jnp.float32)
+    return Ef, obs_slot
+
+
+def resolve_assembly(cfg: BAConfig) -> str:
+    """Resolve "auto" to the best assembly for the current backend.
+
+    Profiled on v5e (scripts/profile_ba.py): the lane-major one-hot
+    matmul assembly beats the Pallas VMEM-resident reduction (whose
+    in-kernel indicator rebuild costs more than the HBM traffic it
+    saves), so "auto" is the matmul path everywhere; "pallas" stays
+    available explicitly."""
+    if cfg.assembly != "auto":
+        return cfg.assembly
+    return "matmul"
 
 
 def solve_schur(H_cc, b_c, H_pp, b_p, U, slot_active, point_free, lam):
@@ -366,8 +569,11 @@ def bundle_adjust(
 
     R_cw0, t_cw0 = _invert_poses(prob.R_wc, prob.t_wc)
 
-    if cfg.assembly == "matmul":
-        # indicator matrices are loop-invariant: build once, not per LM step
+    assembly = resolve_assembly(cfg)
+    if assembly == "pallas":
+        # index structure is loop-invariant: build once, not per LM step
+        builder = partial(build_normal_terms_pallas, one_hots=make_one_hots_pallas(prob, cfg))
+    elif assembly == "matmul":
         builder = partial(build_normal_terms_matmul, one_hots=make_one_hots(prob, cfg))
     else:
         builder = build_normal_terms
@@ -384,11 +590,7 @@ def bundle_adjust(
             delta_c_free, delta_p = solve_schur(*lin, slot_active, point_free, lam)
             delta_c = delta_c_free[free_rank] * frame_free[:, None].astype(delta_c_free.dtype)
             R_try, t_try, X_try = _apply_update(R_cw, t_cw, X, delta_c, delta_p, frame_free, point_free)
-            r, _, _, is_stereo, _ = _residuals(R_try, t_try, X_try, prob, fx, fy, cx, cy, bf)
-            cost_try = jnp.sum(
-                _robust_cost(_chi2(r, is_stereo), is_stereo, cfg.chi2_mono, cfg.chi2_stereo, use_huber)
-                * active
-            )
+            cost_try = _cost_T(prob, R_try, t_try, X_try, fx, fy, cx, cy, bf, cfg, active, use_huber)
             accept = cost_try < cost_prev
             R_cw = jnp.where(accept, R_try, R_cw)
             t_cw = jnp.where(accept, t_try, t_cw)
@@ -403,10 +605,7 @@ def bundle_adjust(
             return (R_cw, t_cw, X, lam, cost, lin), None
 
         R_cw, t_cw, X = state
-        r0, _, _, st0, _ = _residuals(R_cw, t_cw, X, prob, fx, fy, cx, cy, bf)
-        cost0 = jnp.sum(
-            _robust_cost(_chi2(r0, st0), st0, cfg.chi2_mono, cfg.chi2_stereo, use_huber) * active
-        )
+        cost0 = _cost_T(prob, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg, active, use_huber)
         init = (R_cw, t_cw, X, jnp.asarray(cfg.lm_lambda0), cost0, linearize(R_cw, t_cw, X))
         (R_cw, t_cw, X, _, cost, _), _ = jax.lax.scan(step, init, None, length=n_iters)
         return (R_cw, t_cw, X), cost
@@ -416,15 +615,13 @@ def bundle_adjust(
     state, _ = lm_phase(state, active0, cfg.iters_phase1, use_huber=True)
 
     # chi^2 gate between phases (g2o_optimization.cc:124-147).
-    r, _, _, is_stereo, depth_pos = _residuals(*state, prob, fx, fy, cx, cy, bf)
-    chi2 = _chi2(r, is_stereo)
+    chi2, is_stereo, depth_pos = _gate_T(prob, *state, fx, fy, cx, cy, bf)
     th = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
     inlier = prob.obs_valid & (chi2 <= th) & depth_pos
     state, cost = lm_phase(state, inlier.astype(jnp.float32), cfg.iters_phase2, use_huber=False)
 
     # final verdicts (g2o_optimization.cc:150-161)
-    r, _, _, is_stereo, depth_pos = _residuals(*state, prob, fx, fy, cx, cy, bf)
-    chi2 = _chi2(r, is_stereo)
+    chi2, is_stereo, depth_pos = _gate_T(prob, *state, fx, fy, cx, cy, bf)
     inlier = prob.obs_valid & (chi2 <= th) & depth_pos
 
     R_cw, t_cw, X = state

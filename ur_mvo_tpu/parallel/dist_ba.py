@@ -169,8 +169,11 @@ def dist_bundle_adjust(
             make_one_hots,
         )
 
-        if cfg.assembly == "matmul":
-            # loop-invariant per-shard indicators: build once outside the scan
+        if cfg.assembly != "scatter":
+            # loop-invariant per-shard indicators: build once outside the
+            # scan. ("auto"/"pallas" resolve to the one-hot matmul here:
+            # the Pallas reduction is a single-device kernel and the
+            # per-shard point counts are small.)
             from functools import partial as _partial
 
             builder = _partial(build_normal_terms_matmul, one_hots=make_one_hots(prob_local, cfg))
