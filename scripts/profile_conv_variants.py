@@ -83,6 +83,39 @@ def main():
     run("s3_foldA", stage_var("conv3a", "conv3b", fA, fA), (a2,))
     run("s3_foldB", stage_var("conv3a", "conv3b", fB, fB), (a2,))
 
+    # Pallas slab kernels (stages 1-2)
+    from ur_mvo_tpu.ops.pallas_conv import conv_pallas_supported, stage12_nhwc
+
+    if not conv_pallas_supported(H, W):
+        print(f"# pallas slab kernels: shape ({H},{W}) unsupported, skipping", file=sys.stderr)
+        return
+
+    s12p = jax.jit(lambda x: stage12_nhwc(sp, x))
+    s12x = jax.jit(lambda x: S._stage12_xla(sp, x))
+    o_p, o_x = s12p(x4), s12x(x4)
+    err = float(jnp.max(jnp.abs(o_p.astype(jnp.float32) - o_x.astype(jnp.float32))))
+    print(f"# stage12 pallas-vs-xla max|err|: {err:.3e}", file=sys.stderr)
+    run("s12_pallas", s12p, (x4,))
+    run("s12_xla_plain", s12x, (x4,))
+
+    from ur_mvo_tpu.ops.nms import simple_nms
+
+    def extract_var(pallas):
+        def f(im):
+            x = im[None, :, :, None].astype(jnp.bfloat16)
+            feat = S.backbone(sp, x, pallas=pallas)
+            s = S.detector_head(sp, feat)
+            s = jax.vmap(lambda m: simple_nms(m.astype(jnp.float32), radius=4))(s)
+            d = S.descriptor_head(sp, feat)
+            return select_keypoints(
+                s[0], d[0].astype(jnp.float32), capacity=CAP, threshold=5e-4, max_keypoints=MAXK
+            )
+
+        return jax.jit(f)
+
+    run("extract_xla_best", extract_var(False), (img,))
+    run("extract_pallas", extract_var(True), (img,))
+
     extract = jax.jit(
         lambda im: select_keypoints(
             *[t[0] for t in S.forward(sp, im[None, :, :, None], compute_dtype=jnp.bfloat16)],

@@ -96,3 +96,33 @@ def test_pallas_pose_opt_matches_xla():
     # converged to the true pose
     assert np.abs(np.asarray(Rp) - R_true).max() < 5e-3
     assert np.abs(np.asarray(tp) - t_true).max() < 2e-2
+
+
+def test_stage12_slab_conv_matches_xla():
+    """The Pallas slab conv kernels (interpret mode) must match the plain
+    XLA stage-1/2 path to bf16 tolerance, and the full backbone pallas
+    path must match the folded backbone; gradients flow via the XLA VJP."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ur_mvo_tpu.models import superpoint as S
+
+    p = S.init_params(jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 256, 1))
+    p12 = {k: p[k] for k in ("conv1a", "conv1b", "conv2a", "conv2b")}
+    ref = S._stage12_xla(p12, img.astype(jnp.bfloat16)).astype(jnp.float32)
+    out = S._stage12_pallas(p12, img.astype(jnp.bfloat16)).astype(jnp.float32)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(np.asarray(out) / scale, np.asarray(ref) / scale, atol=6e-3)
+
+    # full backbone: folded reference runs f32 here while the kernels
+    # compute bf16 internally -> bf16-accumulation tolerance
+    full_ref = S.backbone(p, img, folded=True, pallas=False)
+    full_pl = S.backbone(p, img, pallas=True)
+    scale = float(jnp.max(jnp.abs(full_ref)))
+    np.testing.assert_allclose(
+        np.asarray(full_pl) / scale, np.asarray(full_ref) / scale, atol=2e-2
+    )
+
+    g = jax.grad(lambda pp: jnp.sum(S.backbone(pp, img, pallas=True) ** 2))(p)
+    assert np.isfinite(float(jnp.sum(g["conv1a"]["w"]))) and float(jnp.sum(jnp.abs(g["conv2b"]["w"]))) > 0

@@ -218,6 +218,46 @@ def _pool2_folded(x_folded: jax.Array) -> jax.Array:
     )
 
 
+def _stage12_xla(p12: Dict[str, Any], image: jax.Array) -> jax.Array:
+    """XLA reference for encoder stages 1-2 (plain convs): used as the
+    VJP of the Pallas slab kernels and for their numeric tests."""
+    x = image
+    for name in ("conv1a", "conv1b"):
+        x = jax.nn.relu(_conv(x, p12[name]))
+    x = _pool2(x)
+    for name in ("conv2a", "conv2b"):
+        x = jax.nn.relu(_conv(x, p12[name]))
+    return _pool2(x)
+
+
+@jax.custom_vjp
+def _stage12_pallas(p12: Dict[str, Any], image: jax.Array) -> jax.Array:
+    from ur_mvo_tpu.ops.pallas_conv import stage12_nhwc
+
+    return stage12_nhwc(p12, image)
+
+
+def _stage12_fwd(p12, image):
+    return _stage12_pallas(p12, image), (p12, image)
+
+
+def _stage12_bwd(res, ct):
+    # backward via the XLA path (forward recompute + vjp): the kernels
+    # are inference-optimized; training pays the XLA cost only on bwd
+    p12, image = res
+    out_x, vjp = jax.vjp(_stage12_xla, p12, image)
+    return vjp(ct.astype(out_x.dtype))
+
+
+_stage12_pallas.defvjp(_stage12_fwd, _stage12_bwd)
+
+
+def _pallas_conv_wanted(H: int, W: int) -> bool:
+    from ur_mvo_tpu.ops.pallas_conv import conv_pallas_enabled, conv_pallas_supported
+
+    return conv_pallas_enabled() and conv_pallas_supported(H, W)
+
+
 def _folding_enabled() -> bool:
     """Column folding is a TPU layout optimization (full 128-lane tiles);
     on CPU it is pure overhead (1.33x FLOPs). Overridable for tests."""
@@ -229,13 +269,32 @@ def _folding_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def backbone(params: Dict[str, Any], image: jax.Array, folded: bool | None = None) -> jax.Array:
+def backbone(
+    params: Dict[str, Any],
+    image: jax.Array,
+    folded: bool | None = None,
+    pallas: bool | None = None,
+) -> jax.Array:
     """Shared encoder: (B, H, W, 1) in [0,1] -> (B, H/8, W/8, 128).
 
-    Stages 1-3 run column-folded (see :func:`_conv_folded`) when the
-    width allows; stage 4 is already 128-channel and runs unfolded."""
+    On TPU at supported shapes, stages 1-2 run as Pallas slab kernels
+    (``ops/pallas_conv``: VMEM-resident activations, full-K paired
+    matmuls) with an XLA-path custom VJP; stage 3 runs column-folded
+    (see :func:`_conv_folded`); stage 4 is already 128-channel and runs
+    unfolded. Off-TPU the profiled folded/plain XLA formulations apply."""
     x = image
     H, W = x.shape[1], x.shape[2]
+    if pallas is None:
+        pallas = _pallas_conv_wanted(H, W)
+    if pallas:
+        x = _stage12_pallas({k: params[k] for k in ("conv1a", "conv1b", "conv2a", "conv2b")}, x)
+        xf = _fold_cols(x)
+        xf = jax.nn.relu(_conv_folded(xf, params["conv3a"]))
+        xf = jax.nn.relu(_conv_folded(xf, params["conv3b"]))
+        x = _pool2_folded(xf)
+        x = jax.nn.relu(_conv(x, params["conv4a"]))
+        x = jax.nn.relu(_conv(x, params["conv4b"]))
+        return x
     if folded is None:
         folded = _folding_enabled()
     if folded and W % 8 == 0 and H % 8 == 0:

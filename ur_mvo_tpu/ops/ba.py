@@ -514,9 +514,17 @@ def solve_schur(H_cc, b_c, H_pp, b_p, U, slot_active, point_free, lam):
     H_ppd = H_pp + lam * eye3[None] + (~point_free)[:, None, None] * eye3[None]
     Hpp_inv = inv3x3(H_ppd) * point_free[:, None, None]
 
+    # Lane-major reduction: (P, 6FF, 3) arrays leave 125 of 128 lanes
+    # idle; one relayout to three full-lane (P, 6FF) planes turns the
+    # inner V/S contractions into broadcast FMAs + clean K=P matmuls
+    # (profiled 2-3x faster than the direct einsums on v5e).
     Ur = U.reshape(P, FF * 6, 3)
-    V = einsum("pif,pfg->pig", Ur, Hpp_inv)  # (P, 6FF, 3)
-    S_red = einsum("pif,pjf->ij", V, Ur)  # (6FF, 6FF)
+    U3 = jnp.transpose(Ur, (2, 0, 1))  # (3, P, 6FF) — single relayout
+    # V[p,i,g] = sum_f Ur[p,i,f] Hinv[p,f,g]  ->  V3[g] = sum_f U3[f] * Hinv[:,f,g]
+    V3 = [
+        sum(U3[f] * Hpp_inv[:, f, g][:, None] for f in range(3)) for g in range(3)
+    ]  # 3 x (P, 6FF)
+    S_red = sum(einsum("pi,pj->ij", V3[g], U3[g]) for g in range(3))  # (6FF, 6FF)
 
     H_cc_d = H_cc + lam * eye6[None]
     S_full = jnp.zeros((FF * 6, FF * 6))
@@ -528,14 +536,17 @@ def solve_schur(H_cc, b_c, H_pp, b_p, U, slot_active, point_free, lam):
     # Pin inactive rows/cols: S <- M S M + (I - M).
     M = free6.astype(S_full.dtype)
     S_full = S_full * M[:, None] * M[None, :] + jnp.diag(1.0 - M)
-    b_s = b_c.reshape(FF * 6) - einsum("pif,pf->i", V, b_p)
+    b_s = b_c.reshape(FF * 6) - sum(
+        jnp.sum(V3[g] * b_p[:, g][:, None], axis=0) for g in range(3)
+    )
     b_s = b_s * M
 
     # S is SPD after damping + pinning: Cholesky beats generic LU on TPU.
     chol = jax.scipy.linalg.cho_factor(S_full)
     delta_c = jax.scipy.linalg.cho_solve(chol, b_s).reshape(FF, 6)
     # Back-substitution: delta_p = Hpp^-1 (b_p - U^T delta_c).
-    rhs_p = b_p - einsum("pif,i->pf", Ur, delta_c.reshape(FF * 6))
+    dc = delta_c.reshape(FF * 6)
+    rhs_p = b_p - jnp.stack([einsum("pi,i->p", U3[f], dc) for f in range(3)], axis=1)
     delta_p = einsum("pfg,pg->pf", Hpp_inv, rhs_p)
     return delta_c, delta_p
 
