@@ -40,7 +40,7 @@ def main():
                     help="save a top-down trajectory + map plot (matplotlib)")
     ap.add_argument("--weights", default=None,
                     help="SuperPoint checkpoint (.npz/.pth); overrides the config's superpoint.weights_path")
-    ap.add_argument("--matcher", default=None, choices=["superglue", "nn"],
+    ap.add_argument("--matcher", default=None, choices=["auto", "superglue", "nn"],
                     help="matcher override (nn = mutual nearest-neighbor, no learned weights needed)")
     args = ap.parse_args()
 

@@ -50,9 +50,11 @@ class SuperGlueConfig:
     image_width: int = 640
     image_height: int = 512
     matching_threshold: float = 0.5
-    # "superglue" (learned GNN+Sinkhorn) or "nn" (mutual nearest-neighbor
-    # with ratio test — no trained weights required)
-    matcher: str = "superglue"
+    # "superglue" (learned GNN+Sinkhorn), "nn" (mutual nearest-neighbor
+    # with ratio test — no trained weights required), or "auto"
+    # (superglue when weights_path is set, nn otherwise — a random-init
+    # SuperGlue cannot match)
+    matcher: str = "auto"
     nn_min_similarity: float = 0.2
     nn_ratio: float = 0.95
     sinkhorn_iterations: int = 20

@@ -51,6 +51,13 @@ class NeuralExtractor:
             self.sg_params = superglue.load_weights(sg_cfg.weights_path, sg_cfg.num_layers, sg_cfg.num_heads)
         else:
             self.sg_params = superglue.init_params(k2, sg_cfg.num_layers, sg_cfg.num_heads)
+        # Resolve the "auto" matcher: a randomly-initialized SuperGlue
+        # produces meaningless assignments, so without trained matcher
+        # weights fall back to mutual-NN with ratio test (the pairing
+        # the shipped detector-only checkpoint is validated with).
+        self._matcher = sg_cfg.matcher
+        if self._matcher == "auto":
+            self._matcher = "superglue" if sg_cfg.weights_path else "nn"
 
         undistort_map = (
             jnp.asarray(camera.undistort_map) if camera.undistort_map is not None else None
@@ -98,9 +105,11 @@ class NeuralExtractor:
         def _extract_nomask(sp_params, image_u8: jax.Array) -> FeatureBank:
             return _extract_impl(sp_params, image_u8)
 
+        matcher = self._matcher
+
         @partial(jax.jit, static_argnames=("outlier_rejection",))
         def _match(sg_params, key, bank0: FeatureBank, bank1: FeatureBank, outlier_rejection: bool = True) -> Matches:
-            if sg_cfg.matcher == "nn":
+            if matcher == "nn":
                 from ur_mvo_tpu.ops.nn_matcher import match_nn
 
                 m = match_nn(bank0, bank1, sg_cfg.nn_min_similarity, sg_cfg.nn_ratio)
