@@ -111,27 +111,43 @@ def matmul3(a, b):
 # Scoring (ORB-SLAM3-style symmetric transfer chi^2)
 # ---------------------------------------------------------------------------
 
-def _apply_lines(F: jax.Array, x: jax.Array, transpose: bool) -> jax.Array:
-    """``l[..., k, i] = sum_j F[..., i, j] x[k, j]`` (or F^T) as a
-    broadcast-sum: tiny 3-dim contractions over a hypothesis batch are
-    VPU elementwise work, not MXU matmuls — a vmapped einsum here was as
-    expensive as the whole SuperGlue GNN on TPU."""
-    if transpose:
-        return jnp.sum(F[..., None, :, :] * x[:, :, None], axis=-2)
-    return jnp.sum(F[..., None, :, :] * x[:, None, :], axis=-1)
+def _lines_T(M: jax.Array, xT: jax.Array, transpose: bool) -> jax.Array:
+    """``l`` (..., 3, K) = M (or M^T) applied to homogeneous points
+    ``xT`` (3, K), as ONE flat (3B, 3) x (3, K) matmul.
+
+    Lane-major scoring layout: with K points in the 128-wide lanes every
+    downstream distance/chi^2 op is a full-lane (..., K) vector op. The
+    previous (..., K, 3) orientation left 125 of 128 lanes idle across
+    the whole scoring pipeline (~20 elementwise passes), which profiled
+    as expensive as the SuperGlue GNN itself."""
+    Mm = jnp.swapaxes(M, -1, -2) if transpose else M
+    lead = Mm.shape[:-2]
+    K = xT.shape[-1]
+    l = jnp.matmul(Mm.reshape((-1, 3)), xT, precision=HIGHEST)
+    return l.reshape(lead + (3, K))
+
+
+def _homog_T(p1: jax.Array, p2: jax.Array):
+    """(K, 2) point pairs -> lane-major homogeneous (3, K) arrays."""
+    ones = jnp.ones((1, p1.shape[0]), p1.dtype)
+    return (
+        jnp.concatenate([p1.T, ones], axis=0),
+        jnp.concatenate([p2.T, ones], axis=0),
+    )
 
 
 def score_fundamental(F: jax.Array, p1: jax.Array, p2: jax.Array, valid: jax.Array, sigma: float = 1.0):
     """Symmetric epipolar-distance chi^2 score. ``F`` may carry leading
-    hypothesis dims (..., 3, 3); all hypotheses score in one broadcast
+    hypothesis dims (..., 3, 3); all hypotheses score in one lane-major
     batch. Returns (score (...,), inliers (..., K))."""
     inv_s2 = 1.0 / (sigma * sigma)
-    x1 = jnp.concatenate([p1, jnp.ones_like(p1[..., :1])], axis=-1)  # (K, 3)
-    x2 = jnp.concatenate([p2, jnp.ones_like(p2[..., :1])], axis=-1)
-    l2 = _apply_lines(F, x1, False)  # (..., K, 3) epipolar lines in image 2
-    l1 = _apply_lines(F, x2, True)  # (..., K, 3) in image 1
-    d2 = jnp.sum(l2 * x2, -1) ** 2 / jnp.maximum(l2[..., 0] ** 2 + l2[..., 1] ** 2, 1e-12)
-    d1 = jnp.sum(l1 * x1, -1) ** 2 / jnp.maximum(l1[..., 0] ** 2 + l1[..., 1] ** 2, 1e-12)
+    x1T, x2T = _homog_T(p1, p2)
+    l2 = _lines_T(F, x1T, False)  # (..., 3, K) epipolar lines in image 2
+    l1 = _lines_T(F, x2T, True)  # (..., 3, K) in image 1
+    n2 = l2[..., 0, :] * x2T[0] + l2[..., 1, :] * x2T[1] + l2[..., 2, :]
+    n1 = l1[..., 0, :] * x1T[0] + l1[..., 1, :] * x1T[1] + l1[..., 2, :]
+    d2 = n2 * n2 / jnp.maximum(l2[..., 0, :] ** 2 + l2[..., 1, :] ** 2, 1e-12)
+    d1 = n1 * n1 / jnp.maximum(l1[..., 0, :] ** 2 + l1[..., 1, :] ** 2, 1e-12)
     chi1 = d2 * inv_s2
     chi2 = d1 * inv_s2
     ok1 = chi1 <= F_CHI2_TH
@@ -146,18 +162,22 @@ def score_fundamental(F: jax.Array, p1: jax.Array, p2: jax.Array, valid: jax.Arr
 
 def score_homography(H21: jax.Array, p1: jax.Array, p2: jax.Array, valid: jax.Array, sigma: float = 1.0):
     """Symmetric transfer-error chi^2 score for a homography; ``H21``
-    may carry leading hypothesis dims (broadcast-batched like
+    may carry leading hypothesis dims (lane-major-batched like
     ``score_fundamental``)."""
     inv_s2 = 1.0 / (sigma * sigma)
     H12 = inv3x3(H21)
+    x1T, x2T = _homog_T(p1, p2)
 
-    def transfer(H, p):
-        x = jnp.concatenate([p, jnp.ones_like(p[..., :1])], axis=-1)
-        y = _apply_lines(H, x, False)  # (..., K, 3)
-        return y[..., :2] / jnp.where(jnp.abs(y[..., 2:3]) > 1e-12, y[..., 2:3], 1e-12)
+    def transfer_err(H, xsrcT, pdstT):
+        y = _lines_T(H, xsrcT, False)  # (..., 3, K)
+        w = y[..., 2, :]
+        w = jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)
+        du = y[..., 0, :] / w - pdstT[0]
+        dv = y[..., 1, :] / w - pdstT[1]
+        return du * du + dv * dv
 
-    d1 = jnp.sum((p1 - transfer(H12, p2)) ** 2, axis=-1) * inv_s2
-    d2 = jnp.sum((p2 - transfer(H21, p1)) ** 2, axis=-1) * inv_s2
+    d1 = transfer_err(H12, x2T, x1T) * inv_s2
+    d2 = transfer_err(H21, x1T, x2T) * inv_s2
     ok1 = d1 <= H_CHI2_TH
     ok2 = d2 <= H_CHI2_TH
     score = jnp.sum(
