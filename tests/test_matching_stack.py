@@ -197,3 +197,25 @@ def test_score_fundamental_masked():
     assert not bool(inl[30])  # masked slots can't be inliers
     s_full, _ = score_fundamental(F, p1, p2, jnp.ones((50,), bool))
     assert float(s_masked) < float(s_full)
+
+
+def test_auto_matcher_resolution():
+    """'auto' resolves to NN without SuperGlue weights and to SuperGlue
+    with them; explicit choices are respected."""
+    from ur_mvo_tpu.camera import make_pinhole
+    from ur_mvo_tpu.config import Configs
+    from ur_mvo_tpu.runtime.extractor import NeuralExtractor
+
+    cam = make_pinhole(160, 128, 120.0, 120.0, 80.0, 64.0)
+    cfg = Configs()
+    cfg.superpoint.capacity = 128
+    cfg.superglue.image_width, cfg.superglue.image_height = 160, 128
+    assert cfg.superglue.matcher == "auto"
+    ex = NeuralExtractor(cfg, cam)
+    assert ex._matcher == "nn"
+
+    cfg2 = Configs()
+    cfg2.superpoint.capacity = 128
+    cfg2.superglue.matcher = "superglue"
+    ex2 = NeuralExtractor(cfg2, cam)
+    assert ex2._matcher == "superglue"
