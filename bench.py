@@ -251,7 +251,24 @@ def main():
     t_extract_b = sustained_ms(lambda im: ext_b(im), (imgs_b,)) / S
     banks_b = jax.tree.map(lambda a: jnp.stack([a] * S), bank0)
     banks_b1 = jax.tree.map(lambda a: jnp.stack([a] * S), bank1)
-    match_b = jax.jit(jax.vmap(lambda k, b0, b1: match(k, b0, b1)))
+
+    from ur_mvo_tpu.ops.pallas_kernels import attention_pallas_wanted
+
+    def match_one_b(k, b0, b1):
+        # batched policy: Pallas attention (XLA's logits fusion breaks
+        # under a sequence batch; see attention_pallas_wanted)
+        Z = superglue.match_scores(
+            sg, b0, b1, W, H, sinkhorn_iterations=20,
+            compute_dtype=jnp.bfloat16,
+            use_pallas_sinkhorn=sinkhorn_pallas_enabled(),
+            use_pallas_attention=attention_pallas_wanted(batched=True),
+        )
+        m = decode_assignment(Z, b0.valid, b1.valid, 0.5)
+        p0, p1, valid = gather_match_points(m, b0.kpts, b1.kpts)
+        res = ransac_fundamental(k, p0, p1, valid, iterations=200)
+        return m.idx1, res.inliers
+
+    match_b = jax.jit(jax.vmap(match_one_b))
     keys_b = jax.random.split(ks[3], S)
     t_match_b = sustained_ms(lambda k, b0, b1: match_b(k, b0, b1), (keys_b, banks_b, banks_b1)) / S
     print(

@@ -130,6 +130,41 @@ def main():
     run("f_ransac_200", fr, (ks[3], p0, p1, valid))
     run("match_full", full, (ks[3], b0, b1))
 
+    # ---- batched (S=4) variants: why is multi-seq match not flat? ----
+    S = 4
+    import jax.tree_util as jtu
+
+    banksA = jtu.tree_map(lambda a: jnp.stack([a] * S), b0)
+    banksB = jtu.tree_map(lambda a: jnp.stack([a] * S), b1)
+    keys_b = jax.random.split(ks[5], S)
+    xs0 = jnp.stack([x0] * S)
+    xs1 = jnp.stack([x1] * S)
+    ys0 = jnp.stack([y0] * S)
+    ys1 = jnp.stack([y1] * S)
+    Zb = jnp.stack([Z] * S)
+    p0b, p1b, vb = jnp.stack([p0] * S), jnp.stack([p1] * S), jnp.stack([valid] * S)
+
+    gnn_b = jax.jit(jax.vmap(lambda a, b: SG.gnn(sgb, a, b, b0.valid, b1.valid, 4, False)))
+    sink_b = jax.jit(jax.vmap(lambda y0, y1: log_optimal_transport(
+        proj_scores(y0, y1), b0.valid, b1.valid, alpha, 20)))
+    sink_plb = jax.jit(jax.vmap(lambda y0, y1: log_optimal_transport_pallas(
+        proj_scores(y0, y1), b0.valid, b1.valid, alpha, 20)))
+    dec_b = jax.jit(jax.vmap(lambda Z: decode_assignment(Z, b0.valid, b1.valid, 0.5)))
+    fr_b = jax.jit(jax.vmap(lambda k, p0, p1, v: ransac_fundamental(k, p0, p1, v, iterations=200)))
+    full_b = jax.jit(jax.vmap(full))
+
+    def runb(name, fn, args):
+        meas[name] = sustained_ms(fn, args, n2=N2) / S
+        print(f"{name:24s} {meas[name]:8.3f} ms/seq", flush=True)
+
+    runb("b4_gnn", gnn_b, (xs0, xs1))
+    runb("b4_sinkhorn_xla", sink_b, (ys0, ys1))
+    if not tiny:
+        runb("b4_sinkhorn_pallas", sink_plb, (ys0, ys1))
+    runb("b4_decode", dec_b, (Zb,))
+    runb("b4_f_ransac", fr_b, (keys_b, p0b, p1b, vb))
+    runb("b4_match_full", full_b, (keys_b, banksA, banksB))
+
 
 if __name__ == "__main__":
     main()

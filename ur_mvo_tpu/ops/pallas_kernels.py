@@ -188,15 +188,24 @@ def sinkhorn_pallas_enabled() -> bool:
     return _on_tpu()
 
 
-def attention_pallas_enabled() -> bool:
-    """Mosaic-verified on TPU v5e (after switching the mask to f32 and
-    the logits to an explicit dot_general contraction). XLA's attention
-    at this size benchmarks equal-or-faster, so the kernel stays opt-in
-    (URMVO_PALLAS_ATTN=1) — it exists for larger keypoint budgets where
-    the fused VMEM-resident form wins."""
+def attention_pallas_wanted(batched: bool) -> bool:
+    """Pallas-attention policy. For a single pair XLA's fused attention
+    benchmarks equal-or-faster (0.90 vs 0.96 ms GNN on v5e), but under a
+    sequence batch XLA stops fusing the f32 logits (S·2·4·K² ≈ 134 MB
+    per layer at S=4) and per-sequence GNN cost doubles; the
+    VMEM-resident kernel keeps it flat (0.92 vs 2.02 ms/seq at S=4).
+    ``URMVO_PALLAS_ATTN=0/1`` overrides in either direction."""
     import os
 
-    return os.environ.get("URMVO_PALLAS_ATTN") == "1" and _on_tpu()
+    env = os.environ.get("URMVO_PALLAS_ATTN")
+    if env is not None:
+        return env not in ("0", "false") and _on_tpu()
+    return batched and _on_tpu()
+
+
+def attention_pallas_enabled() -> bool:
+    """Single-pair policy (see :func:`attention_pallas_wanted`)."""
+    return attention_pallas_wanted(False)
 
 
 def pallas_available() -> bool:

@@ -80,14 +80,23 @@ def ransac_pnp(
     sets = sample_minimal_sets(key, valid, iterations, 6)
     Rs, ts = jax.vmap(lambda idx: dlt_pnp(X[idx], rays[idx]))(sets)
 
-    # Score every hypothesis against every point in one broadcast batch:
-    # tiny per-hypothesis einsums lower to <5%-utilization MXU matmuls,
-    # so the 3-wide contractions are written as VPU broadcast-sums.
-    pc = jnp.sum(Rs[:, None, :, :] * X[None, :, None, :], axis=-1) + ts[:, None, :]  # (H, N, 3)
-    uvp = jnp.sum(K * pc[..., None, :], axis=-1)  # (H, N, 3)
-    proj = uvp[..., :2] / jnp.maximum(uvp[..., 2:3], 1e-9)
-    err2 = jnp.sum((proj - uv) ** 2, axis=-1)
-    inls = valid & (err2 < threshold_px * threshold_px) & (pc[..., 2] > 0)
+    # Score every hypothesis against every point, lane-major: points fill
+    # the 128-wide vector lanes. The earlier (H, N, 3) orientation left
+    # 125/128 lanes idle for the whole reprojection pipeline; camera-frame
+    # points come from ONE flat (3H, 3) x (3, N) matmul and everything
+    # after is a full-lane (H, N) vector op.
+    H = iterations
+    XT = X.T  # (3, N)
+    pc = jnp.matmul(Rs.reshape(3 * H, 3), XT, precision=HIGHEST).reshape(H, 3, -1)
+    pc = pc + ts[:, :, None]  # (H, 3, N)
+    uvp = [
+        K[a, 0] * pc[:, 0] + K[a, 1] * pc[:, 1] + K[a, 2] * pc[:, 2] for a in range(3)
+    ]  # 3 x (H, N)
+    w = jnp.maximum(uvp[2], 1e-9)
+    du = uvp[0] / w - uv[:, 0]
+    dv = uvp[1] / w - uv[:, 1]
+    err2 = du * du + dv * dv  # (H, N)
+    inls = valid & (err2 < threshold_px * threshold_px) & (pc[:, 2] > 0)
     counts = jnp.sum(inls.astype(jnp.int32), axis=-1)
     best = jnp.argmax(counts)
     return PnPResult(R_cw=Rs[best], t_cw=ts[best], inliers=inls[best], n_inliers=counts[best])

@@ -29,7 +29,12 @@ def make_batched_matcher(params, mesh: Mesh, width: int, height: int,
     batch_sharding = NamedSharding(mesh, P(axis))
 
     def one(bank0: FeatureBank, bank1: FeatureBank) -> Matches:
-        Z = superglue.match_scores(params, bank0, bank1, width, height, sinkhorn_iterations)
+        from ur_mvo_tpu.ops.pallas_kernels import attention_pallas_wanted
+
+        Z = superglue.match_scores(
+            params, bank0, bank1, width, height, sinkhorn_iterations,
+            use_pallas_attention=attention_pallas_wanted(batched=True),
+        )
         return decode_assignment(Z, bank0.valid, bank1.valid, threshold)
 
     vfn = jax.vmap(one)

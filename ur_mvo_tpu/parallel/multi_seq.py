@@ -88,9 +88,12 @@ class MultiSequenceVO:
             )
 
         def _match_one(sg_params, key, b0, b1):
+            from ur_mvo_tpu.ops.pallas_kernels import attention_pallas_wanted
+
             Z = superglue.match_scores(
                 sg_params, b0, b1, sg_cfg.image_width, sg_cfg.image_height,
                 sinkhorn_iterations=sg_cfg.sinkhorn_iterations,
+                use_pallas_attention=attention_pallas_wanted(batched=True),
             )
             m = decode_assignment(Z, b0.valid, b1.valid, sg_cfg.matching_threshold)
             p0, p1, valid = gather_match_points(m, b0.kpts, b1.kpts)
