@@ -75,10 +75,18 @@ def sustained_ms(kernel, args, n1=2, n2=12, reps=6):
     import jax.numpy as jnp
 
     def perturb(tree, i):
-        return jax.tree.map(
-            lambda a: a + (i.astype(a.dtype) * 1e-12) if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
-            tree,
-        )
+        # MULTIPLICATIVE perturbation: an additive i*1e-12 is below f32
+        # resolution for values >~1e-5, leaving iterations bitwise
+        # identical — XLA then hoists the whole body out of the scan and
+        # the stage measures as 0 (observed once the track program got
+        # small enough for LICM). 1e-7 * i is ~ULP-scale at f32 and
+        # changes results negligibly while defeating CSE/hoisting.
+        def p(a):
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+                return a * (1.0 + i.astype(a.dtype) * jnp.asarray(1e-7, a.dtype))
+            return a
+
+        return jax.tree.map(p, tree)
 
     def consume(out):
         leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "dtype")]
