@@ -114,26 +114,37 @@ def init_params(key: jax.Array, num_layers: int = 9, num_heads: int = 4, dtype=j
     return params
 
 
-def _attention_core(q, k, v, kv_valid, num_heads: int, use_pallas: bool = False) -> jax.Array:
-    """Masked multi-head attention core: (B, K, H, d) q/k/v -> (B, K, D).
+def _attention(layer, x_q: jax.Array, x_kv: jax.Array, kv_valid: jax.Array, num_heads: int,
+               use_pallas: bool = False) -> jax.Array:
+    """Multi-head attention with invalid-slot key masking.
+
+    Inputs are batched over the two banks: (B, K, D) queries against
+    (B, K, D) keys/values (B=2 for a frame pair). Both banks share the
+    layer weights, so projecting them in ONE (B*K, D) x (D, D) matmul and
+    running one batched attention einsum halves the number of device ops
+    per GNN layer versus per-bank calls — at K~1024 these ops are too
+    small to saturate the MXU individually.
 
     Matmuls run in the input dtype (bf16 on TPU doubles MXU rate, and the
     reference runs this net in TRT fp16); logits/softmax accumulate f32.
     With ``use_pallas`` the logits/softmax/value core runs as a fused
     VMEM-resident kernel (``ops/pallas_kernels.attention_pallas``).
     """
-    B, K, _, head_dim = q.shape
+    B, K, _ = x_q.shape
+    head_dim = D // num_heads
+    q = (x_q.reshape(B * K, D) @ layer["q"]["w"] + layer["q"]["b"]).reshape(B, K, num_heads, head_dim)
+    k = (x_kv.reshape(B * K, D) @ layer["k"]["w"] + layer["k"]["b"]).reshape(B, K, num_heads, head_dim)
+    v = (x_kv.reshape(B * K, D) @ layer["v"]["w"] + layer["v"]["b"]).reshape(B, K, num_heads, head_dim)
     if use_pallas:
         from ur_mvo_tpu.ops.pallas_kernels import attention_pallas
 
-        return jax.vmap(attention_pallas)(q, k, v, kv_valid).reshape(B, K, D)
-    # scale q rather than the logits: (B, K, H, d) is 16x fewer elements
-    # than the (B, H, K, K) logits tensor
-    q = q * jnp.asarray(1.0 / jnp.sqrt(head_dim), q.dtype)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    logits = jnp.where(kv_valid[:, None, None, :], logits, -1e9)
-    attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, K, D)
+        msg = jax.vmap(attention_pallas)(q, k, v, kv_valid).reshape(B, K, D)
+    else:
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) / jnp.sqrt(head_dim)
+        logits = jnp.where(kv_valid[:, None, None, :], logits, -1e9)
+        attn = jax.nn.softmax(logits, axis=-1).astype(x_q.dtype)
+        msg = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, K, D)
+    return (msg.reshape(B * K, D) @ layer["merge"]["w"] + layer["merge"]["b"]).reshape(B, K, D)
 
 
 def encode(params: Dict[str, Any], bank: FeatureBank, width: int, height: int) -> jax.Array:
@@ -151,56 +162,20 @@ def gnn(params: Dict[str, Any], x0: jax.Array, x1: jax.Array, valid0: jax.Array,
     """Alternating self/cross attentional message passing.
 
     The two banks are stacked on a leading axis of 2 so every projection,
-    attention and message-MLP runs as one batched op for the whole pair;
-    at K~1024 per-bank ops are too small to saturate the MXU.
-
-    Two algebraic fusions cut the per-layer matmul count (numerically
-    identical up to float reassociation):
-
-    - **Fused QKV**: q, k and v all project the SAME stacked tensor —
-      cross-attention only flips the bank axis of k/v, and a per-row
-      projection commutes with the flip — so the three (2K, D) x (D, D)
-      matmuls become one (2K, D) x (D, 3D) with the wider output filling
-      MXU tiles better.
-    - **Merge fold**: there is no nonlinearity between the attention
-      output's merge projection and the message MLP's first layer, and
-      ``concat([x, m]) @ W1 = x @ W1_top + m @ W1_bot``; substituting
-      ``m = a @ Wm + bm`` gives ``a @ (Wm @ W1_bot)`` with a folded bias
-      — the (2K, D) x (D, D) merge matmul and the (2K, 2D) concat copy
-      are replaced by one (D, D) x (D, 2D) weight-side fold.
-    """
+    attention and message-MLP runs as one batched op for the whole pair
+    (see :func:`_attention`); cross-attention is the same batched op with
+    the key/value banks flipped."""
     nh = num_heads
     x = jnp.stack([x0, x1])  # (2, K, D)
     valid = jnp.stack([valid0, valid1])
-    B, K, _ = x.shape
+    valid_flip = valid[::-1]
+    K = x.shape[1]
     for i, layer in enumerate(params["layers"]):
-        w_qkv = jnp.concatenate([layer["q"]["w"], layer["k"]["w"], layer["v"]["w"]], axis=1)
-        b_qkv = jnp.concatenate([layer["q"]["b"], layer["k"]["b"], layer["v"]["b"]])
-        qkv = (x.reshape(B * K, D) @ w_qkv + b_qkv).reshape(B, K, 3, nh, D // nh)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if i % 2 == 0:  # self-attention
-            kv_valid = valid
-        else:  # cross-attention: keys/values come from the other bank
-            k, v, kv_valid = k[::-1], v[::-1], valid[::-1]
-        a = _attention_core(q, k, v, kv_valid, nh, use_pallas)
-
-        mlp = layer["mlp"]
-        w1, wm = mlp[0]["w"], layer["merge"]["w"]
-        w1_bot = w1[D:]
-        h = (
-            x.reshape(B * K, D) @ w1[:D]
-            + a.reshape(B * K, D) @ (wm @ w1_bot)
-            + (mlp[0]["b"] + layer["merge"]["b"] @ w1_bot)
-        )
-        h = h * mlp[0]["scale"] + mlp[0]["shift"]
-        h = jax.nn.relu(h)
-        for rest in mlp[1:]:
-            h = h @ rest["w"] + rest["b"]
-            if "scale" in rest:
-                h = h * rest["scale"] + rest["shift"]
-            if rest is not mlp[-1]:
-                h = jax.nn.relu(h)
-        x = x + h.reshape(B, K, D)
+            m = _attention(layer, x, x, valid, nh, use_pallas)
+        else:  # cross-attention
+            m = _attention(layer, x, x[::-1], valid_flip, nh, use_pallas)
+        x = x + _mlp(layer["mlp"], jnp.concatenate([x, m], axis=-1).reshape(2 * K, 2 * D)).reshape(2, K, D)
     return x[0], x[1]
 
 
