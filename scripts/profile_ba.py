@@ -130,15 +130,40 @@ def main():
     errs = [float(jnp.max(jnp.abs(a - b))) for a, b in zip(lp[:5], lm)]
     print(f"# pallas-vs-matmul builder max|err| H_cc/b_c/H_pp/b_p/U: {errs}", file=sys.stderr)
 
+    # sorted-window assembly: loop-invariant layout + per-iter builder
+    from ur_mvo_tpu.ops.ba import (
+        build_normal_terms_sorted,
+        make_sorted_layout,
+        permute_observations,
+    )
+
+    mk_layout = jax.jit(lambda p: make_sorted_layout(p, cfg))
+    order, layout = mk_layout(prob)
+    prob_s = jax.jit(permute_observations)(prob, order)
+    active_s = prob_s.obs_valid.astype(jnp.float32)
+    lin_sorted = jax.jit(
+        lambda R, t, X: build_normal_terms_sorted(
+            prob_s, R, t, X, fx, fy, cx, cy, 0.0, cfg, active_s, True, layout=layout
+        )
+    )
+    ls = lin_sorted(R_cw, t_cw, X)
+    errs_s = [float(jnp.max(jnp.abs(a - b))) for a, b in zip(ls[:5], lm)]
+    print(f"# sorted-vs-matmul builder max|err| H_cc/b_c/H_pp/b_p/U: {errs_s}", file=sys.stderr)
+
     mk = lambda asm, i1, i2: cfg._replace(assembly=asm, iters_phase1=i1, iters_phase2=i2)
     ba_short = jax.jit(lambda p: B.bundle_adjust(p, fx, fy, cx, cy, 0.0, mk("matmul", 2, 1)))
     ba_full = jax.jit(lambda p: B.bundle_adjust(p, fx, fy, cx, cy, 0.0, mk("matmul", 10, 5)))
     ba_short_pl = jax.jit(lambda p: B.bundle_adjust(p, fx, fy, cx, cy, 0.0, mk("pallas", 2, 1)))
     ba_full_pl = jax.jit(lambda p: B.bundle_adjust(p, fx, fy, cx, cy, 0.0, mk("pallas", 10, 5)))
 
+    ba_short_s = jax.jit(lambda p: B.bundle_adjust(p, fx, fy, cx, cy, 0.0, mk("sorted", 2, 1)))
+    ba_full_s = jax.jit(lambda p: B.bundle_adjust(p, fx, fy, cx, cy, 0.0, mk("sorted", 10, 5)))
+
     results = {}
     results["linearize_matmul"] = sustained_ms(lin, (R_cw, t_cw, X), n2=52)
     results["linearize_pallas"] = sustained_ms(lin_pallas, (R_cw, t_cw, X), n2=52)
+    results["linearize_sorted"] = sustained_ms(lin_sorted, (R_cw, t_cw, X), n2=52)
+    results["sorted_layout_once"] = sustained_ms(mk_layout, (prob,), n2=52)
     results["residuals_only"] = sustained_ms(resid, (R_cw, t_cw, X), n2=52)
     results["solve_schur"] = sustained_ms(solve, (H_cc, b_c, H_pp, b_p, U), n2=52)
     results["cho_96"] = sustained_ms(chol, (S96, bs), n2=52)
@@ -153,6 +178,11 @@ def main():
     results["ba_3_iters_pallas"] = t_short_pl
     results["ba_15_iters_pallas"] = t_full_pl
     results["per_iter_slope_pallas"] = (t_full_pl - t_short_pl) / 12.0
+    t_short_s = sustained_ms(ba_short_s, (prob,), n1=1, n2=9, reps=4)
+    t_full_s = sustained_ms(ba_full_s, (prob,), n1=1, n2=9, reps=4)
+    results["ba_3_iters_sorted"] = t_short_s
+    results["ba_15_iters_sorted"] = t_full_s
+    results["per_iter_slope_sorted"] = (t_full_s - t_short_s) / 12.0
 
     for k, v in results.items():
         print(f"{k:24s} {v:8.3f} ms")

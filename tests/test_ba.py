@@ -228,6 +228,54 @@ def test_pallas_assembly_matches_scatter():
         np.testing.assert_allclose(y / scale, x / scale, atol=tol, err_msg=name)
 
 
+def test_sorted_assembly_matches_scatter():
+    """The sorted-window assembly (interpret mode on CPU) must agree with
+    the scatter assembly on the point-sorted problem (same bf16 summand
+    class as the matmul path)."""
+    from ur_mvo_tpu.ops.ba import (
+        BAConfig,
+        build_normal_terms,
+        build_normal_terms_sorted,
+        make_sorted_layout,
+        permute_observations,
+        _invert_poses,
+    )
+
+    prob, *_ = build_problem(jax.random.PRNGKey(6))
+    cfg = BAConfig()
+    order, layout = make_sorted_layout(prob, cfg)
+    prob_s = permute_observations(prob, order)
+    R_cw, t_cw = _invert_poses(prob_s.R_wc, prob_s.t_wc)
+    act = prob_s.obs_valid.astype(jnp.float32)
+    a = build_normal_terms(prob_s, R_cw, t_cw, prob_s.X, FX, FY, CX, CY, 0.0, cfg, act, True)
+    b = build_normal_terms_sorted(
+        prob_s, R_cw, t_cw, prob_s.X, FX, FY, CX, CY, 0.0, cfg, act, True,
+        layout=layout, interpret=True,
+    )
+    names = ["H_cc", "b_c", "H_pp", "b_p", "U", "cost"]
+    for name, x, y in zip(names, a, b):
+        x = np.asarray(x)
+        y = np.asarray(y)
+        scale = max(np.abs(x).max(), 1.0)
+        tol = 1e-5 if name in ("H_cc", "b_c", "cost") else 5e-3
+        np.testing.assert_allclose(y / scale, x / scale, atol=tol, err_msg=name)
+
+
+def test_ba_sorted_assembly_converges():
+    """End-to-end bundle_adjust with the sorted assembly: same solution
+    quality as the other assemblies, and the inlier verdicts come back in
+    the caller's (unsorted) observation order."""
+    prob, R_true, t_true, X_true, n_obs = build_problem(jax.random.PRNGKey(7))
+    res_ref = bundle_adjust(prob, FX, FY, CX, CY, cfg=BAConfig(assembly="matmul"))
+    res = bundle_adjust(prob, FX, FY, CX, CY, cfg=BAConfig(assembly="sorted"))
+    Rerr, terr = _pose_errors(res, R_true, t_true, 6)
+    assert Rerr < 5e-3 and terr < 2e-2
+    assert int(res.obs_inlier.sum()) > 0.95 * n_obs
+    # verdict order: inliers must mark the same (valid) observation slots
+    agree = np.mean(np.asarray(res.obs_inlier) == np.asarray(res_ref.obs_inlier))
+    assert agree > 0.98, agree
+
+
 def test_point_reduce_pallas_segments():
     """Direct check of the Pallas segment reduction against numpy, with
     odd O (internal chunk padding) and collision-heavy point ids."""

@@ -485,6 +485,76 @@ def make_one_hots_pallas(prob: BAProblem, cfg: BAConfig):
     return Ef, obs_slot
 
 
+def make_sorted_layout(prob: BAProblem, cfg: BAConfig):
+    """Loop-invariant structure for the "sorted" assembly: the point-sort
+    permutation, compact point ranks, per-chunk accumulator windows, and
+    the rank->point remap. Built ONCE per BA problem (outside the LM
+    scan); only the per-observation value rows change per iteration.
+
+    Returns ``(order, layout)`` where ``layout = (EfT, rank, slot_s, win,
+    rank_of_point, n_ranks_pad)`` and every obs-indexed array is in
+    point-sorted order.
+    """
+    from ur_mvo_tpu.ops.pallas_ba import _SCHUNK, _SWIN
+
+    P = prob.X.shape[0]
+    FF = cfg.max_free_frames
+    order = jnp.argsort(prob.obs_point)
+    prob_s = permute_observations(prob, order)
+    pt_s = prob_s.obs_point
+    first = jnp.concatenate([jnp.ones((1,), bool), pt_s[1:] != pt_s[:-1]])
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    win = (rank[::_SCHUNK] // 8) * 8
+    n_ranks_pad = ((P + _SWIN + 7) // 8) * 8
+    rank_of_point = jnp.full((P,), n_ranks_pad - 1, jnp.int32).at[pt_s].set(rank)
+    slot_s = _free_rank(prob, FF)[prob_s.obs_frame]
+    EfT = jax.nn.one_hot(slot_s, FF, dtype=jnp.float32, axis=0)
+    return order, (EfT, rank, slot_s, win, rank_of_point, n_ranks_pad)
+
+
+def permute_observations(prob: BAProblem, order: jax.Array) -> BAProblem:
+    return prob._replace(
+        obs_frame=prob.obs_frame[order],
+        obs_point=prob.obs_point[order],
+        obs_uv=prob.obs_uv[order],
+        obs_valid=prob.obs_valid[order],
+    )
+
+
+def build_normal_terms_sorted(prob_s: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg: BAConfig, active,
+                              use_huber, layout, interpret=None):
+    """Sorted-window assembly: observations (already point-sorted in
+    ``prob_s``) are segment-reduced onto compact point ranks by
+    ``ops.pallas_ba.point_reduce_sorted_pallas`` — each 512-observation
+    chunk contracts against only its own <=528-row accumulator window, so
+    the point-side work is O(O * 528 * V) independent of P (the dense
+    one-hot path pays O(O * P * V), ~94% structural zeros at production
+    padding). Same bf16-product/f32-accumulate numerics as the matmul
+    path."""
+    from ur_mvo_tpu.ops.pallas_ba import point_reduce_sorted_pallas
+
+    P = prob_s.X.shape[0]
+    FF = cfg.max_free_frames
+    EfT, rank, slot_s, win, rank_of_point, n_ranks_pad = layout
+    VcT, VpT, AT, cost = _obs_value_rows_T(
+        prob_s, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg, active, use_huber
+    )
+    Hb_c = einsum("fo,vo->fv", EfT, VcT)
+    H_cc = Hb_c[:, :36].reshape(FF, 6, 6)
+    b_c = -Hb_c[:, 36:]
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = point_reduce_sorted_pallas(
+        AT.T, VpT.T, rank, slot_s, win, n_ranks_pad, FF, interpret=interpret
+    )
+    full = out[rank_of_point]  # (P, FF*18+12); unobserved points -> zero row
+    U = full[:, : FF * 18].reshape(P, FF, 6, 3)
+    H_pp = full[:, FF * 18 : FF * 18 + 9].reshape(P, 3, 3)
+    b_p = -full[:, FF * 18 + 9 :]
+    return H_cc, b_c, H_pp, b_p, U, cost
+
+
 def resolve_assembly(cfg: BAConfig) -> str:
     """Resolve "auto" to the best assembly for the current backend.
 
@@ -581,7 +651,14 @@ def bundle_adjust(
     R_cw0, t_cw0 = _invert_poses(prob.R_wc, prob.t_wc)
 
     assembly = resolve_assembly(cfg)
-    if assembly == "pallas":
+    unsort = None
+    if assembly == "sorted":
+        # point-sort the observations; index structure is loop-invariant
+        order, layout = make_sorted_layout(prob, cfg)
+        prob = permute_observations(prob, order)
+        unsort = order
+        builder = partial(build_normal_terms_sorted, layout=layout)
+    elif assembly == "pallas":
         # index structure is loop-invariant: build once, not per LM step
         builder = partial(build_normal_terms_pallas, one_hots=make_one_hots_pallas(prob, cfg))
     elif assembly == "matmul":
@@ -634,6 +711,9 @@ def bundle_adjust(
     # final verdicts (g2o_optimization.cc:150-161)
     chi2, is_stereo, depth_pos = _gate_T(prob, *state, fx, fy, cx, cy, bf)
     inlier = prob.obs_valid & (chi2 <= th) & depth_pos
+    if unsort is not None:
+        # verdicts back to the caller's observation order
+        inlier = jnp.zeros_like(inlier).at[unsort].set(inlier)
 
     R_cw, t_cw, X = state
     R_wc, t_wc = _invert_poses(R_cw, t_cw)

@@ -122,6 +122,113 @@ def point_reduce_pallas(
     return out[:, :V]
 
 
+# ---------------------------------------------------------------------------
+# Sorted-window reduction: the dense formulations above (XLA one-hot and the
+# chunked kernel) contract every observation chunk against ALL P points —
+# O(O * P * V) MACs, ~94% of them structural zeros. With observations sorted
+# by point id, the distinct points touched by a 512-observation chunk form a
+# <=512-long CONTIGUOUS range of compact point ranks, so each chunk needs one
+# (WIN, CHUNK) x (CHUNK, VP) dot against a ~528-row window of the accumulator
+# — O(O * CHUNK * V) total, independent of P. The sort, rank remap and
+# window table are loop-invariant per BA problem (built once outside the LM
+# scan); the f32 accumulator stays VMEM-resident across the grid.
+# ---------------------------------------------------------------------------
+
+_SCHUNK = 512
+_SWIN = _SCHUNK + 16  # <=CHUNK distinct ranks + 8-align slack, 16-multiple
+
+
+def _sorted_reduce_kernel(FF: int, VP: int, win_ref, av_ref, idc_ref, idr_ref, out_ref):
+    """One sorted chunk: out[w0 : w0+WIN] += local_onehot(rank)^T @ C."""
+    c = pl.program_id(0)
+    w0 = win_ref[c]
+    av = av_ref[:]  # (CH, 32) bf16: [A 18 | Vp 12 | pad]
+    CH = av.shape[0]
+    A = av[:, :18]
+    Vp = av[:, 18:30]
+    slot_col = idc_ref[:, 1:2]  # (CH, 1) int32
+
+    # slot-expanded A: EA[o, f*18+v] = A[o, v] * (slot[o] == f)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CH, FF * 18), 1)
+    mask = (lane // 18) == slot_col
+    At = jnp.concatenate([A] * FF, axis=1)
+    EA = jnp.where(mask, At, jnp.zeros_like(At))
+    C = jnp.concatenate([EA, Vp, jnp.zeros((CH, VP - FF * 18 - 12), av.dtype)], axis=1)
+
+    # local-window transposed indicator: rows are compact ranks rel. w0
+    rank_row = idr_ref[0:1, :]  # (1, CH) int32
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (_SWIN, CH), 0)
+    ohT = (iota_w == (rank_row - w0)).astype(av.dtype)  # (WIN, CH)
+
+    contrib = jax.lax.dot_general(
+        ohT, C, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (WIN, VP)
+
+    @pl.when(c == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[pl.ds(w0, _SWIN), :] += contrib
+
+
+def point_reduce_sorted_pallas(
+    A: jax.Array,
+    Vp: jax.Array,
+    rank_ids: jax.Array,
+    slot_ids: jax.Array,
+    win: jax.Array,
+    n_ranks_pad: int,
+    FF: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Segment-reduce OBSERVATION-SORTED value rows onto compact point ranks.
+
+    ``A`` (O, 18) / ``Vp`` (O, 12): value rows in point-sorted order (invalid
+    rows zero). ``rank_ids`` (O,): compact point rank of each row
+    (non-decreasing). ``slot_ids`` (O,): free-frame slot. ``win``
+    (ceil(O/512),): 8-aligned accumulator window start per chunk, with
+    ``rank_ids[c*512 + j] - win[c]`` in ``[0, 527]`` for every row of chunk c
+    (guaranteed by sortedness + alignment). ``n_ranks_pad``: accumulator
+    rows; must be >= max(win) + 528. Returns (n_ranks_pad, FF*18+12) f32;
+    rows beyond the real ranks are exact zeros.
+    """
+    O = A.shape[0]
+    V = FF * 18 + 12
+    VP = _round_up(V, 128)
+    Op = _round_up(max(O, _SCHUNK), _SCHUNK)
+    dt = jnp.bfloat16
+
+    av = jnp.zeros((Op, 32), dt)
+    av = av.at[:O, :18].set(A.astype(dt)).at[:O, 18:30].set(Vp.astype(dt))
+    ids = jnp.zeros((Op, 2), jnp.int32)
+    ids = (
+        ids.at[:O, 0].set(rank_ids)
+        .at[O:, 0].set(rank_ids[-1] if O else 0)  # pad rows: in-window, zero values
+        .at[:O, 1].set(jnp.clip(slot_ids, 0, FF - 1))
+    )
+    ids_rows = ids.T  # (2, Op)
+    grid = Op // _SCHUNK
+    win = jnp.concatenate([win, jnp.broadcast_to(win[-1:], (grid - win.shape[0],))])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((_SCHUNK, 32), lambda c, w: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SCHUNK, 2), lambda c, w: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, _SCHUNK), lambda c, w: (0, c), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_ranks_pad, VP), lambda c, w: (0, 0), memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_sorted_reduce_kernel, FF, VP),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_ranks_pad, VP), jnp.float32),
+        interpret=interpret,
+    )(win, av, ids, ids_rows)
+    return out[:, :V]
+
+
 def ba_pallas_enabled() -> bool:
     """On by default on TPU (URMVO_PALLAS=0 force-disables)."""
     import os
