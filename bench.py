@@ -216,6 +216,10 @@ def main():
     t_track = sustained_ms(lambda k, X, uv, v: track(k, X, uv, v), (ks[6], X, uv, valid), n2=_n2())
 
     # --- stage 4: window BA at padded capacity ------------------------
+    # realistic problem: perturbed initial geometry + pixel noise, so the
+    # LM loop does real work and its convergence-based early exit (see
+    # BAConfig.tol) is measured honestly rather than on a zero-residual
+    # toy that would terminate immediately.
     rng = np.random.default_rng(0)
     n_frames = min(F - 1, 20)
     n_pts = P // 2
@@ -227,8 +231,15 @@ def main():
     pc_z = Xw[obs_p][:, 2] - 0.0
     u = fx * (Xw[obs_p][:, 0] - t_wc[obs_f][:, 0]) / pc_z + cx
     v = fy * Xw[obs_p][:, 1] / pc_z + cy
+    u = u + 0.5 * rng.normal(size=u.shape).astype(np.float32)
+    v = v + 0.5 * rng.normal(size=v.shape).astype(np.float32)
     obs_uv = np.stack([u, v, -np.ones_like(u)], 1).astype(np.float32)
     n_obs = len(obs_f)
+    # perturb the initial geometry (first 2 frames = gauge, like the
+    # production window where old frames are fixed)
+    t_init = t_wc + 0.02 * rng.normal(size=t_wc.shape).astype(np.float32)
+    t_init[:2] = t_wc[:2]
+    Xw_init = Xw + 0.05 * rng.normal(size=Xw.shape).astype(np.float32)
 
     def pad(a, n, tail=(), dtype=np.float32):
         out = np.zeros((n,) + tail, dtype)
@@ -237,12 +248,12 @@ def main():
 
     prob = BAProblem(
         R_wc=jnp.tile(jnp.eye(3)[None], (F, 1, 1)),
-        t_wc=pad(t_wc, F, (3,)),
+        t_wc=pad(t_init, F, (3,)),
         frame_valid=jnp.arange(F) < n_frames,
         # keep free frames within BAConfig.max_free_frames (16), matching
         # the production window structure (most window frames are fixed)
         frame_fixed=jnp.arange(F) < max(2, n_frames - 14),
-        X=pad(Xw, P, (3,)),
+        X=pad(Xw_init, P, (3,)),
         point_valid=jnp.arange(P) < n_pts,
         obs_frame=pad(obs_f, O, (), np.int32),
         obs_point=pad(obs_p, O, (), np.int32),

@@ -228,6 +228,25 @@ def test_pallas_assembly_matches_scatter():
         np.testing.assert_allclose(y / scale, x / scale, atol=tol, err_msg=name)
 
 
+def test_ba_early_exit_matches_fixed_schedule():
+    """tol>0 only skips no-op LM iterations: the solution must match the
+    full fixed 10+5 schedule (tol=0) to optimizer-noise tolerance."""
+    prob, R_true, t_true, X_true, n_obs = build_problem(jax.random.PRNGKey(9))
+    res_full = bundle_adjust(prob, FX, FY, CX, CY, cfg=BAConfig(tol=0.0))
+    res_ee = bundle_adjust(prob, FX, FY, CX, CY, cfg=BAConfig(tol=1e-6))
+    np.testing.assert_allclose(
+        np.asarray(res_ee.t_wc[:6]), np.asarray(res_full.t_wc[:6]), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_ee.R_wc[:6]), np.asarray(res_full.R_wc[:6]), atol=1e-3
+    )
+    agree = np.mean(np.asarray(res_ee.obs_inlier) == np.asarray(res_full.obs_inlier))
+    assert agree > 0.99, agree
+    # and it still solves the problem
+    Rerr, terr = _pose_errors(res_ee, R_true, t_true, 6)
+    assert Rerr < 5e-3 and terr < 2e-2
+
+
 def test_sorted_assembly_matches_scatter():
     """The sorted-window assembly (interpret mode on CPU) must agree with
     the scatter assembly on the point-sorted problem (same bf16 summand

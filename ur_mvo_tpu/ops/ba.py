@@ -80,9 +80,17 @@ class BAConfig(NamedTuple):
     lm_lambda0: float = 1e-4
     # normal-equation assembly: "auto"/"matmul" (lane-major linearization
     # + one-hot MXU contraction — fastest measured), "pallas" (VMEM-
-    # resident Pallas reduction, kept for larger problems) or "scatter"
-    # (exact scatter-adds; reference for tests)
+    # resident Pallas reduction, kept for larger problems), "sorted"
+    # (point-sorted windowed Pallas reduction — fewest MACs but loses
+    # end-to-end at production padding, see resolve_assembly) or
+    # "scatter" (exact scatter-adds; reference for tests)
     assembly: str = "auto"
+    # LM early exit: stop a phase once an ACCEPTED step improves the cost
+    # by less than tol (relative). The skipped iterations are no-ops on
+    # the state (g2o runs its fixed 10+5 schedule; results match to the
+    # tolerance — tested), so this only cuts wall clock on converged
+    # windows. 0.0 disables (bit-identical to the fixed schedule).
+    tol: float = 1e-6
     # Static bound on simultaneously-optimized (non-fixed) frames. The
     # camera system, coupling tensor U and reduced solve are built over
     # free frames only — fixed frames contribute exactly zero columns —
@@ -558,11 +566,15 @@ def build_normal_terms_sorted(prob_s: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, 
 def resolve_assembly(cfg: BAConfig) -> str:
     """Resolve "auto" to the best assembly for the current backend.
 
-    Profiled on v5e (scripts/profile_ba.py): the lane-major one-hot
-    matmul assembly beats the Pallas VMEM-resident reduction (whose
-    in-kernel indicator rebuild costs more than the HBM traffic it
-    saves), so "auto" is the matmul path everywhere; "pallas" stays
-    available explicitly."""
+    Profiled on v5e (scripts/profile_ba.py, /tmp A/B runs): the
+    lane-major one-hot matmul assembly beats both Pallas reductions —
+    the chunked kernel rebuilds a full (chunk, P) indicator in VMEM
+    (more MACs than the dense path), and the sorted-window kernel's MAC
+    savings (10 -> 4 GFLOP/linearization) are eaten by its per-call
+    argsort/layout and per-iteration rank gather + value transpose
+    (full 10+5-iter BA: matmul 2.77 ms vs sorted 2.96 ms, bitwise-equal
+    results). "auto" is the matmul path everywhere; "pallas"/"sorted"
+    stay available explicitly."""
     if cfg.assembly != "auto":
         return cfg.assembly
     return "matmul"
@@ -673,13 +685,22 @@ def bundle_adjust(
             )
             return (H_cc, b_c, H_pp, b_p, U)
 
-        def step(carry, _):
-            R_cw, t_cw, X, lam, cost_prev, lin = carry
+        def cond(carry):
+            i, _, _, _, _, _, _, done = carry
+            return (i < n_iters) & ~done
+
+        def step(carry):
+            i, R_cw, t_cw, X, lam, cost_prev, lin, _ = carry
             delta_c_free, delta_p = solve_schur(*lin, slot_active, point_free, lam)
             delta_c = delta_c_free[free_rank] * frame_free[:, None].astype(delta_c_free.dtype)
             R_try, t_try, X_try = _apply_update(R_cw, t_cw, X, delta_c, delta_p, frame_free, point_free)
             cost_try = _cost_T(prob, R_try, t_try, X_try, fx, fy, cx, cy, bf, cfg, active, use_huber)
             accept = cost_try < cost_prev
+            # converged: an accepted step no longer moves the cost — the
+            # remaining schedule would be no-ops on the state (rejected
+            # steps only grow lambda and must keep retrying)
+            rel = (cost_prev - cost_try) / jnp.maximum(cost_prev, 1e-12)
+            done = accept & (rel < cfg.tol)
             R_cw = jnp.where(accept, R_try, R_cw)
             t_cw = jnp.where(accept, t_try, t_cw)
             X = jnp.where(accept, X_try, X)
@@ -689,13 +710,16 @@ def bundle_adjust(
             # g2o-style LM: a rejected step retries with larger lambda
             # against the SAME linearization — re-linearizing is only
             # needed (and only paid, via cond) after an accepted step.
-            lin = jax.lax.cond(accept, lambda: linearize(R_cw, t_cw, X), lambda: lin)
-            return (R_cw, t_cw, X, lam, cost, lin), None
+            lin = jax.lax.cond(accept & ~done, lambda: linearize(R_cw, t_cw, X), lambda: lin)
+            return (i + 1, R_cw, t_cw, X, lam, cost, lin, done)
 
         R_cw, t_cw, X = state
         cost0 = _cost_T(prob, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg, active, use_huber)
-        init = (R_cw, t_cw, X, jnp.asarray(cfg.lm_lambda0), cost0, linearize(R_cw, t_cw, X))
-        (R_cw, t_cw, X, _, cost, _), _ = jax.lax.scan(step, init, None, length=n_iters)
+        init = (
+            jnp.asarray(0, jnp.int32), R_cw, t_cw, X, jnp.asarray(cfg.lm_lambda0), cost0,
+            linearize(R_cw, t_cw, X), jnp.asarray(False),
+        )
+        _, R_cw, t_cw, X, _, cost, _, _ = jax.lax.while_loop(cond, step, init)
         return (R_cw, t_cw, X), cost
 
     active0 = prob.obs_valid.astype(jnp.float32)

@@ -141,7 +141,9 @@ _SWIN = _SCHUNK + 16  # <=CHUNK distinct ranks + 8-align slack, 16-multiple
 def _sorted_reduce_kernel(FF: int, VP: int, win_ref, av_ref, idc_ref, idr_ref, out_ref):
     """One sorted chunk: out[w0 : w0+WIN] += local_onehot(rank)^T @ C."""
     c = pl.program_id(0)
-    w0 = win_ref[c]
+    # window starts are 8-aligned by construction (make_sorted_layout);
+    # Mosaic needs the hint to allow the dynamic f32 sublane store
+    w0 = pl.multiple_of(win_ref[c], 8)
     av = av_ref[:]  # (CH, 32) bf16: [A 18 | Vp 12 | pad]
     CH = av.shape[0]
     A = av[:, :18]
