@@ -126,3 +126,32 @@ def test_stage12_slab_conv_matches_xla():
 
     g = jax.grad(lambda pp: jnp.sum(S.backbone(pp, img, pallas=True) ** 2))(p)
     assert np.isfinite(float(jnp.sum(g["conv1a"]["w"]))) and float(jnp.sum(jnp.abs(g["conv2b"]["w"]))) > 0
+
+
+def test_stage123_slab_conv_matches_xla():
+    """Stage-3 slab kernel + im2col stage 4 (the H%128==0 backbone path,
+    interpret mode) must match the plain XLA stages 1-3 / folded backbone
+    to bf16 tolerance; gradients flow via the XLA VJP."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ur_mvo_tpu.models import superpoint as S
+
+    p = S.init_params(jax.random.PRNGKey(2))
+    img = jax.random.uniform(jax.random.PRNGKey(3), (1, 128, 256, 1))
+    keys = ("conv1a", "conv1b", "conv2a", "conv2b", "conv3a", "conv3b")
+    p123 = {k: p[k] for k in keys}
+    ref = S._stage123_xla(p123, img.astype(jnp.bfloat16)).astype(jnp.float32)
+    out = S._stage123_pallas(p123, img.astype(jnp.bfloat16)).astype(jnp.float32)
+    assert out.shape == ref.shape == (1, 16, 32, 128)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(np.asarray(out) / scale, np.asarray(ref) / scale, atol=8e-3)
+
+    full_ref = S.backbone(p, img, folded=True, pallas=False)
+    full_pl = S.backbone(p, img, pallas=True)
+    scale = float(jnp.max(jnp.abs(full_ref)))
+    np.testing.assert_allclose(
+        np.asarray(full_pl) / scale, np.asarray(full_ref) / scale, atol=2e-2
+    )
+    g = jax.grad(lambda pp: jnp.sum(S.backbone(pp, img, pallas=True) ** 2))(p)
+    assert float(jnp.sum(jnp.abs(g["conv3b"]["w"]))) > 0

@@ -176,3 +176,21 @@ def test_backbone_folded_matches_plain():
     # gradients flow (pretraining trains through the backbone)
     g = jax.grad(lambda pp: jnp.sum(sp.backbone(pp, img, folded=True) ** 2))(p)
     assert np.isfinite(float(jnp.sum(g["conv1a"]["w"])))
+
+
+def test_im2col_formulations_match_plain():
+    """The im2col conv and the fused im2col heads (TPU formulations) must
+    be numerically identical to the plain conv / separate-head paths."""
+    from ur_mvo_tpu.models import superpoint as sp
+
+    p = sp.init_params(jax.random.PRNGKey(2))
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 24, 128))
+    a = jax.nn.relu(sp._conv(x, p["conv4a"]))
+    b = jax.nn.relu(sp._conv_im2col(x, p["conv4a"]))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+    s_ref = sp.detector_head(p, x)
+    d_ref = sp.descriptor_head(p, x)
+    s, d = sp._heads_im2col(p, x)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), atol=2e-5)

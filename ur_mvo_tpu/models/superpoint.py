@@ -206,6 +206,31 @@ def _conv_folded_im2col(x_folded: jax.Array, p: Dict[str, jax.Array]) -> jax.Arr
     return out + jnp.concatenate([b, b])
 
 
+def _patches3(x: jax.Array) -> jax.Array:
+    """3x3 SAME im2col patch tensor: (B, H, W, C) -> (B, H, W, 9C),
+    tap order (dy, dx)."""
+    B, H, W, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return jnp.concatenate(
+        [xp[:, dy : dy + H, dx : dx + W, :] for dy in range(3) for dx in range(3)],
+        axis=-1,
+    )
+
+
+def _conv_im2col(x: jax.Array, p: Dict[str, jax.Array]) -> jax.Array:
+    """3x3 SAME conv as an explicit im2col matmul.
+
+    XLA's conv lowering leaves the late-stage convs (small spatial, 128
+    channels) ~10x off the MXU roofline on v5e; one (H*W, 9*Cin) x
+    (9*Cin, Cout) matmul with the patch tensor built by fused pad+slice+
+    concat is bandwidth- and MXU-clean. Only used where the patch tensor
+    is small (stage 4 + heads at H/8 resolution)."""
+    w = p["w"]
+    Cin, Cout = w.shape[2], w.shape[3]
+    Wm = w.astype(x.dtype).reshape(9 * Cin, Cout)
+    return jnp.einsum("bhwk,kc->bhwc", _patches3(x), Wm) + p["b"].astype(x.dtype)
+
+
 def _pool2_folded(x_folded: jax.Array) -> jax.Array:
     """2x2/2 maxpool consuming the folded layout; returns standard NHWC.
 
@@ -228,6 +253,33 @@ def _stage12_xla(p12: Dict[str, Any], image: jax.Array) -> jax.Array:
     for name in ("conv2a", "conv2b"):
         x = jax.nn.relu(_conv(x, p12[name]))
     return _pool2(x)
+
+
+def _stage123_xla(p123: Dict[str, Any], image: jax.Array) -> jax.Array:
+    x = _stage12_xla(p123, image)
+    for name in ("conv3a", "conv3b"):
+        x = jax.nn.relu(_conv(x, p123[name]))
+    return _pool2(x)
+
+
+@jax.custom_vjp
+def _stage123_pallas(p123: Dict[str, Any], image: jax.Array) -> jax.Array:
+    from ur_mvo_tpu.ops.pallas_conv import stage123_nhwc
+
+    return stage123_nhwc(p123, image)
+
+
+def _stage123_fwd(p123, image):
+    return _stage123_pallas(p123, image), (p123, image)
+
+
+def _stage123_bwd(res, ct):
+    p123, image = res
+    out_x, vjp = jax.vjp(_stage123_xla, p123, image)
+    return vjp(ct.astype(out_x.dtype))
+
+
+_stage123_pallas.defvjp(_stage123_fwd, _stage123_bwd)
 
 
 @jax.custom_vjp
@@ -287,13 +339,22 @@ def backbone(
     if pallas is None:
         pallas = _pallas_conv_wanted(H, W)
     if pallas:
-        x = _stage12_pallas({k: params[k] for k in ("conv1a", "conv1b", "conv2a", "conv2b")}, x)
-        xf = _fold_cols(x)
-        xf = jax.nn.relu(_conv_folded(xf, params["conv3a"]))
-        xf = jax.nn.relu(_conv_folded(xf, params["conv3b"]))
-        x = _pool2_folded(xf)
-        x = jax.nn.relu(_conv(x, params["conv4a"]))
-        x = jax.nn.relu(_conv(x, params["conv4b"]))
+        if H % (8 * 16) == 0:
+            # stages 1-3 fully slab-resident; the slab->NHWC transpose is
+            # deferred to the (H/8, W/8, 128) tensor
+            x = _stage123_pallas(
+                {k: params[k] for k in ("conv1a", "conv1b", "conv2a", "conv2b", "conv3a", "conv3b")}, x
+            )
+        else:
+            x = _stage12_pallas({k: params[k] for k in ("conv1a", "conv1b", "conv2a", "conv2b")}, x)
+            xf = _fold_cols(x)
+            xf = jax.nn.relu(_conv_folded(xf, params["conv3a"]))
+            xf = jax.nn.relu(_conv_folded(xf, params["conv3b"]))
+            x = _pool2_folded(xf)
+        # stage 4 at H/8: im2col matmuls (XLA convs are ~10x off roofline
+        # at this spatial size; the patch tensors are only ~12 MB)
+        x = jax.nn.relu(_conv_im2col(x, params["conv4a"]))
+        x = jax.nn.relu(_conv_im2col(x, params["conv4b"]))
         return x
     if folded is None:
         folded = _folding_enabled()
@@ -351,6 +412,45 @@ def descriptor_head(params: Dict[str, Any], feat: jax.Array) -> jax.Array:
     return d / norm
 
 
+def _heads_im2col(params: Dict[str, Any], feat: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Both heads with ONE shared im2col patch tensor: convPa and convDa
+    are 3x3 convs over the same features, so their weight matrices concat
+    into a single (9*128, 512) matmul; the 1x1 convPb/convDb run as plain
+    matmuls. Numerically identical to detector_head + descriptor_head
+    (tested)."""
+    dt = feat.dtype
+    pa, pb = params["convPa"], params["convPb"]
+    da, db = params["convDa"], params["convDb"]
+    Cin = pa["w"].shape[2]
+    Wcat = jnp.concatenate(
+        [pa["w"].astype(dt).reshape(9 * Cin, 256), da["w"].astype(dt).reshape(9 * Cin, 256)], axis=1
+    )
+    bcat = jnp.concatenate([pa["b"], da["b"]]).astype(dt)
+    h = jax.nn.relu(jnp.einsum("bhwk,kc->bhwc", _patches3(feat), Wcat) + bcat)
+    logits = jnp.einsum("bhwc,cd->bhwd", h[..., :256], pb["w"][0, 0].astype(dt)) + pb["b"].astype(dt)
+    d = jnp.einsum("bhwc,cd->bhwd", h[..., 256:], db["w"][0, 0].astype(dt)) + db["b"].astype(dt)
+
+    probs = jax.nn.softmax(logits, axis=-1)[..., :64]
+    B, Hc, Wc = probs.shape[0], probs.shape[1], probs.shape[2]
+    scores = probs.reshape(B, Hc, Wc, 8, 8)
+    scores = scores.transpose(0, 1, 3, 2, 4).reshape(B, Hc * 8, Wc * 8)
+
+    d = d.astype(jnp.float32)
+    norm = jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    return scores, d / norm
+
+
+def _im2col_heads_enabled() -> bool:
+    """Fused im2col heads are a TPU formulation choice (URMVO_IM2COL
+    overrides)."""
+    import os
+
+    env = os.environ.get("URMVO_IM2COL")
+    if env is not None:
+        return env not in ("0", "false")
+    return jax.default_backend() == "tpu"
+
+
 def forward(
     params: Dict[str, Any],
     image: jax.Array,
@@ -365,9 +465,14 @@ def forward(
     """
     x = image.astype(compute_dtype)
     feat = backbone(params, x)
-    scores = detector_head(params, feat).astype(jnp.float32)
+    if _im2col_heads_enabled():
+        scores, desc = _heads_im2col(params, feat)
+        scores = scores.astype(jnp.float32)
+        desc = desc.astype(jnp.float32)
+    else:
+        scores = detector_head(params, feat).astype(jnp.float32)
+        desc = descriptor_head(params, feat).astype(jnp.float32)
     scores = jax.vmap(partial(simple_nms, radius=nms_radius))(scores)
-    desc = descriptor_head(params, feat).astype(jnp.float32)
     return scores, desc
 
 

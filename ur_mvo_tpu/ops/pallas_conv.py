@@ -171,6 +171,35 @@ def _pack33(p, dt):
     return Wp, Wl, b
 
 
+def _stage_pair_slab(pa: Dict[str, Any], pb: Dict[str, Any], x: jax.Array, interpret: bool = False) -> jax.Array:
+    """Generic conv_a+relu, conv_b+relu, 2x2-pool on a (Hs, C, Ws) slab ->
+    (Hs/2, Cout, Ws/2). The kernel (``_stage2_kernel``) is width/channel
+    agnostic; weights arrive packed (see :func:`_pack33`)."""
+    Hs, C, Ws = x.shape
+    assert Hs % _STRIP == 0, (Hs,)
+    dt = jnp.bfloat16
+    Wpa, Wla, ba = _pack33(pa, dt)
+    Wpb, Wlb, bb = _pack33(pb, dt)
+    Cout = pb["w"].shape[3]
+    n = Hs // _STRIP
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    blk = lambda f: pl.BlockSpec((_STRIP, C, Ws), f, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _stage2_kernel,
+        grid=(n,),
+        in_specs=[
+            full(Wpa.shape), full(Wla.shape), full(ba.shape),
+            full(Wpb.shape), full(Wlb.shape), full(bb.shape),
+            blk(lambda i: (jnp.maximum(i - 1, 0), 0, 0)),
+            blk(lambda i: (i, 0, 0)),
+            blk(lambda i: (jnp.minimum(i + 1, n - 1), 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((_STRIP // 2, Cout, Ws // 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hs // 2, Cout, Ws // 2), dt),
+        interpret=interpret,
+    )(Wpa, Wla, ba, Wpb, Wlb, bb, x, x, x)
+
+
 def stage12_slab(params: Dict[str, Any], img: jax.Array, interpret: bool = False) -> jax.Array:
     """Stages 1+2 of the SuperPoint encoder: (H, W) f32/bf16 image ->
     (H/4, 64, W/4) bf16 slab (rows, channels, cols)."""
@@ -195,26 +224,27 @@ def stage12_slab(params: Dict[str, Any], img: jax.Array, interpret: bool = False
         interpret=interpret,
     )(Wa, ba, Wp1, Wl1, bb1, imgp)
 
-    H2, W2 = H // 2, W // 2
-    Wpa, Wla, ba2 = _pack33(params["conv2a"], dt)
-    Wpb, Wlb, bb2 = _pack33(params["conv2b"], dt)
-    n2 = H2 // _STRIP
-    blk = lambda f: pl.BlockSpec((_STRIP, 64, W2), f, memory_space=pltpu.VMEM)
-    s2 = pl.pallas_call(
-        _stage2_kernel,
-        grid=(n2,),
-        in_specs=[
-            full(Wpa.shape), full(Wla.shape), full(ba2.shape),
-            full(Wpb.shape), full(Wlb.shape), full(bb2.shape),
-            blk(lambda i: (jnp.maximum(i - 1, 0), 0, 0)),
-            blk(lambda i: (i, 0, 0)),
-            blk(lambda i: (jnp.minimum(i + 1, n2 - 1), 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((_STRIP // 2, 64, W2 // 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H2 // 2, 64, W2 // 2), dt),
-        interpret=interpret,
-    )(Wpa, Wla, ba2, Wpb, Wlb, bb2, s1, s1, s1)
-    return s2
+    return _stage_pair_slab(params["conv2a"], params["conv2b"], s1, interpret=interpret)
+
+
+def stage123_slab(params: Dict[str, Any], img: jax.Array, interpret: bool = False) -> jax.Array:
+    """Stages 1-3: (H, W) image -> (H/8, 128, W/8) bf16 slab. Stage 3 is
+    the same slab kernel at 64->128 channels; the slab->NHWC transpose is
+    deferred to this 4x-smaller tensor (see ``superpoint.backbone``)."""
+    s2 = stage12_slab(params, img, interpret=interpret)
+    return _stage_pair_slab(params["conv3a"], params["conv3b"], s2, interpret=interpret)
+
+
+def stage123_nhwc(params: Dict[str, Any], image: jax.Array, interpret: bool | None = None) -> jax.Array:
+    """(B, H, W, 1) image -> (B, H/8, W/8, 128) NHWC via the slab kernels
+    for encoder stages 1-3."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    outs = []
+    for b in range(image.shape[0]):
+        slab = stage123_slab(params, image[b, :, :, 0], interpret=interpret)
+        outs.append(jnp.transpose(slab, (0, 2, 1)))  # (H/8, W/8, 128)
+    return jnp.stack(outs)
 
 
 def stage12_nhwc(params: Dict[str, Any], image: jax.Array, interpret: bool | None = None) -> jax.Array:
