@@ -190,8 +190,13 @@ def dist_bundle_adjust(
             return builder(prob_local, R_cw, t_cw, X, fx, fy, cx, cy, bf, cfg, active, use_huber)
 
         def lm_phase(state, active, n_iters, use_huber):
-            def step(carry, _):
-                R_cw, t_cw, X, lam, cost_prev = carry
+            def cond(carry):
+                i = carry[0]
+                done = carry[-1]
+                return (i < n_iters) & ~done
+
+            def step(carry):
+                i, R_cw, t_cw, X, lam, cost_prev, _ = carry
                 H_cc, b_c, H_pp, b_p, U, _ = build(R_cw, t_cw, X, active, use_huber)
                 eye3 = jnp.eye(3)
                 eye6 = jnp.eye(6)
@@ -227,12 +232,17 @@ def dist_bundle_adjust(
                     AXIS,
                 )
                 accept = cost_try < cost_prev
+                # convergence early exit: cost_try/cost_prev are psum'd
+                # (identical on every shard), so the while condition
+                # agrees across the mesh (see ops.ba lm_phase)
+                rel = (cost_prev - cost_try) / jnp.maximum(cost_prev, 1e-12)
+                done = accept & (rel < cfg.tol)
                 R_cw = jnp.where(accept, R_try, R_cw)
                 t_cw = jnp.where(accept, t_try, t_cw)
                 X = jnp.where(accept, X_try, X)
                 lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e6)
                 cost = jnp.where(accept, cost_try, cost_prev)
-                return (R_cw, t_cw, X, lam, cost), None
+                return (i + 1, R_cw, t_cw, X, lam, cost, done)
 
             R_cw, t_cw, X = state
             r0, _, _, st0, _ = _residuals(R_cw, t_cw, X, prob_local, fx, fy, cx, cy, bf)
@@ -240,8 +250,11 @@ def dist_bundle_adjust(
                 jnp.sum(_robust_cost(_chi2(r0, st0), st0, cfg.chi2_mono, cfg.chi2_stereo, use_huber) * active),
                 AXIS,
             )
-            init = (R_cw, t_cw, X, jnp.asarray(cfg.lm_lambda0), cost0)
-            (R_cw, t_cw, X, _, cost), _ = jax.lax.scan(step, init, None, length=n_iters)
+            init = (
+                jnp.asarray(0, jnp.int32), R_cw, t_cw, X,
+                jnp.asarray(cfg.lm_lambda0), cost0, jnp.asarray(False),
+            )
+            _, R_cw, t_cw, X, _, cost, _ = jax.lax.while_loop(cond, step, init)
             return (R_cw, t_cw, X), cost
 
         active0 = prob_l.obs_valid.astype(jnp.float32)
