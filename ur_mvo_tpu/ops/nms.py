@@ -13,15 +13,16 @@ import jax.numpy as jnp
 
 
 def _maxpool_same(x: jax.Array, radius: int) -> jax.Array:
-    """Square max filter with 'same' padding over the last two dims (H, W)."""
+    """Square max filter with 'same' padding over the last two dims (H, W).
+
+    Separable: two 1-D reduce_windows (k ops/pixel each) instead of one
+    k x k window (k^2 ops/pixel) — identical result for max."""
     k = 2 * radius + 1
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, window_dimensions=(k, 1), window_strides=(1, 1), padding="SAME"
+    )
     return jax.lax.reduce_window(
-        x,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(k, k),
-        window_strides=(1, 1),
-        padding="SAME",
+        x, -jnp.inf, jax.lax.max, window_dimensions=(1, k), window_strides=(1, 1), padding="SAME"
     )
 
 
