@@ -233,7 +233,7 @@ def test_ba_early_exit_matches_fixed_schedule():
     full fixed 10+5 schedule (tol=0) to optimizer-noise tolerance."""
     prob, R_true, t_true, X_true, n_obs = build_problem(jax.random.PRNGKey(9))
     res_full = bundle_adjust(prob, FX, FY, CX, CY, cfg=BAConfig(tol=0.0))
-    res_ee = bundle_adjust(prob, FX, FY, CX, CY, cfg=BAConfig(tol=1e-6))
+    res_ee = bundle_adjust(prob, FX, FY, CX, CY, cfg=BAConfig())  # default tol
     np.testing.assert_allclose(
         np.asarray(res_ee.t_wc[:6]), np.asarray(res_full.t_wc[:6]), atol=1e-3
     )

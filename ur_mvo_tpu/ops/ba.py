@@ -86,11 +86,13 @@ class BAConfig(NamedTuple):
     # "scatter" (exact scatter-adds; reference for tests)
     assembly: str = "auto"
     # LM early exit: stop a phase once an ACCEPTED step improves the cost
-    # by less than tol (relative). The skipped iterations are no-ops on
-    # the state (g2o runs its fixed 10+5 schedule; results match to the
-    # tolerance — tested), so this only cuts wall clock on converged
-    # windows. 0.0 disables (bit-identical to the fixed schedule).
-    tol: float = 1e-6
+    # by less than tol (relative). The skipped iterations are near-no-ops
+    # on the state (g2o runs its fixed 10+5 schedule). Swept on v5e at
+    # production padding (/tmp/ab_tol.py): tol=1e-4 is 2.2x faster than
+    # the fixed schedule (1.7 vs 3.8 ms) with 4e-5 m pose drift and
+    # identical inlier verdicts; 1e-3 gains nothing more. 0.0 disables
+    # (bit-identical to the fixed schedule).
+    tol: float = 1e-4
     # Static bound on simultaneously-optimized (non-fixed) frames. The
     # camera system, coupling tensor U and reduced solve are built over
     # free frames only — fixed frames contribute exactly zero columns —
