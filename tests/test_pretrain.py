@@ -56,6 +56,33 @@ def test_pretrain_learns_corners():
     assert np.mean(corner_scores) > 1.3 * np.mean(bg_scores)
 
 
+def test_descriptor_grads_finite_on_zero_border():
+    """Zero-filled warp borders through a zero-bias net produce cells
+    with exactly-zero raw descriptors; the NaN-safe normalization must
+    keep training gradients finite (regression: max(norm, eps) leaked
+    NaN via 0 * inf and killed descriptor-head training in one step)."""
+    import jax.numpy as jnp
+
+    from ur_mvo_tpu.models import superpoint
+    from ur_mvo_tpu.models.train_superpoint import descriptor_loss_nce, make_batch
+
+    key = jax.random.PRNGKey(0)
+    params = superpoint.init_params(key)  # zero biases
+    # image with a hard zero region (as produced by warp_image borders)
+    img = np.random.default_rng(0).uniform(0, 1, (2, 64, 64)).astype(np.float32)
+    img[:, :, :24] = 0.0
+    batch = make_batch(jax.random.PRNGKey(1), jnp.asarray(img), translation=0.35)
+
+    def loss(p):
+        d0 = superpoint.descriptor_head(p, superpoint.backbone(p, batch["orig"][..., None]))
+        d1 = superpoint.descriptor_head(p, superpoint.backbone(p, batch["warped"][..., None]))
+        return descriptor_loss_nce(d0, d1, batch["H"], batch["mask"])
+
+    g = jax.grad(loss)(params)
+    for name in ("convDa", "convDb", "conv1a"):
+        assert bool(jnp.isfinite(g[name]["w"]).all()), name
+
+
 def test_shipped_checkpoint_loads_and_detects():
     """The in-repo pretrained checkpoint (weights/superpoint_scratch.npz,
     3000 synthetic-shape steps on TPU) loads into the engine extractor

@@ -184,14 +184,15 @@ def detector_loss(params: Dict[str, Any], images: jax.Array, labels: jax.Array) 
     return jnp.sum(nll * w) / jnp.sum(w)
 
 
-def pretrain_loss(params, det_batch, desc_batch, lambda_desc: float = 0.001, desc_objective: str = "nce"):
+def pretrain_loss(params, det_batch, desc_batch, lambda_desc: float = 0.001, desc_objective: str = "nce",
+                  with_detector: bool = True):
     """Joint detector + descriptor loss (descriptor term uses the
     homography Siamese pairs of ``train_superpoint``).
 
     ``desc_objective``: "nce" (InfoNCE over cell correspondences — the
     effective from-scratch signal) or "hinge" (the reference's
     double-normalized hinge, kept for parity experiments)."""
-    det = detector_loss(params, det_batch["image"], det_batch["labels"])
+    det = detector_loss(params, det_batch["image"], det_batch["labels"]) if with_detector else jnp.zeros(())
     if lambda_desc == 0.0:
         # detector-only mode: skip the Siamese descriptor forward entirely
         return det, (det, jnp.zeros(()))
@@ -220,11 +221,20 @@ def detector_head_mask(params):
     return {name: jax.tree.map(lambda _: name in ("convPa", "convPb"), p) for name, p in params.items()}
 
 
-def make_pretrain_step(tx: optax.GradientTransformation, lambda_desc: float = 0.001, desc_objective: str = "nce"):
+def descriptor_head_mask(params):
+    """Trainable mask: descriptor head (convDa/convDb) only — the
+    complement experiment to :func:`detector_head_mask`: keep the random
+    backbone's feature diversity AND the trained detector, and let only
+    the descriptor projection learn warp/photometric invariance."""
+    return {name: jax.tree.map(lambda _: name in ("convDa", "convDb"), p) for name, p in params.items()}
+
+
+def make_pretrain_step(tx: optax.GradientTransformation, lambda_desc: float = 0.001, desc_objective: str = "nce",
+                       with_detector: bool = True):
     @jax.jit
     def step(params, opt_state, det_batch, desc_batch):
         (loss, (det, desc)), grads = jax.value_and_grad(pretrain_loss, has_aux=True)(
-            params, det_batch, desc_batch, lambda_desc, desc_objective
+            params, det_batch, desc_batch, lambda_desc, desc_objective, with_detector
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -247,6 +257,7 @@ def pretrain(
     textured_desc: bool = True,
     desc_objective: str = "nce",
     detector_only: bool = False,
+    desc_head_only: bool = False,
 ):
     """Run pretraining; returns trained params.
 
@@ -265,10 +276,20 @@ def pretrain(
             {True: optax.adam(lr), False: optax.set_to_zero()},
             param_labels=detector_head_mask,
         )
+    elif desc_head_only:
+        tx = optax.multi_transform(
+            {True: optax.adam(lr), False: optax.set_to_zero()},
+            param_labels=descriptor_head_mask,
+        )
     else:
         tx = optax.adam(lr)
     opt_state = tx.init(params)
-    step = make_pretrain_step(tx, 0.0 if detector_only else lambda_desc, desc_objective)
+    step = make_pretrain_step(
+        tx,
+        0.0 if detector_only else (1.0 if desc_head_only else lambda_desc),
+        desc_objective,
+        with_detector=not desc_head_only,
+    )
     rng = np.random.default_rng(seed)
     jkey = jax.random.PRNGKey(seed + 1)
     for i in range(steps):

@@ -408,8 +408,11 @@ def descriptor_head(params: Dict[str, Any], feat: jax.Array) -> jax.Array:
     (B, Hc, Wc, 256)."""
     x = jax.nn.relu(_conv(feat, params["convDa"]))
     d = _conv(x, params["convDb"])
-    norm = jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
-    return d / norm
+    # sqrt(sum+eps), NOT max(norm, eps): a cell with an exactly-zero
+    # descriptor (zero-filled warp borders through a zero-bias net) makes
+    # d(norm)/dd infinite, and the max guard does not stop the NaN from
+    # poisoning gradients (0 * inf) — training through this head hits it
+    return d / jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-12)
 
 
 def _heads_im2col(params: Dict[str, Any], feat: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -436,8 +439,8 @@ def _heads_im2col(params: Dict[str, Any], feat: jax.Array) -> tuple[jax.Array, j
     scores = scores.transpose(0, 1, 3, 2, 4).reshape(B, Hc * 8, Wc * 8)
 
     d = d.astype(jnp.float32)
-    norm = jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
-    return scores, d / norm
+    # same NaN-safe normalization as descriptor_head
+    return scores, d / jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-12)
 
 
 def _im2col_heads_enabled() -> bool:

@@ -149,8 +149,11 @@ def descriptor_loss(desc0: jax.Array, desc1: jax.Array, H: jax.Array, valid_mask
     )  # (B, Hc, Wc, Hc, Wc): orig cell x warped cell
     s = (dist <= (GRID - 0.5)).astype(jnp.float32)
 
-    d0 = desc0 / jnp.maximum(jnp.linalg.norm(desc0, axis=-1, keepdims=True), 1e-12)
-    d1 = desc1 / jnp.maximum(jnp.linalg.norm(desc1, axis=-1, keepdims=True), 1e-12)
+    # sqrt(sum+eps) normalization: exactly-zero descriptors (zero-filled
+    # warp borders through a zero-bias net) make the max-guarded norm's
+    # gradient NaN (0 * inf); the smooth form is gradient-safe at 0
+    d0 = desc0 / jnp.sqrt(jnp.sum(desc0 * desc0, axis=-1, keepdims=True) + 1e-12)
+    d1 = desc1 / jnp.sqrt(jnp.sum(desc1 * desc1, axis=-1, keepdims=True) + 1e-12)
     dot = jnp.einsum("bijd,bkld->bijkl", d0, d1)
     dot = jax.nn.relu(dot)
     # double normalization as in the reference
@@ -203,8 +206,11 @@ def descriptor_loss_nce(
     gt_c = jnp.clip(gt, 0, N - 1)
     pair_ok = inb & close & jnp.take_along_axis(vm.reshape(B, N), gt_c, axis=1)
 
-    d0 = desc0 / jnp.maximum(jnp.linalg.norm(desc0, axis=-1, keepdims=True), 1e-12)
-    d1 = desc1 / jnp.maximum(jnp.linalg.norm(desc1, axis=-1, keepdims=True), 1e-12)
+    # sqrt(sum+eps) normalization: exactly-zero descriptors (zero-filled
+    # warp borders through a zero-bias net) make the max-guarded norm's
+    # gradient NaN (0 * inf); the smooth form is gradient-safe at 0
+    d0 = desc0 / jnp.sqrt(jnp.sum(desc0 * desc0, axis=-1, keepdims=True) + 1e-12)
+    d1 = desc1 / jnp.sqrt(jnp.sum(desc1 * desc1, axis=-1, keepdims=True) + 1e-12)
     sim = jnp.einsum("bnd,bmd->bnm", d0.reshape(B, N, D), d1.reshape(B, N, D)) / temperature
     logp0 = jax.nn.log_softmax(sim, axis=2)
     logp1 = jax.nn.log_softmax(sim, axis=1)
