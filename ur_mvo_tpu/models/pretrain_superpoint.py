@@ -225,7 +225,18 @@ def descriptor_head_mask(params):
     """Trainable mask: descriptor head (convDa/convDb) only — the
     complement experiment to :func:`detector_head_mask`: keep the random
     backbone's feature diversity AND the trained detector, and let only
-    the descriptor projection learn warp/photometric invariance."""
+    the descriptor projection learn warp/photometric invariance.
+
+    Measured (2000 textured-NCE steps warm-started from the shipped v3,
+    GT-verified mutual-NN on the textured-plane render): 211 matches/pair
+    at 2.09 px median / 60.4% inlier@3px — MORE matches but LOWER
+    precision than v3's random projections (184 / 1.79 px / 67.6%; a
+    fully random net scores 215 / 1.14 px / 87.4%). Synthetic-trained
+    descriptors still lose to random projections cross-domain even at
+    head-only granularity, so the shipped checkpoint keeps the random
+    head; this scope exists for the reference's real use case — domain
+    adaptation on actual target imagery (train.py:12), where in-domain
+    is the point."""
     return {name: jax.tree.map(lambda _: name in ("convDa", "convDb"), p) for name, p in params.items()}
 
 
