@@ -115,6 +115,9 @@ class BackendConfig:
     fix_older_than: int = 10
     ba_iterations_phase1: int = 10
     ba_iterations_phase2: int = 5
+    # LM convergence early exit (relative cost improvement); 0.0 runs the
+    # exact fixed g2o schedule (see ops.ba.BAConfig.tol)
+    ba_tol: float = 1e-4
     max_keyframes: int = 512
     # 512 keyframes x ~1000 features create well under 64k live points
     # once outlier removal runs; the observer matrix is (MP, KF) int16.

@@ -53,6 +53,7 @@ class Backend:
             chi2_stereo=opt_cfg.stereo_point,
             iters_phase1=backend_cfg.ba_iterations_phase1,
             iters_phase2=backend_cfg.ba_iterations_phase2,
+            tol=backend_cfg.ba_tol,
             # free frames are bounded by both the window size and the
             # fix-older-than horizon (only keyframes within the last
             # fix_older_than frame ids stay free), +1 for the new frame
@@ -436,6 +437,7 @@ class Backend:
             chi2_stereo=self.opt_cfg.stereo_point,
             iters_phase1=self.cfg.ba_iterations_phase1,
             iters_phase2=self.cfg.ba_iterations_phase2,
+            tol=self.cfg.ba_tol,
             # full BA optimizes (almost) every keyframe: the free-frame
             # bound must cover them all
             max_free_frames=F,
