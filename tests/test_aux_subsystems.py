@@ -95,6 +95,44 @@ def test_map_snapshot_roundtrip(tmp_path):
     assert st2._next_mp == 5
 
 
+def test_batch_remove_observations_matches_sequential():
+    """remove_observations (vectorized BA outlier write-back) must leave
+    the store byte-identical to the sequential remove_observation loop —
+    including covisibility, track slots, and observation counts — on a
+    randomized store with shared/duplicate/dead pairs."""
+    import copy
+
+    rng = np.random.default_rng(3)
+    cfg = StoreConfig(max_keyframes=12, max_mappoints=96, keypoints_per_frame=24)
+
+    def build():
+        st = MapStore(cfg)
+        for f in range(8):
+            kpts = rng.random((24, 3)).astype(np.float32)
+            st.alloc_keyframe(f, float(f), np.eye(3, dtype=np.float32), np.zeros(3, np.float32), kpts, np.ones(24, bool))
+        mp = st.alloc_mappoints(60)
+        st.mp_good[mp] = True
+        for f in range(8):
+            sel = rng.choice(60, size=18, replace=False)
+            st.add_observations(f, mp[sel], rng.choice(24, size=18, replace=False))
+        return st
+
+    st_seq = build()
+    st_bat = copy.deepcopy(st_seq)
+    # removal set: random pairs incl. duplicates and not-observed pairs
+    kfs = rng.integers(0, 8, size=90)
+    mps = rng.integers(0, 60, size=90)
+    kfs = np.concatenate([kfs, kfs[:10]])  # duplicates
+    mps = np.concatenate([mps, mps[:10]])
+    for k, m in zip(kfs, mps):
+        st_seq.remove_observation(int(k), int(m))
+    st_bat.remove_observations(kfs, mps)
+    np.testing.assert_array_equal(st_bat.obs_slot, st_seq.obs_slot)
+    np.testing.assert_array_equal(st_bat.kf_track, st_seq.kf_track)
+    np.testing.assert_array_equal(st_bat.mp_obs_count, st_seq.mp_obs_count)
+    np.testing.assert_array_equal(st_bat.covis, st_seq.covis)
+
+
 def test_stage_timer(tmp_path):
     t = StageTimer()
     with t.span("a"):

@@ -316,17 +316,22 @@ class Backend:
         st.kf_t[frames[free]] = np.asarray(res.t_wc)[: len(frames)][free]
         st.mp_pos[mp_sel] = np.asarray(res.X)[: len(mp_sel)]
 
-        # outlier removal (mapping.cc:474-501)
+        # outlier removal (mapping.cc:474-501), batched: one vectorized
+        # store update instead of a per-outlier Python loop (hundreds of
+        # outliers per keyframe were a measurable host-time share)
         inlier = np.asarray(res.obs_inlier)[: len(pi)]
         bad = np.nonzero(~inlier)[0]
-        for o in bad:
-            kf_slot = int(frames[fi[o]])
-            mp = int(mp_sel[p_idx[o]])
-            st.remove_observation(kf_slot, mp)
-            is_stereo = uvr[o, 2] > 0
-            if is_stereo and st.mp_obs_count[mp] < 2:
-                st.mp_bad[mp] = True
-                st.mp_good[mp] = False
+        if len(bad):
+            kf_slots = frames[fi[bad]]
+            mps = mp_sel[p_idx[bad]]
+            st.remove_observations(kf_slots, mps)
+            # stereo mappoint kill: evaluated after the whole batch (the
+            # reference checks per removal; post-batch counts can only be
+            # lower, so this kills a superset of near-dead points)
+            stereo_mps = np.unique(mps[uvr[bad, 2] > 0])
+            kill = stereo_mps[st.mp_obs_count[stereo_mps] < 2]
+            st.mp_bad[kill] = True
+            st.mp_good[kill] = False
 
     @staticmethod
     def _round_up(x: int, m: int) -> int:

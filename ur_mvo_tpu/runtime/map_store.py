@@ -160,6 +160,47 @@ class MapStore:
         self.covis[others, kf_slot] -= 1
         np.maximum(self.covis, 0, out=self.covis)
 
+    def remove_observations(self, kf_slots: np.ndarray, mp_ids: np.ndarray) -> None:
+        """Batch outlier detachment: net-identical to sequential
+        :meth:`remove_observation` over the pairs (already-detached and
+        duplicate pairs are skipped), but the covisibility accounting is
+        three small matmuls instead of per-observation row updates — BA
+        write-back removes hundreds of outliers per keyframe and the
+        Python loop was a measurable share of the host budget.
+
+        Covisibility semantics: per mappoint, every unordered keyframe
+        pair that loses this shared observation is decremented exactly
+        once — pairs (removed, surviving) and (removed, removed) alike,
+        matching the sequential order-processing."""
+        kf = np.asarray(kf_slots, np.int64).ravel()
+        mp = np.asarray(mp_ids, np.int64).ravel()
+        if len(kf) == 0:
+            return
+        pairs = np.unique(np.stack([mp, kf], 1), axis=0)
+        mp, kf = pairs[:, 0], pairs[:, 1]
+        live = self.obs_slot[mp, kf] >= 0
+        mp, kf = mp[live], kf[live]
+        if len(kf) == 0:
+            return
+        umps, inv = np.unique(mp, return_inverse=True)
+        KF = self.covis.shape[0]
+        P = (self.obs_slot[umps] >= 0).astype(np.float32)  # observers before removal
+        D = np.zeros((len(umps), KF), np.float32)
+        D[inv, kf] = 1.0
+
+        slots = self.obs_slot[mp, kf].astype(np.int64)
+        self.obs_slot[mp, kf] = -1
+        match = self.kf_track[kf, slots] == mp
+        self.kf_track[kf[match], slots[match]] = -1
+        np.subtract.at(self.mp_obs_count, mp, 1)
+
+        # delta[a, b] = sum_mp (D_a P_b + P_a D_b - D_a D_b): 1 per
+        # unordered observer pair with at least one side removed
+        delta = D.T @ P + P.T @ D - D.T @ D
+        np.fill_diagonal(delta, 0.0)
+        self.covis -= delta.astype(self.covis.dtype)
+        np.maximum(self.covis, 0, out=self.covis)
+
     # -- queries ------------------------------------------------------------
 
     def keyframe_slots(self) -> np.ndarray:
