@@ -273,8 +273,7 @@ class MapStore:
 
     def _remove_keyframe(self, s: int) -> None:
         mps = np.nonzero(self.obs_slot[:, s] >= 0)[0]
-        for mp in mps:
-            self.remove_observation(s, int(mp))
+        self.remove_observations(np.full(len(mps), s), mps)
         self.kf_valid[s] = False
         fid = int(self.kf_frame_id[s])
         self.frame_id_to_slot.pop(fid, None)
@@ -285,8 +284,7 @@ class MapStore:
 
     def _remove_mappoint(self, mp: int) -> None:
         kfs = np.nonzero(self.obs_slot[mp] >= 0)[0]
-        for s in kfs:
-            self.remove_observation(int(s), mp)
+        self.remove_observations(kfs, np.full(len(kfs), mp))
         self.mp_bad[mp] = True
         self.mp_good[mp] = False
 
