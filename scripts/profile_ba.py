@@ -134,12 +134,10 @@ def main():
     from ur_mvo_tpu.ops.ba import (
         build_normal_terms_sorted,
         make_sorted_layout,
-        permute_observations,
     )
 
     mk_layout = jax.jit(lambda p: make_sorted_layout(p, cfg))
-    order, layout = mk_layout(prob)
-    prob_s = jax.jit(permute_observations)(prob, order)
+    order, prob_s, layout = mk_layout(prob)
     active_s = prob_s.obs_valid.astype(jnp.float32)
     lin_sorted = jax.jit(
         lambda R, t, X: build_normal_terms_sorted(

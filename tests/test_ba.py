@@ -256,14 +256,12 @@ def test_sorted_assembly_matches_scatter():
         build_normal_terms,
         build_normal_terms_sorted,
         make_sorted_layout,
-        permute_observations,
         _invert_poses,
     )
 
     prob, *_ = build_problem(jax.random.PRNGKey(6))
     cfg = BAConfig()
-    order, layout = make_sorted_layout(prob, cfg)
-    prob_s = permute_observations(prob, order)
+    order, prob_s, layout = make_sorted_layout(prob, cfg)
     R_cw, t_cw = _invert_poses(prob_s.R_wc, prob_s.t_wc)
     act = prob_s.obs_valid.astype(jnp.float32)
     a = build_normal_terms(prob_s, R_cw, t_cw, prob_s.X, FX, FY, CX, CY, 0.0, cfg, act, True)

@@ -313,12 +313,9 @@ def _pallas_conv_wanted(H: int, W: int) -> bool:
 def _folding_enabled() -> bool:
     """Column folding is a TPU layout optimization (full 128-lane tiles);
     on CPU it is pure overhead (1.33x FLOPs). Overridable for tests."""
-    import os
+    from ur_mvo_tpu.ops.pallas_kernels import env_gate
 
-    env = os.environ.get("URMVO_FOLDED_CONV")
-    if env is not None:
-        return env not in ("0", "false")
-    return jax.default_backend() == "tpu"
+    return env_gate("URMVO_FOLDED_CONV", master=None)
 
 
 def backbone(
@@ -388,6 +385,24 @@ def backbone(
     return x
 
 
+def _cell_softmax_to_scores(logits: jax.Array) -> jax.Array:
+    """(B, Hc, Wc, 65) detector logits -> dense (B, H, W) score map:
+    65-way softmax (64 positions + dustbin), drop the dustbin,
+    depth-to-space with cell channel c = 8*dy + dx."""
+    probs = jax.nn.softmax(logits, axis=-1)[..., :64]
+    B, Hc, Wc = probs.shape[0], probs.shape[1], probs.shape[2]
+    scores = probs.reshape(B, Hc, Wc, 8, 8)
+    return scores.transpose(0, 1, 3, 2, 4).reshape(B, Hc * 8, Wc * 8)
+
+
+def _l2_normalize(d: jax.Array) -> jax.Array:
+    """sqrt(sum+eps), NOT max(norm, eps): a cell with an exactly-zero
+    descriptor (zero-filled warp borders through a zero-bias net) makes
+    d(norm)/dd infinite, and the max guard does not stop the NaN from
+    poisoning gradients (0 * inf) — training through this head hits it."""
+    return d / jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-12)
+
+
 def detector_head(params: Dict[str, Any], feat: jax.Array) -> jax.Array:
     """(B, Hc, Wc, 128) -> dense keypoint score map (B, H, W).
 
@@ -395,24 +410,14 @@ def detector_head(params: Dict[str, Any], feat: jax.Array) -> jax.Array:
     """
     x = jax.nn.relu(_conv(feat, params["convPa"]))
     logits = _conv(x, params["convPb"])  # (B, Hc, Wc, 65)
-    probs = jax.nn.softmax(logits, axis=-1)[..., :64]
-    B, Hc, Wc = probs.shape[0], probs.shape[1], probs.shape[2]
-    # depth-to-space: cell channel c = 8*dy + dx.
-    scores = probs.reshape(B, Hc, Wc, 8, 8)
-    scores = scores.transpose(0, 1, 3, 2, 4).reshape(B, Hc * 8, Wc * 8)
-    return scores
+    return _cell_softmax_to_scores(logits)
 
 
 def descriptor_head(params: Dict[str, Any], feat: jax.Array) -> jax.Array:
     """(B, Hc, Wc, 128) -> L2-normalized coarse descriptor map
     (B, Hc, Wc, 256)."""
     x = jax.nn.relu(_conv(feat, params["convDa"]))
-    d = _conv(x, params["convDb"])
-    # sqrt(sum+eps), NOT max(norm, eps): a cell with an exactly-zero
-    # descriptor (zero-filled warp borders through a zero-bias net) makes
-    # d(norm)/dd infinite, and the max guard does not stop the NaN from
-    # poisoning gradients (0 * inf) — training through this head hits it
-    return d / jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-12)
+    return _l2_normalize(_conv(x, params["convDb"]))
 
 
 def _heads_im2col(params: Dict[str, Any], feat: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -432,26 +437,15 @@ def _heads_im2col(params: Dict[str, Any], feat: jax.Array) -> tuple[jax.Array, j
     h = jax.nn.relu(jnp.einsum("bhwk,kc->bhwc", _patches3(feat), Wcat) + bcat)
     logits = jnp.einsum("bhwc,cd->bhwd", h[..., :256], pb["w"][0, 0].astype(dt)) + pb["b"].astype(dt)
     d = jnp.einsum("bhwc,cd->bhwd", h[..., 256:], db["w"][0, 0].astype(dt)) + db["b"].astype(dt)
-
-    probs = jax.nn.softmax(logits, axis=-1)[..., :64]
-    B, Hc, Wc = probs.shape[0], probs.shape[1], probs.shape[2]
-    scores = probs.reshape(B, Hc, Wc, 8, 8)
-    scores = scores.transpose(0, 1, 3, 2, 4).reshape(B, Hc * 8, Wc * 8)
-
-    d = d.astype(jnp.float32)
-    # same NaN-safe normalization as descriptor_head
-    return scores, d / jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-12)
+    return _cell_softmax_to_scores(logits), _l2_normalize(d.astype(jnp.float32))
 
 
 def _im2col_heads_enabled() -> bool:
     """Fused im2col heads are a TPU formulation choice (URMVO_IM2COL
     overrides)."""
-    import os
+    from ur_mvo_tpu.ops.pallas_kernels import env_gate
 
-    env = os.environ.get("URMVO_IM2COL")
-    if env is not None:
-        return env not in ("0", "false")
-    return jax.default_backend() == "tpu"
+    return env_gate("URMVO_IM2COL", master=None)
 
 
 def forward(

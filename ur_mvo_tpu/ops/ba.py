@@ -501,8 +501,9 @@ def make_sorted_layout(prob: BAProblem, cfg: BAConfig):
     the rank->point remap. Built ONCE per BA problem (outside the LM
     scan); only the per-observation value rows change per iteration.
 
-    Returns ``(order, layout)`` where ``layout = (EfT, rank, slot_s, win,
-    rank_of_point, n_ranks_pad)`` and every obs-indexed array is in
+    Returns ``(order, prob_s, layout)`` where ``prob_s`` is the
+    point-sorted problem and ``layout = (EfT, rank, slot_s, win,
+    rank_of_point, n_ranks_pad)`` with every obs-indexed array in
     point-sorted order.
     """
     from ur_mvo_tpu.ops.pallas_ba import _SCHUNK, _SWIN
@@ -519,7 +520,7 @@ def make_sorted_layout(prob: BAProblem, cfg: BAConfig):
     rank_of_point = jnp.full((P,), n_ranks_pad - 1, jnp.int32).at[pt_s].set(rank)
     slot_s = _free_rank(prob, FF)[prob_s.obs_frame]
     EfT = jax.nn.one_hot(slot_s, FF, dtype=jnp.float32, axis=0)
-    return order, (EfT, rank, slot_s, win, rank_of_point, n_ranks_pad)
+    return order, prob_s, (EfT, rank, slot_s, win, rank_of_point, n_ranks_pad)
 
 
 def permute_observations(prob: BAProblem, order: jax.Array) -> BAProblem:
@@ -668,8 +669,7 @@ def bundle_adjust(
     unsort = None
     if assembly == "sorted":
         # point-sort the observations; index structure is loop-invariant
-        order, layout = make_sorted_layout(prob, cfg)
-        prob = permute_observations(prob, order)
+        order, prob, layout = make_sorted_layout(prob, cfg)
         unsort = order
         builder = partial(build_normal_terms_sorted, layout=layout)
     elif assembly == "pallas":

@@ -233,11 +233,6 @@ def point_reduce_sorted_pallas(
 
 def ba_pallas_enabled() -> bool:
     """On by default on TPU (URMVO_PALLAS=0 force-disables)."""
-    import os
+    from ur_mvo_tpu.ops.pallas_kernels import env_gate
 
-    if os.environ.get("URMVO_PALLAS") == "0":
-        return False
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+    return env_gate(None)

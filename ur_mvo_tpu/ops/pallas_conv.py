@@ -267,14 +267,6 @@ def conv_pallas_supported(H: int, W: int) -> bool:
 def conv_pallas_enabled() -> bool:
     """Gate for the slab conv kernels (URMVO_PALLAS=0 force-disables,
     URMVO_PALLAS_CONV=0/1 overrides)."""
-    import os
+    from ur_mvo_tpu.ops.pallas_kernels import env_gate
 
-    if os.environ.get("URMVO_PALLAS") == "0":
-        return False
-    env = os.environ.get("URMVO_PALLAS_CONV")
-    if env is not None:
-        return env not in ("0", "false")
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+    return env_gate("URMVO_PALLAS_CONV")

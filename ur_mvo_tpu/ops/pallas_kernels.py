@@ -178,14 +178,25 @@ def _on_tpu() -> bool:
         return False
 
 
+def env_gate(var: str | None, master: str | None = "URMVO_PALLAS") -> bool:
+    """Shared formulation-gate parsing (one definition for every TPU
+    formulation flag): ``master``=0 force-disables; else ``var``=0/false
+    forces off and any other value forces on; unset defaults to
+    "running on TPU"."""
+    import os
+
+    if master and os.environ.get(master) == "0":
+        return False
+    env = os.environ.get(var) if var else None
+    if env is not None:
+        return env not in ("0", "false")
+    return _on_tpu()
+
+
 def sinkhorn_pallas_enabled() -> bool:
     """The Pallas Sinkhorn is Mosaic-verified on TPU v5e: on by default
     on TPU (URMVO_PALLAS=0 force-disables)."""
-    import os
-
-    if os.environ.get("URMVO_PALLAS") == "0":
-        return False
-    return _on_tpu()
+    return env_gate(None)
 
 
 def attention_pallas_wanted(batched: bool) -> bool:

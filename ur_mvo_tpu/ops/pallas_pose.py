@@ -265,10 +265,6 @@ def optimize_pose_pallas(
 def pose_pallas_enabled() -> bool:
     """Default-on on TPU; URMVO_PALLAS=0 force-disables (same switch as
     the Sinkhorn kernel)."""
-    import os
+    from ur_mvo_tpu.ops.pallas_kernels import env_gate
 
-    from ur_mvo_tpu.ops.pallas_kernels import _on_tpu
-
-    if os.environ.get("URMVO_PALLAS") == "0":
-        return False
-    return _on_tpu()
+    return env_gate(None)

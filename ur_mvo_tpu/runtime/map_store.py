@@ -164,7 +164,7 @@ class MapStore:
         """Batch outlier detachment: net-identical to sequential
         :meth:`remove_observation` over the pairs (already-detached and
         duplicate pairs are skipped), but the covisibility accounting is
-        three small matmuls instead of per-observation row updates — BA
+        two small matmuls instead of per-observation row updates — BA
         write-back removes hundreds of outliers per keyframe and the
         Python loop was a measurable share of the host budget.
 
@@ -196,7 +196,8 @@ class MapStore:
 
         # delta[a, b] = sum_mp (D_a P_b + P_a D_b - D_a D_b): 1 per
         # unordered observer pair with at least one side removed
-        delta = D.T @ P + P.T @ D - D.T @ D
+        M = D.T @ P
+        delta = M + M.T - D.T @ D
         np.fill_diagonal(delta, 0.0)
         self.covis -= delta.astype(self.covis.dtype)
         np.maximum(self.covis, 0, out=self.covis)
