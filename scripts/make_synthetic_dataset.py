@@ -20,8 +20,13 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def render_plane_sequence(n_frames, H, W, fx, seed=0):
-    """Textured-plane renderer (shared with tests/test_neural_e2e.py)."""
+def render_plane_sequence(n_frames, H, W, fx, seed=0, baseline=0.0, with_depth=False):
+    """Textured-plane renderer (shared with tests/test_neural_e2e.py).
+
+    ``baseline`` > 0 also renders a right camera displaced by
+    ``R @ [baseline, 0, 0]``; ``with_depth`` returns per-pixel metric
+    camera-frame depth of the left view. Returns
+    ``(images, T_wc[, images_right][, depths])``."""
     import numpy as np
 
     import jax.numpy as jnp
@@ -36,16 +41,13 @@ def render_plane_sequence(n_frames, H, W, fx, seed=0):
     scale_px = 90.0
     cx, cy = W / 2.0, H / 2.0
     images = np.zeros((n_frames, H, W), np.uint8)
+    images_r = np.zeros((n_frames, H, W), np.uint8) if baseline > 0 else None
+    depths = np.zeros((n_frames, H, W), np.float32) if with_depth else None
     poses = np.zeros((n_frames, 4, 4))
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
-    for i in range(n_frames):
-        yaw = 0.03 * np.sin(0.3 * i)
-        R = np.asarray(lie.so3_exp(jnp.array([0.0, yaw, 0.015 * np.sin(0.2 * i)])))
-        t = np.array([0.08 * i, 0.04 * np.sin(0.3 * i), 0.02 * np.sin(0.17 * i)])
-        poses[i, :3, :3] = R
-        poses[i, :3, 3] = t
-        poses[i, 3, 3] = 1.0
-        rays = np.stack([(xx - cx) / fx, (yy - cy) / fx, np.ones_like(xx)], -1)
+    rays = np.stack([(xx - cx) / fx, (yy - cy) / fx, np.ones_like(xx)], -1)
+
+    def render(R, t):
         rays_w = rays @ R.T
         lam = (Z0 - t[2]) / rays_w[..., 2]
         pw = t + rays_w * lam[..., None]
@@ -61,8 +63,27 @@ def render_plane_sequence(n_frames, H, W, fx, seed=0):
             + texture[v0 + 1, u0] * (1 - du) * dv
             + texture[v0 + 1, u0 + 1] * du * dv
         )
-        images[i] = np.clip(img, 0, 255).astype(np.uint8)
-    return images, poses
+        # camera-frame depth: pc = lam * ray_cam, ray_cam_z = 1
+        return np.clip(img, 0, 255).astype(np.uint8), lam.astype(np.float32)
+
+    for i in range(n_frames):
+        yaw = 0.03 * np.sin(0.3 * i)
+        R = np.asarray(lie.so3_exp(jnp.array([0.0, yaw, 0.015 * np.sin(0.2 * i)])))
+        t = np.array([0.08 * i, 0.04 * np.sin(0.3 * i), 0.02 * np.sin(0.17 * i)])
+        poses[i, :3, :3] = R
+        poses[i, :3, 3] = t
+        poses[i, 3, 3] = 1.0
+        images[i], lam = render(R, t)
+        if with_depth:
+            depths[i] = lam
+        if baseline > 0:
+            images_r[i], _ = render(R, t + R @ np.array([baseline, 0.0, 0.0]))
+    out = [images, poses]
+    if baseline > 0:
+        out.append(images_r)
+    if with_depth:
+        out.append(depths)
+    return tuple(out)
 
 
 def main():
@@ -74,6 +95,9 @@ def main():
     ap.add_argument("--gt", default=None, help="TUM ground-truth output path")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fps", type=float, default=30.0)
+    ap.add_argument("--setup", default="mono", choices=["mono", "stereo", "rgbd"],
+                    help="also write cam1/ (stereo, baseline 0.1 m) or depth0/ (rgbd, metric .npy)")
+    ap.add_argument("--baseline", type=float, default=0.1, help="stereo baseline in meters")
     ap.add_argument("--platform", default="cpu",
                     help="JAX platform (default cpu — rendering is host-side)")
     args = ap.parse_args()
@@ -91,15 +115,32 @@ def main():
     from ur_mvo_tpu.utils.tum_io import write_tum
 
     H, W = args.size
-    images, T_wc = render_plane_sequence(args.frames, H, W, args.fx, args.seed)
+    baseline = args.baseline if args.setup == "stereo" else 0.0
+    out = render_plane_sequence(
+        args.frames, H, W, args.fx, args.seed,
+        baseline=baseline, with_depth=args.setup == "rgbd",
+    )
+    images, T_wc = out[0], out[1]
+    images_r = out[2] if args.setup == "stereo" else None
+    depths = out[2] if args.setup == "rgbd" else None
     data_dir = os.path.join(args.out, "cam0", "data")
     os.makedirs(data_dir, exist_ok=True)
+    right_dir = os.path.join(args.out, "cam1", "data")
+    depth_dir = os.path.join(args.out, "depth0", "data")
+    if images_r is not None:
+        os.makedirs(right_dir, exist_ok=True)
+    if depths is not None:
+        os.makedirs(depth_dir, exist_ok=True)
     ts0 = 1400000000000000000
     dt = int(1e9 / args.fps)
     ts = []
     for i in range(args.frames):
         t = ts0 + i * dt
         PILImage.fromarray(images[i]).save(os.path.join(data_dir, f"{t}.png"))
+        if images_r is not None:
+            PILImage.fromarray(images_r[i]).save(os.path.join(right_dir, f"{t}.png"))
+        if depths is not None:
+            np.save(os.path.join(depth_dir, f"{t}.npy"), depths[i])
         ts.append(t * 1e-9)
     gt_path = args.gt or os.path.join(args.out, "gt.txt")
     q = np.asarray(rotmat_to_quat(jnp.asarray(T_wc[:, :3, :3])))
@@ -124,6 +165,8 @@ def main():
             "   rows: 1\n   cols: 4\n   dt: d\n"
             "   data: [0., 0., 0., 0.]\n"
         )
+        if args.setup == "stereo":
+            f.write(f"bf: {fx * args.baseline}\n")
     print(f"wrote {args.frames} frames to {data_dir}, GT to {gt_path}, calib to {cam_path}")
 
 

@@ -75,3 +75,29 @@ def test_make_dataset_and_eval_roundtrip(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-1500:]
     assert "processed 6 frames" in proc.stderr
+
+
+@pytest.mark.slow
+def test_make_dataset_rgbd_roundtrip(tmp_path):
+    """RGB-D CLI workflow: generated metric depth (.npy) flows through
+    Dataset -> engine depth lookup -> poses with real (metric) scale."""
+    seq = tmp_path / "seq"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_synthetic_dataset.py"),
+         "--out", str(seq), "--frames", "10", "--setup", "rgbd"],
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert any(f.suffix == ".npy" for f in (seq / "depth0" / "data").iterdir())
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_vo.py"),
+         "--images", str(seq), "--gt", str(seq / "gt.txt"), "--setup", "rgbd",
+         "--platform", "cpu", "--results", str(tmp_path / "out"), "--stride", "1",
+         "--weights", os.path.join(REPO, "weights", "superpoint_scratch_v3.npz")],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+        env=dict(os.environ, URMVO_COMPILE_CACHE=str(tmp_path / "cache")),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert res["n_poses"] >= 3
+    assert res["ate_rmse_m"] < 0.5

@@ -121,7 +121,10 @@ class Dataset:
         if self.right_dir is not None:
             data.image_right = load_gray(str(self.right_dir / name))
         if self.depth_dir is not None:
-            data.depth = load_gray(str(self.depth_dir / name))
+            # metric float depth ships as .npy next to the PNG name
+            p = self.depth_dir / name
+            npy = p.with_suffix(".npy")
+            data.depth = load_gray(str(npy if npy.exists() else p))
         if self.mask_dir is not None:
             data.mask = load_gray(str(self.mask_dir / name))
         return data
