@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--timing-csv", default=None, help="write per-stage host timing CSV")
     ap.add_argument("--plot", default=None, metavar="PNG",
                     help="save a top-down trajectory + map plot (matplotlib)")
+    ap.add_argument("--save-map", default=None, metavar="PLY",
+                    help="dump the triangulated map cloud as ASCII PLY")
     ap.add_argument("--weights", default=None,
                     help="SuperPoint checkpoint (.npz/.pth); overrides the config's superpoint.weights_path")
     ap.add_argument("--matcher", default=None, choices=["auto", "superglue", "nn"],
@@ -104,6 +106,9 @@ def main():
     idx = np.arange(0, len(all_ts), args.stride)
     write_tum(pose_path, [all_ts[i] for i in idx], np.asarray(all_pos)[idx], np.asarray(all_quat)[idx])
     vo.save_trajectory(os.path.join(args.results, "keyframes.txt"))
+    if args.save_map:
+        vo.save_map_ply(args.save_map)
+        print(f"map cloud -> {args.save_map}", file=sys.stderr)
     print(f"processed {len(ds)} frames in {elapsed:.1f}s ({fps:.1f} fps); "
           f"{len(all_ts)} poses -> {pose_path}", file=sys.stderr)
 

@@ -191,6 +191,16 @@ class UR_MVO:
         ts, t, q = self.keyframe_trajectory()
         write_tum(path, list(ts), t, q)
 
+    def save_map_ply(self, path: str) -> None:
+        """Dump the triangulated map cloud as PLY (the reference streams
+        it to rviz, ``ros2_publisher.cc:132-164``; here it is a file)."""
+        from ur_mvo_tpu.utils.viz import save_map_ply
+
+        self.tracker.backend.flush_pending_ba()
+        st = self.tracker.backend.store
+        good = st.mp_good & ~st.mp_bad
+        save_map_ply(path, st.mp_pos[good])
+
     def reset(self, config=None, setup: Optional[Setup] = None) -> None:
         """Tear down and rebuild (parity with ``main_py.cpp:257-267``).
         Injected camera/extractor survive the reset."""
