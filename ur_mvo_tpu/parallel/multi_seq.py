@@ -87,15 +87,28 @@ class MultiSequenceVO:
                 max_keypoints=sp_cfg.max_keypoints,
             )
 
-        def _match_one(sg_params, key, b0, b1):
-            from ur_mvo_tpu.ops.pallas_kernels import attention_pallas_wanted
+        # same "auto" matcher resolution as NeuralExtractor: a random-init
+        # SuperGlue produces meaningless assignments, so without trained
+        # matcher weights fall back to mutual-NN
+        matcher = sg_cfg.matcher
+        if matcher == "auto":
+            matcher = "superglue" if sg_cfg.weights_path else "nn"
+        self.matcher = matcher
 
-            Z = superglue.match_scores(
-                sg_params, b0, b1, sg_cfg.image_width, sg_cfg.image_height,
-                sinkhorn_iterations=sg_cfg.sinkhorn_iterations,
-                use_pallas_attention=attention_pallas_wanted(batched=True),
-            )
-            m = decode_assignment(Z, b0.valid, b1.valid, sg_cfg.matching_threshold)
+        def _match_one(sg_params, key, b0, b1):
+            if matcher == "nn":
+                from ur_mvo_tpu.ops.nn_matcher import match_nn
+
+                m = match_nn(b0, b1, sg_cfg.nn_min_similarity, sg_cfg.nn_ratio)
+            else:
+                from ur_mvo_tpu.ops.pallas_kernels import attention_pallas_wanted
+
+                Z = superglue.match_scores(
+                    sg_params, b0, b1, sg_cfg.image_width, sg_cfg.image_height,
+                    sinkhorn_iterations=sg_cfg.sinkhorn_iterations,
+                    use_pallas_attention=attention_pallas_wanted(batched=True),
+                )
+                m = decode_assignment(Z, b0.valid, b1.valid, sg_cfg.matching_threshold)
             p0, p1, valid = gather_match_points(m, b0.kpts, b1.kpts)
             res = ransac_fundamental(key, p0, p1, valid, iterations=200)
             keep = jnp.where(m.num_valid() >= 8, res.inliers, valid)
