@@ -78,6 +78,37 @@ def test_make_dataset_and_eval_roundtrip(tmp_path):
 
 
 @pytest.mark.slow
+def test_run_vo_multi_cli(tmp_path):
+    """Multi-sequence CLI: two generated sequences, batched lock-step,
+    per-sequence keyframes + ATE JSON lines."""
+    seqs = []
+    for i, seed in enumerate((0, 5)):
+        seq = tmp_path / f"seq{i}"
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "make_synthetic_dataset.py"),
+             "--out", str(seq), "--frames", "12", "--seed", str(seed)],
+            capture_output=True, text=True, timeout=300, cwd=REPO,
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        seqs.append(seq)
+    out = tmp_path / "results"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_vo_multi.py"),
+         "--images", str(seqs[0]), str(seqs[1]),
+         "--gt", str(seqs[0] / "gt.txt"), str(seqs[1] / "gt.txt"),
+         "--results", str(out), "--platform", "cpu",
+         "--weights", os.path.join(REPO, "weights", "superpoint_scratch_v3.npz")],
+        capture_output=True, text=True, timeout=1200, cwd=REPO,
+        env=dict(os.environ, URMVO_COMPILE_CACHE=str(tmp_path / "cache")),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    recs = [json.loads(line) for line in proc.stdout.strip().splitlines()]
+    assert len(recs) == 2
+    assert all(r["n_keyframes"] >= 2 for r in recs), recs
+    assert len(list(out.glob("keyframes_*.txt"))) == 2
+
+
+@pytest.mark.slow
 def test_make_dataset_rgbd_roundtrip(tmp_path):
     """RGB-D CLI workflow: generated metric depth (.npy) flows through
     Dataset -> engine depth lookup -> poses with real (metric) scale."""
