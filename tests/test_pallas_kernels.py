@@ -128,6 +128,25 @@ def test_stage12_slab_conv_matches_xla():
     assert np.isfinite(float(jnp.sum(g["conv1a"]["w"]))) and float(jnp.sum(jnp.abs(g["conv2b"]["w"]))) > 0
 
 
+def test_env_gate_semantics(monkeypatch):
+    """One shared parser for all TPU-formulation flags: master=0 force-
+    disables; var=0/false forces off, other values force on; unset
+    defaults to backend-is-TPU (false on the CPU test backend)."""
+    from ur_mvo_tpu.ops.pallas_kernels import env_gate
+
+    monkeypatch.delenv("URMVO_PALLAS", raising=False)
+    monkeypatch.delenv("URMVO_TESTFLAG", raising=False)
+    assert env_gate("URMVO_TESTFLAG") is False  # CPU default
+    monkeypatch.setenv("URMVO_TESTFLAG", "1")
+    assert env_gate("URMVO_TESTFLAG") is True
+    monkeypatch.setenv("URMVO_TESTFLAG", "false")
+    assert env_gate("URMVO_TESTFLAG") is False
+    monkeypatch.setenv("URMVO_TESTFLAG", "1")
+    monkeypatch.setenv("URMVO_PALLAS", "0")
+    assert env_gate("URMVO_TESTFLAG") is False  # master wins
+    assert env_gate("URMVO_TESTFLAG", master=None) is True
+
+
 def test_stage123_slab_conv_matches_xla():
     """Stage-3 slab kernel + im2col stage 4 (the H%128==0 backbone path,
     interpret mode) must match the plain XLA stages 1-3 / folded backbone
