@@ -20,18 +20,22 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def render_plane_sequence(n_frames, H, W, fx, seed=0, baseline=0.0, with_depth=False):
+def render_plane_sequence(n_frames, H, W, fx, seed=0, baseline=0.0, with_depth=False,
+                          d_right=None):
     """Textured-plane renderer (shared with tests/test_neural_e2e.py).
 
     ``baseline`` > 0 also renders a right camera displaced by
     ``R @ [baseline, 0, 0]``; ``with_depth`` returns per-pixel metric
-    camera-frame depth of the left view. Returns
-    ``(images, T_wc[, images_right][, depths])``."""
+    camera-frame depth of the left view. ``d_right`` (radtan k1,k2,p1,p2)
+    renders the right view through a DISTORTED lens — exercising the
+    separate right-camera rectify map (``camera.cc:61-75,117-127``).
+    Returns ``(images, T_wc[, images_right][, depths])``."""
     import numpy as np
 
     import jax.numpy as jnp
 
     import ur_mvo_tpu.ops.lie as lie
+    from ur_mvo_tpu.camera import undistort_radtan
 
     rng = np.random.default_rng(seed)
     tex_coarse = rng.random((200, 260))
@@ -46,8 +50,15 @@ def render_plane_sequence(n_frames, H, W, fx, seed=0, baseline=0.0, with_depth=F
     poses = np.zeros((n_frames, 4, 4))
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
     rays = np.stack([(xx - cx) / fx, (yy - cy) / fx, np.ones_like(xx)], -1)
+    if d_right is not None:
+        # right-lens ray field: pixel (u,v) sees the ray whose forward
+        # distortion lands back on (u,v)
+        xy = undistort_radtan(rays[..., :2].copy(), np.asarray(d_right, np.float64))
+        rays_right = np.concatenate([xy, np.ones_like(xy[..., :1])], -1)
+    else:
+        rays_right = rays
 
-    def render(R, t):
+    def render(R, t, rays=rays):
         rays_w = rays @ R.T
         lam = (Z0 - t[2]) / rays_w[..., 2]
         pw = t + rays_w * lam[..., None]
@@ -77,7 +88,7 @@ def render_plane_sequence(n_frames, H, W, fx, seed=0, baseline=0.0, with_depth=F
         if with_depth:
             depths[i] = lam
         if baseline > 0:
-            images_r[i], _ = render(R, t + R @ np.array([baseline, 0.0, 0.0]))
+            images_r[i], _ = render(R, t + R @ np.array([baseline, 0.0, 0.0]), rays=rays_right)
     out = [images, poses]
     if baseline > 0:
         out.append(images_r)
@@ -98,6 +109,10 @@ def main():
     ap.add_argument("--setup", default="mono", choices=["mono", "stereo", "rgbd"],
                     help="also write cam1/ (stereo, baseline 0.1 m) or depth0/ (rgbd, metric .npy)")
     ap.add_argument("--baseline", type=float, default=0.1, help="stereo baseline in meters")
+    ap.add_argument("--distort-right", type=float, nargs=4, default=None,
+                    metavar=("K1", "K2", "P1", "P2"),
+                    help="render the right view through a radtan-distorted lens and "
+                         "write a RIGHT_K/D/R/P calib block (stereo only)")
     ap.add_argument("--platform", default="cpu",
                     help="JAX platform (default cpu — rendering is host-side)")
     args = ap.parse_args()
@@ -116,9 +131,11 @@ def main():
 
     H, W = args.size
     baseline = args.baseline if args.setup == "stereo" else 0.0
+    d_right = args.distort_right if args.setup == "stereo" else None
     out = render_plane_sequence(
         args.frames, H, W, args.fx, args.seed,
         baseline=baseline, with_depth=args.setup == "rgbd",
+        d_right=d_right,
     )
     images, T_wc = out[0], out[1]
     images_r = out[2] if args.setup == "stereo" else None
@@ -167,6 +184,19 @@ def main():
         )
         if args.setup == "stereo":
             f.write(f"bf: {fx * args.baseline}\n")
+            if d_right is not None:
+                k1, k2, p1, p2 = d_right
+                f.write(
+                    "RIGHT_K: !!opencv-matrix\n"
+                    "   rows: 3\n   cols: 3\n   dt: d\n"
+                    f"   data: [{fx}, 0., {cx}, 0., {fx}, {cy}, 0., 0., 1.]\n"
+                    "RIGHT_D: !!opencv-matrix\n"
+                    "   rows: 1\n   cols: 4\n   dt: d\n"
+                    f"   data: [{k1}, {k2}, {p1}, {p2}]\n"
+                    "RIGHT_P: !!opencv-matrix\n"
+                    "   rows: 3\n   cols: 4\n   dt: d\n"
+                    f"   data: [{fx}, 0., {cx}, {-fx * args.baseline}, 0., {fx}, {cy}, 0., 0., 0., 1., 0.]\n"
+                )
     print(f"wrote {args.frames} frames to {data_dir}, GT to {gt_path}, calib to {cam_path}")
 
 

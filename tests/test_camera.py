@@ -1,10 +1,98 @@
 import jax.numpy as jnp
 import numpy as np
 
-from ur_mvo_tpu.camera import Camera, make_pinhole, remap_bilinear
+from ur_mvo_tpu.camera import (
+    Camera,
+    distort_radtan,
+    make_pinhole,
+    remap_bilinear,
+    undistort_radtan,
+)
 
 
 AQUA_YAML = "/root/reference/configs/camera_settings/aqua.yaml"
+
+
+def _write_stereo_yaml(path, W=160, H=120, fx=130.0, d_right=(-0.25, 0.08, 0.001, -0.0005)):
+    """Distortion-free LEFT + radially-distorted RIGHT calibration, the
+    layout camera.cc:46-59 requires for a stereo rig."""
+    cx, cy = W / 2.0, H / 2.0
+    k1, k2, p1, p2 = d_right
+    with open(path, "w") as f:
+        f.write(
+            "%YAML:1.0\n---\n"
+            f"image_width: {W}\nimage_height: {H}\n"
+            "distortion_type: 0\n"
+            f"bf: {fx * 0.1}\n"
+            "LEFT_K: !!opencv-matrix\n   rows: 3\n   cols: 3\n   dt: d\n"
+            f"   data: [{fx}, 0., {cx}, 0., {fx}, {cy}, 0., 0., 1.]\n"
+            "LEFT_D: !!opencv-matrix\n   rows: 1\n   cols: 4\n   dt: d\n"
+            "   data: [0., 0., 0., 0.]\n"
+            "RIGHT_K: !!opencv-matrix\n   rows: 3\n   cols: 3\n   dt: d\n"
+            f"   data: [{fx}, 0., {cx}, 0., {fx}, {cy}, 0., 0., 1.]\n"
+            "RIGHT_D: !!opencv-matrix\n   rows: 1\n   cols: 4\n   dt: d\n"
+            f"   data: [{k1}, {k2}, {p1}, {p2}]\n"
+            "RIGHT_P: !!opencv-matrix\n   rows: 3\n   cols: 4\n   dt: d\n"
+            f"   data: [{fx}, 0., {cx}, {-fx * 0.1}, 0., {fx}, {cy}, 0., 0., 0., 1., 0.]\n"
+        )
+
+
+def test_right_camera_rectify_map(tmp_path):
+    """RIGHT_K/D/R/P must yield a SEPARATE rectify map (camera.cc:61-75);
+    this test fails under round-1's shared-left-map behavior."""
+    yaml_path = str(tmp_path / "stereo.yaml")
+    d_right = np.array([-0.25, 0.08, 0.001, -0.0005])
+    _write_stereo_yaml(yaml_path, d_right=tuple(d_right))
+    cam = Camera.from_yaml(yaml_path)
+    assert cam.undistort_map_right is not None
+    # Left is distortion-free: its map is the identity grid.
+    yy, xx = np.mgrid[0 : cam.height, 0 : cam.width].astype(np.float32)
+    np.testing.assert_allclose(cam.undistort_map[..., 0], xx, atol=1e-3)
+    np.testing.assert_allclose(cam.undistort_map[..., 1], yy, atol=1e-3)
+    # Right map must match the analytic forward distortion of the
+    # rectified ray, and differ from the left map away from center.
+    u, v = 20.0, 15.0
+    x = (u - cam.cx) / cam.fx
+    y = (v - cam.cy) / cam.fy
+    xyd = distort_radtan(np.array([[x, y]]), d_right)[0]
+    np.testing.assert_allclose(
+        cam.undistort_map_right[int(v), int(u)],
+        [cam.fx * xyd[0] + cam.cx, cam.fx * xyd[1] + cam.cy],
+        atol=1e-3,
+    )
+    delta = np.abs(cam.undistort_map_right - cam.undistort_map)
+    assert delta.max() > 3.0  # shared-map behavior would give 0
+
+
+def test_right_rectification_recovers_pinhole_view(tmp_path):
+    """Render a scene through the distorted right lens, rectify with the
+    right map -> matches the ideal pinhole render. Rectifying with the
+    LEFT map (round-1 behavior) leaves multi-pixel warping error."""
+    yaml_path = str(tmp_path / "stereo.yaml")
+    d_right = np.array([-0.25, 0.08, 0.001, -0.0005])
+    _write_stereo_yaml(yaml_path, d_right=tuple(d_right))
+    cam = Camera.from_yaml(yaml_path)
+
+    def scene(x, y):  # smooth texture at infinity, function of the ray
+        return 0.5 + 0.25 * np.sin(9.0 * x) + 0.25 * np.cos(7.0 * y + 3.0 * x)
+
+    yy, xx = np.mgrid[0 : cam.height, 0 : cam.width].astype(np.float64)
+    xn = (xx - cam.cx) / cam.fx
+    yn = (yy - cam.cy) / cam.fy
+    ideal = scene(xn, yn)
+    # Distorted right image: pixel (u,v) sees the ray whose distortion
+    # lands on (u,v) -> iterative undistort.
+    rays = undistort_radtan(np.stack([xn, yn], axis=-1), d_right)
+    distorted = scene(rays[..., 0], rays[..., 1])
+
+    rect_right = np.asarray(remap_bilinear(jnp.asarray(distorted), jnp.asarray(cam.undistort_map_right)))
+    rect_left = np.asarray(remap_bilinear(jnp.asarray(distorted), jnp.asarray(cam.undistort_map)))
+    # interior crop (borders lose pixels to the distortion pull-in)
+    c = 12
+    err_right = np.abs(rect_right - ideal)[c:-c, c:-c].max()
+    err_left = np.abs(rect_left - ideal)[c:-c, c:-c].max()
+    assert err_right < 0.02, err_right
+    assert err_left > 0.1, err_left  # the bug this guards against
 
 
 def test_project_backproject_roundtrip():

@@ -65,13 +65,18 @@ def test_e2e_mono_ate():
 
 
 def test_e2e_mono_scale_convention():
-    """Mono init must fix median landmark depth to ~4 (tracking.cc:578)."""
+    """Mono init must fix median landmark depth to ~4.0 (tracking.cc:578-588).
+
+    World frame == first camera frame (identity, looking down +z), and the
+    synthetic landmarks are uniform in true depth, so the post-init map's
+    median z must sit at the 4.0 convention — a 2x-wrong init scale would
+    put it at ~8 or ~2 and fail here."""
     vo, est, gt, _ = run_vo(n_frames=25)
     st = vo.tracker.backend.store
     good = st.mp_good & ~st.mp_bad
     # median depth of map as seen from the first keyframe (identity pose)
     z = st.mp_pos[good][:, 2]
-    assert 2.0 < np.median(z) / (4.0 / np.median(z) * 0 + 1) < 8.0  # sanity band
+    assert abs(np.median(z) - 4.0) < 0.8, np.median(z)
 
 
 def test_e2e_noise_robustness():

@@ -107,6 +107,24 @@ def distort_radtan(xy: np.ndarray, d: np.ndarray) -> np.ndarray:
     return np.stack([xd, yd], axis=-1)
 
 
+def undistort_radtan(xyd: np.ndarray, d: np.ndarray, iters: int = 10) -> np.ndarray:
+    """Invert ``distort_radtan`` by fixed-point iteration (the same
+    scheme as ``cv::undistortPoints``). Used by the synthetic-dataset
+    generator to render through a distorted lens and by tests; accuracy
+    ~1e-9 for mild distortion after 10 iterations."""
+    k1, k2, p1, p2 = d[0], d[1], d[2], d[3]
+    k3 = d[4] if len(d) > 4 else 0.0
+    x = xyd.copy()
+    for _ in range(iters):
+        xx, yy = x[..., 0], x[..., 1]
+        r2 = xx * xx + yy * yy
+        radial = 1.0 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+        tx = 2 * p1 * xx * yy + p2 * (r2 + 2 * xx * xx)
+        ty = p1 * (r2 + 2 * yy * yy) + 2 * p2 * xx * yy
+        x = (xyd - np.stack([tx, ty], axis=-1)) / radial[..., None]
+    return x
+
+
 def distort_equidistant(xy: np.ndarray, d: np.ndarray) -> np.ndarray:
     """Kannala-Brandt equidistant (fisheye) distortion (cv::fisheye model)."""
     k1, k2, k3, k4 = d[0], d[1], d[2], d[3]
@@ -142,6 +160,12 @@ class Camera:
     # (H, W, 2) float32 source-pixel coordinates for rectification, or None
     # when the input is already rectified.
     undistort_map: Optional[np.ndarray] = None
+    # Separate right-camera rectification map (stereo rigs have distinct
+    # right intrinsics/distortion/rectifying rotation — the reference
+    # builds _mapr1/_mapr2 from RIGHT_K/D/R/P, ``camera.cc:61-75``, and
+    # remaps the right image with them, ``camera.cc:117-127``). None for
+    # mono or when the calib has no RIGHT_* block.
+    undistort_map_right: Optional[np.ndarray] = None
 
     # -- construction -------------------------------------------------------
 
@@ -173,9 +197,37 @@ class Camera:
             max_y_diff=float(cfg.get("max_y_diff", 2.0)),
         )
         cam.undistort_map = cam._build_undistort_map(np.asarray(K), D, np.asarray(R), dist_type)
+        # Right camera: the reference requires ALL of RIGHT_K/D/R/P for a
+        # stereo rig (camera.cc:46-59) and builds a second rectify map
+        # with the RIGHT projection matrix P_r (camera.cc:61-75). The
+        # rectified right intrinsics (P_r) usually equal the left P up to
+        # the -bf column, but the distortion/rotation legs differ.
+        if "RIGHT_K" in cfg and "RIGHT_D" in cfg:
+            K_r = np.asarray(cfg["RIGHT_K"])
+            D_r = np.asarray(cfg["RIGHT_D"]).reshape(-1)
+            R_r = np.asarray(cfg.get("RIGHT_R", np.eye(3)))
+            P_r = cfg.get("RIGHT_P")
+            if P_r is None:
+                P_r = P
+            P_r = np.asarray(P_r)
+            cam.undistort_map_right = cam._build_undistort_map(
+                K_r, D_r, R_r, dist_type,
+                fx=float(P_r[0, 0]), fy=float(P_r[1, 1]),
+                cx=float(P_r[0, 2]), cy=float(P_r[1, 2]),
+            )
         return cam
 
-    def _build_undistort_map(self, K: np.ndarray, D: np.ndarray, R: np.ndarray, dist_type: int) -> np.ndarray:
+    def _build_undistort_map(
+        self,
+        K: np.ndarray,
+        D: np.ndarray,
+        R: np.ndarray,
+        dist_type: int,
+        fx: Optional[float] = None,
+        fy: Optional[float] = None,
+        cx: Optional[float] = None,
+        cy: Optional[float] = None,
+    ) -> np.ndarray:
         """For each rectified pixel, the source pixel to sample.
 
         Same math as ``cv::initUndistortRectifyMap`` /
@@ -183,10 +235,18 @@ class Camera:
         rectified pixel -> normalized ray via P^-1 -> rotate by R^-1 ->
         distort -> source pixel via K. Computed once on host in f64,
         applied per frame on device as a bilinear gather.
+
+        ``fx/fy/cx/cy`` override the rectified projection used for the
+        destination grid (the right camera rectifies onto RIGHT_P, not
+        the left P — ``camera.cc:66-68``); default to this camera's.
         """
+        fx = self.fx if fx is None else fx
+        fy = self.fy if fy is None else fy
+        cx = self.cx if cx is None else cx
+        cy = self.cy if cy is None else cy
         v, u = np.mgrid[0:self.height, 0:self.width].astype(np.float64)
-        x = (u - self.cx) / self.fx
-        y = (v - self.cy) / self.fy
+        x = (u - cx) / fx
+        y = (v - cy) / fy
         rays = np.stack([x, y, np.ones_like(x)], axis=-1) @ np.linalg.inv(R).T
         xy = rays[..., :2] / rays[..., 2:3]
         if dist_type == 1:

@@ -135,7 +135,9 @@ class UR_MVO:
         else:
             bank = self.extractor.extract(image, mask)
             if self.setup == Setup.STEREO and data.right_image is not None:
-                bank_right = self.extractor.extract(data.right_image.get_image(), mask)
+                # right=True selects the RIGHT_K/D/R/P rectify map when
+                # the calibration provides one (camera.cc:117-127)
+                bank_right = self.extractor.extract(data.right_image.get_image(), mask, right=True)
 
         pose_mat = self.tracker.process(bank, ts, depth_lookup, bank_right=bank_right)
         if pose_mat is None:

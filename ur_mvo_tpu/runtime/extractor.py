@@ -62,6 +62,14 @@ class NeuralExtractor:
         undistort_map = (
             jnp.asarray(camera.undistort_map) if camera.undistort_map is not None else None
         )
+        # Distinct right-camera rectify map (camera.cc:61-75 builds
+        # _mapr1/_mapr2 from RIGHT_K/D/R/P; :117-127 remaps the right
+        # image with THEM, not the left map).
+        undistort_map_right = (
+            jnp.asarray(camera.undistort_map_right)
+            if camera.undistort_map_right is not None
+            else undistort_map
+        )
         capacity = sp_cfg.capacity
         compute_dtype = jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jnp.float32
         from ur_mvo_tpu.ops.pallas_kernels import attention_pallas_enabled, sinkhorn_pallas_enabled
@@ -74,10 +82,10 @@ class NeuralExtractor:
         # and keys the persistent cache on the weight values.
         use_patch_desc = sp_cfg.descriptor_source == "patch"
 
-        def _extract_impl(sp_params, image_u8, mask=None):
+        def _extract_impl(sp_params, image_u8, mask=None, rect_map=undistort_map):
             img = image_u8.astype(jnp.float32) / 255.0
-            if undistort_map is not None:
-                img = remap_bilinear(img, undistort_map)
+            if rect_map is not None:
+                img = remap_bilinear(img, rect_map)
             scores, desc = superpoint.forward(
                 sp_params, img[None, :, :, None], nms_radius=sp_cfg.nms_radius,
                 compute_dtype=compute_dtype,
@@ -104,6 +112,19 @@ class NeuralExtractor:
         @jax.jit
         def _extract_nomask(sp_params, image_u8: jax.Array) -> FeatureBank:
             return _extract_impl(sp_params, image_u8)
+
+        if undistort_map_right is undistort_map:
+            # No distinct right calibration: reuse the left programs (no
+            # extra compilations).
+            _extract_right, _extract_right_nomask = _extract, _extract_nomask
+        else:
+            @jax.jit
+            def _extract_right(sp_params, image_u8: jax.Array, mask: jax.Array) -> FeatureBank:
+                return _extract_impl(sp_params, image_u8, mask, rect_map=undistort_map_right)
+
+            @jax.jit
+            def _extract_right_nomask(sp_params, image_u8: jax.Array) -> FeatureBank:
+                return _extract_impl(sp_params, image_u8, rect_map=undistort_map_right)
 
         matcher = self._matcher
 
@@ -139,10 +160,18 @@ class NeuralExtractor:
 
         self._extract_fn = _extract
         self._extract_nomask_fn = _extract_nomask
+        self._extract_right_fn = _extract_right
+        self._extract_right_nomask_fn = _extract_right_nomask
         self._match_fn = _match
         self._key = jax.random.PRNGKey(cfg.runtime.seed + 1)
 
-    def extract(self, image: np.ndarray, mask: Optional[np.ndarray] = None) -> FeatureBank:
+    def extract(self, image: np.ndarray, mask: Optional[np.ndarray] = None, right: bool = False) -> FeatureBank:
+        """``right=True`` rectifies with the right-camera map when the
+        calibration ships one (parity with ``camera.cc:117-127``)."""
+        if right:
+            if mask is not None:
+                return self._extract_right_fn(self.sp_params, jnp.asarray(image), jnp.asarray(mask))
+            return self._extract_right_nomask_fn(self.sp_params, jnp.asarray(image))
         if mask is not None:
             return self._extract_fn(self.sp_params, jnp.asarray(image), jnp.asarray(mask))
         return self._extract_nomask_fn(self.sp_params, jnp.asarray(image))
