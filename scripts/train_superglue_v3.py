@@ -1,0 +1,333 @@
+#!/usr/bin/env python
+"""Train SuperGlue against the shipped v3 SuperPoint on rendered scenes.
+
+The reference's matcher IS SuperGlue (``/root/reference/src/super_glue.cpp:
+166-241``) but its trained weights are not shipped anywhere in this
+environment, so round 1 fell back to mutual-NN. This script closes that
+gap end-to-end with in-repo supervision:
+
+1. ``data``  — render textured single-plane and 3D multi-plane scenes
+   (``ur_mvo_tpu/utils/synthscene.py``), extract feature banks with the
+   shipped ``weights/superpoint_scratch_v3.npz`` detector, and label
+   ground-truth partial assignments by exact depth transfer with
+   occlusion checks. Runs on CPU.
+2. ``train`` — train the full JAX SuperGlue (``models/superglue.py``) on
+   those banks with the published assignment NLL
+   (``models/train_superglue.py::batch_loss``), minibatches gathered
+   on-device inside a ``lax.scan`` so a relay-attached TPU trains at
+   device speed. Mirror augmentation (x/y flips) quadruples the data.
+3. ``eval``  — held-out scenes: decoded-match precision/recall vs GT and
+   the mutual-NN baseline next to it.
+
+Usage:
+  python scripts/train_superglue_v3.py data  --out /tmp/sg_data.npz
+  python scripts/train_superglue_v3.py train --data /tmp/sg_data.npz \
+      --steps 3000 --out weights/superglue_v3scene.npz
+  python scripts/train_superglue_v3.py eval  --weights weights/superglue_v3scene.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SP_V3 = os.path.join(REPO, "weights", "superpoint_scratch_v3.npz")
+
+H, W, FX = 240, 320, 260.0
+CAP = 512
+
+
+def _make_extractor(cap=CAP, max_kpts=400):
+    from ur_mvo_tpu.camera import make_pinhole
+    from ur_mvo_tpu.config import Configs
+    from ur_mvo_tpu.runtime.extractor import NeuralExtractor
+
+    cfg = Configs()
+    cfg.superpoint.capacity = cap
+    cfg.superpoint.max_keypoints = max_kpts
+    cfg.superpoint.keypoint_threshold = 1e-4
+    cfg.superpoint.weights_path = SP_V3
+    cfg.superglue.matcher = "nn"
+    cfg.superglue.image_width = W
+    cfg.superglue.image_height = H
+    cfg.runtime.compute_dtype = "float32"
+    cam = make_pinhole(W, H, FX, FX, W / 2, H / 2)
+    return NeuralExtractor(cfg, cam)
+
+
+def _render_scene(seed: int, frames: int, rng):
+    """One scene: plane-only (1/3 of the time) or 3D multi-plane with
+    random brightness decay — the two e2e benchmark families."""
+    from ur_mvo_tpu.utils.synthscene import render_sequence
+
+    n_planes = 0 if seed % 3 == 0 else int(rng.integers(2, 5))
+    decay = float(rng.uniform(0.0, 0.03))
+    return render_sequence(frames, H, W, FX, seed=seed, n_planes=n_planes,
+                           brightness_decay=decay)
+
+
+def gen_data(args):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from ur_mvo_tpu.utils.synthscene import gt_assignment
+
+    ext = _make_extractor()
+    rng = np.random.default_rng(args.seed)
+    scores, kpts, desc, valid = [], [], [], []
+    pair_fi, pair_fj, tgt0s, tgt1s = [], [], [], []
+    n_frames_total = 0
+    t0 = time.time()
+    for s in range(args.scenes):
+        seed = args.seed + 1000 + s
+        imgs, T, depths = _render_scene(seed, args.frames, rng)
+        base = n_frames_total
+        for i in range(args.frames):
+            b = ext.extract(imgs[i])
+            scores.append(np.asarray(b.scores, np.float32))
+            kpts.append(np.asarray(b.kpts, np.float32))
+            desc.append(np.asarray(b.desc, np.float16))
+            valid.append(np.asarray(b.valid))
+        n_frames_total += args.frames
+        for i in range(args.frames):
+            for gap in (1, 2, 3):
+                j = i + gap
+                if j >= args.frames:
+                    continue
+                t_0, t_1 = gt_assignment(
+                    kpts[base + i], valid[base + i], kpts[base + j], valid[base + j],
+                    depths[i], T[i], T[j], FX, W / 2, H / 2, depth1=depths[j],
+                    tol_px=args.tol_px,
+                )
+                if (t_0 < CAP).sum() < 30:
+                    continue
+                pair_fi.append(base + i)
+                pair_fj.append(base + j)
+                tgt0s.append(t_0)
+                tgt1s.append(t_1)
+        print(f"scene {s + 1}/{args.scenes}: {len(pair_fi)} pairs so far "
+              f"({time.time() - t0:.0f}s)", flush=True)
+    np.savez_compressed(
+        args.out,
+        scores=np.stack(scores), kpts=np.stack(kpts),
+        desc=np.stack(desc), valid=np.stack(valid),
+        pair_fi=np.asarray(pair_fi, np.int32), pair_fj=np.asarray(pair_fj, np.int32),
+        tgt0=np.stack(tgt0s), tgt1=np.stack(tgt1s),
+        width=W, height=H,
+    )
+    gt_counts = (np.stack(tgt0s) < CAP).sum(1)
+    print(f"wrote {args.out}: {len(pair_fi)} pairs over {n_frames_total} frames, "
+          f"GT matches/pair median {np.median(gt_counts):.0f}")
+
+
+def train(args):
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from ur_mvo_tpu.models import superglue
+    from ur_mvo_tpu.models.train_superglue import batch_loss
+    from ur_mvo_tpu.ops.keypoints import FeatureBank
+
+    data = np.load(args.data)
+    S = len(data["pair_fi"])
+    print(f"{S} pairs, {len(data['scores'])} frames; device: {jax.devices()[0]}")
+    # device-resident dataset (desc stays f16 until gathered)
+    d_scores = jnp.asarray(data["scores"])
+    d_kpts = jnp.asarray(data["kpts"])
+    d_desc = jnp.asarray(data["desc"])
+    d_valid = jnp.asarray(data["valid"])
+    d_fi = jnp.asarray(data["pair_fi"])
+    d_fj = jnp.asarray(data["pair_fj"])
+    d_tgt0 = jnp.asarray(data["tgt0"])
+    d_tgt1 = jnp.asarray(data["tgt1"])
+
+    params = superglue.init_params(jax.random.PRNGKey(args.seed), args.layers, args.heads)
+    if args.init_from:
+        params = superglue.load_weights(args.init_from, args.layers, args.heads)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, 200, max(args.steps, 201), args.lr * 0.05
+        ), weight_decay=1e-5),
+    )
+    opt_state = optimizer.init(params)
+
+    def gather_banks(idx):
+        def bank(f):
+            return FeatureBank(
+                scores=d_scores[f], kpts=d_kpts[f],
+                desc=d_desc[f].astype(jnp.float32), valid=d_valid[f],
+            )
+
+        return bank(d_fi[idx]), bank(d_fj[idx]), d_tgt0[idx], d_tgt1[idx]
+
+    def augment(key, b0, b1):
+        """Mirror flips applied to BOTH banks preserve correspondence."""
+        kx, ky = jax.random.split(key)
+        fx_ = jax.random.bernoulli(kx)
+        fy = jax.random.bernoulli(ky)
+
+        def flip(b):
+            x = jnp.where(fx_, W - 1.0 - b.kpts[..., 0], b.kpts[..., 0])
+            y = jnp.where(fy, H - 1.0 - b.kpts[..., 1], b.kpts[..., 1])
+            return b._replace(kpts=jnp.stack([x, y], axis=-1) * b.valid[..., None])
+
+        return flip(b0), flip(b1)
+
+    def one_step(carry, key):
+        p, s = carry
+        ki, ka = jax.random.split(key)
+        idx = jax.random.randint(ki, (args.batch,), 0, S)
+        b0, b1, t0, t1 = jax.vmap(gather_banks)(idx)
+        b0, b1 = jax.vmap(augment)(jax.random.split(ka, args.batch), b0, b1)
+        loss, grads = jax.value_and_grad(batch_loss)(
+            p, b0, b1, t0, t1, W, H, args.sinkhorn_iters, args.heads
+        )
+        updates, s = optimizer.update(grads, s, p)
+        return (optax.apply_updates(p, updates), s), loss
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run_chunk(p, s, key):
+        keys = jax.random.split(key, args.chunk)
+        (p, s), losses = jax.lax.scan(one_step, (p, s), keys)
+        return p, s, jnp.mean(losses)
+
+    key = jax.random.PRNGKey(args.seed + 1)
+    done = 0
+    t0 = time.time()
+    while done < args.steps:
+        key, sub = jax.random.split(key)
+        params, opt_state, mean_loss = run_chunk(params, opt_state, sub)
+        done += args.chunk
+        print(f"step {done}/{args.steps}: loss {float(mean_loss):.4f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+    superglue.save_npz(args.out, params)
+    # embed the architecture so loaders don't need the config to agree
+    state = dict(np.load(args.out))
+    state["__meta_num_layers__"] = np.asarray(args.layers)
+    state["__meta_num_heads__"] = np.asarray(args.heads)
+    np.savez(args.out, **state)
+    print(f"saved {args.out}")
+
+
+def evaluate(args):
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+
+    from ur_mvo_tpu.utils.synthscene import gt_assignment
+
+    ext = _make_extractor()
+    rng = np.random.default_rng(args.seed + 7777)
+    if args.weights:
+        from ur_mvo_tpu.config import Configs
+        from ur_mvo_tpu.camera import make_pinhole
+        from ur_mvo_tpu.runtime.extractor import NeuralExtractor
+
+        cfg = Configs()
+        cfg.superpoint.capacity = CAP
+        cfg.superpoint.max_keypoints = 400
+        cfg.superpoint.keypoint_threshold = 1e-4
+        cfg.superpoint.weights_path = SP_V3
+        cfg.superglue.matcher = "superglue"
+        cfg.superglue.weights_path = args.weights
+        cfg.superglue.matching_threshold = args.threshold
+        cfg.superglue.image_width = W
+        cfg.superglue.image_height = H
+        cfg.runtime.compute_dtype = "float32"
+        cam = make_pinhole(W, H, FX, FX, W / 2, H / 2)
+        sg_ext = NeuralExtractor(cfg, cam)
+    else:
+        sg_ext = None
+
+    stats = {"nn": [0, 0, 0], "sg": [0, 0, 0]}  # matches, correct, gt
+    for s in range(args.scenes):
+        seed = args.seed + 9000 + s  # disjoint from training seeds
+        imgs, T, depths = _render_scene(seed, args.frames, rng)
+        banks = [ext.extract(imgs[i]) for i in range(args.frames)]
+        for i in range(args.frames):
+            for gap in (1, 2):
+                j = i + gap
+                if j >= args.frames:
+                    continue
+                k0 = np.asarray(banks[i].kpts); v0 = np.asarray(banks[i].valid)
+                k1 = np.asarray(banks[j].kpts); v1 = np.asarray(banks[j].valid)
+                t_0, _ = gt_assignment(k0, v0, k1, v1, depths[i], T[i], T[j],
+                                       FX, W / 2, H / 2, depth1=depths[j])
+                n_gt = int((t_0 < CAP).sum())
+                for name, e in (("nn", ext), ("sg", sg_ext)):
+                    if e is None:
+                        continue
+                    m = e.match(banks[i], banks[j], outlier_rejection=False)
+                    idx1 = np.asarray(m.idx1); mv = np.asarray(m.valid)
+                    pred = np.where(mv, idx1, -1)
+                    correct = int(((pred == t_0) & (t_0 < CAP) & mv).sum())
+                    stats[name][0] += int(mv.sum())
+                    stats[name][1] += correct
+                    stats[name][2] += n_gt
+    for name, (n, c, g) in stats.items():
+        if n == 0:
+            continue
+        print(f"{name}: matches {n}, precision {c / max(n, 1):.3f}, "
+              f"recall {c / max(g, 1):.3f}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("data")
+    d.add_argument("--out", default="/tmp/sg_data.npz")
+    d.add_argument("--scenes", type=int, default=40)
+    d.add_argument("--frames", type=int, default=6)
+    d.add_argument("--tol-px", type=float, default=3.0)
+    d.add_argument("--seed", type=int, default=0)
+
+    t = sub.add_parser("train")
+    t.add_argument("--data", default="/tmp/sg_data.npz")
+    t.add_argument("--out", default=os.path.join(REPO, "weights", "superglue_v3scene.npz"))
+    t.add_argument("--steps", type=int, default=3000)
+    t.add_argument("--batch", type=int, default=8)
+    t.add_argument("--chunk", type=int, default=50)
+    t.add_argument("--layers", type=int, default=9)
+    t.add_argument("--heads", type=int, default=4)
+    t.add_argument("--sinkhorn-iters", type=int, default=20)
+    t.add_argument("--lr", type=float, default=1e-4)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--init-from", default=None)
+    t.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+
+    e = sub.add_parser("eval")
+    e.add_argument("--weights", default=None)
+    e.add_argument("--scenes", type=int, default=4)
+    e.add_argument("--frames", type=int, default=5)
+    e.add_argument("--threshold", type=float, default=0.5)
+    e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--platform", default="cpu")
+
+    args = ap.parse_args()
+    if args.cmd == "data":
+        gen_data(args)
+    elif args.cmd == "train":
+        train(args)
+    else:
+        evaluate(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -242,7 +242,23 @@ def save_npz(path: str, params: Dict[str, Any]) -> None:
     np.savez(path, **flat)
 
 
+def checkpoint_meta(path: str):
+    """(num_layers, num_heads) embedded in a native .npz checkpoint, or
+    None — lets loaders ignore a disagreeing config (the reference reads
+    the architecture from separate YAML keys that can silently drift)."""
+    if not path.endswith(".npz"):
+        return None
+    with np.load(path) as state:
+        if "__meta_num_layers__" in state.files:
+            heads = int(state["__meta_num_heads__"]) if "__meta_num_heads__" in state.files else 4
+            return int(state["__meta_num_layers__"]), heads
+    return None
+
+
 def load_npz(path: str, num_layers: int = 9, num_heads: int = 4) -> Dict[str, Any]:
+    meta = checkpoint_meta(path)
+    if meta is not None:
+        num_layers, num_heads = meta
     state = dict(np.load(path))
 
     def fill(node, prefix=""):

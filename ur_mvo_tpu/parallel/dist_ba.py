@@ -92,7 +92,29 @@ def shard_problem(prob: BAProblem, n_shards: int) -> BAProblem:
     by_shard = [np.nonzero((obs_shard == s) & valid)[0] for s in range(n_shards)]
     sizes = [len(b) for b in by_shard]
     if max(sizes) > cap:
-        raise ValueError(f"observation shard overflow ({max(sizes)} > {cap}); increase padding")
+        # Lumpy per-point track lengths can defeat perfect balance; grow
+        # the observation padding so the heaviest shard fits (extra rows
+        # are invalid and cost one more 8-row block per shard at most).
+        cap = max(sizes)
+        O_new = cap * n_shards
+        grow = O_new - O
+
+        def _extend(a):
+            a = np.asarray(a)
+            pad_shape = (grow,) + a.shape[1:]
+            return np.concatenate([a, np.zeros(pad_shape, a.dtype)])
+
+        prob = prob._replace(
+            obs_frame=jnp.asarray(_extend(prob.obs_frame)),
+            obs_point=jnp.asarray(_extend(prob.obs_point)),
+            obs_uv=jnp.asarray(_extend(prob.obs_uv)),
+            obs_valid=jnp.asarray(np.concatenate([np.asarray(prob.obs_valid), np.zeros(grow, bool)])),
+        )
+        valid = np.asarray(prob.obs_valid)
+        # keep the per-row new-point map indexable for the pad rows (their
+        # values are overridden by pad_point below)
+        obs_p_new = np.concatenate([obs_p_new, np.zeros(grow, np.int64)])
+        O = O_new
     pad_pool = list(np.nonzero(~valid)[0])
     order = []
     pad_point = []  # per final slot: override obs_point for padding rows

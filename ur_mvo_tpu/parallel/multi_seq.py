@@ -56,7 +56,12 @@ class _SeqExtractorView:
 
 
 class MultiSequenceVO:
-    def __init__(self, cfg: Configs, camera: Camera, num_sequences: int, extractors: Optional[Sequence] = None):
+    def __init__(self, cfg: Configs, camera: Camera, num_sequences: int, extractors: Optional[Sequence] = None,
+                 mesh=None):
+        """``mesh``: optional 1-D ``jax.sharding.Mesh`` — the batched
+        extract/match programs then run sharded over its first axis
+        (params replicated, sequences split across devices);
+        ``num_sequences`` must be a multiple of the mesh size."""
         self.cfg = cfg
         self.camera = camera
         self.S = num_sequences
@@ -116,10 +121,26 @@ class MultiSequenceVO:
 
         _ext_v = jax.vmap(_extract_one, in_axes=(None, 0))
         _match_v = jax.vmap(_match_one, in_axes=(None, 0, 0, 0))
-        ext_jit = jax.jit(_ext_v)
-        match_jit = jax.jit(_match_v)
-        self._extract_batched = lambda imgs: ext_jit(self.sp_params, imgs)
-        self._match_batched = lambda keys, b0, b1: match_jit(self.sg_params, keys, b0, b1)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            assert num_sequences % mesh.devices.size == 0, (
+                "num_sequences must be a multiple of the mesh size")
+            bsh = NamedSharding(mesh, P(mesh.axis_names[0]))
+            repl = NamedSharding(mesh, P())
+            ext_jit = jax.jit(_ext_v, in_shardings=(repl, bsh), out_shardings=bsh)
+            match_jit = jax.jit(_match_v, in_shardings=(repl, bsh, bsh, bsh), out_shardings=bsh)
+            # host-assembled inputs (stacked partner banks, keys, raw
+            # images) arrive replicated/uncommitted — place them on the
+            # batch sharding so they match the jit contract without an
+            # implicit cross-device copy per call
+            _to_b = lambda tree: jax.device_put(tree, bsh)
+        else:
+            ext_jit = jax.jit(_ext_v)
+            match_jit = jax.jit(_match_v)
+            _to_b = lambda tree: tree
+        self._extract_batched = lambda imgs: ext_jit(self.sp_params, _to_b(imgs))
+        self._match_batched = lambda keys, b0, b1: match_jit(self.sg_params, _to_b(keys), _to_b(b0), _to_b(b1))
 
         self.trackers: List[Tracker] = []
         for i in range(self.S):

@@ -47,8 +47,14 @@ class NeuralExtractor:
             self.sp_params = superpoint.load_torch_weights(sp_cfg.weights_path)
         else:
             self.sp_params = superpoint.init_params(k1)
+        sg_num_heads = sg_cfg.num_heads
         if sg_cfg.weights_path:
             self.sg_params = superglue.load_weights(sg_cfg.weights_path, sg_cfg.num_layers, sg_cfg.num_heads)
+            # a native checkpoint's embedded architecture wins over the
+            # config (avoids silent layer/head drift)
+            meta = superglue.checkpoint_meta(sg_cfg.weights_path)
+            if meta is not None:
+                sg_num_heads = meta[1]
         else:
             self.sg_params = superglue.init_params(k2, sg_cfg.num_layers, sg_cfg.num_heads)
         # Resolve the "auto" matcher: a randomly-initialized SuperGlue
@@ -143,7 +149,7 @@ class NeuralExtractor:
                     sg_cfg.image_height,
                     sinkhorn_iterations=sg_cfg.sinkhorn_iterations,
                     compute_dtype=compute_dtype,
-                    num_heads=sg_cfg.num_heads,
+                    num_heads=sg_num_heads,
                     use_pallas_sinkhorn=use_pallas_sink,
                     use_pallas_attention=use_pallas_attn,
                 )
