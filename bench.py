@@ -122,6 +122,87 @@ def sustained_ms(kernel, args, n1=2, n2=12, reps=6):
     return max((t2 - t1) / (n2 - n1), 1e-6) * 1e3
 
 
+def _measure_sync_floor(reps: int = 15) -> float:
+    """Median host-observed latency (ms) of one trivial device sync: on a
+    locally-attached host this is ~0.1 ms; through the dev relay ~24 ms.
+    Reported so the raw e2e wall number can be judged."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(())
+    jax.block_until_ready(f(x))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts) * 1e3)
+
+
+def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
+    """End-to-end engine wall clock on a rendered textured sequence with
+    the shipped v3 detector. Two passes: the first compiles/warms every
+    program, engine.reset(), then the timed pass (frame-lookahead
+    pipeline on). Returns wall fps, host-CPU ms/frame, and bookkeeping
+    counters; {} when the shipped checkpoint is absent."""
+    import os
+
+    import jax
+
+    sp_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "weights", "superpoint_scratch_v3.npz")
+    if not os.path.exists(sp_path):
+        return {}
+    from ur_mvo_tpu.camera import make_pinhole
+    from ur_mvo_tpu.components import Frame, Image
+    from ur_mvo_tpu.config import Configs, SensorSetup
+    from ur_mvo_tpu.engine import UR_MVO
+    from ur_mvo_tpu.utils.synthscene import render_sequence
+
+    fx = 260.0 * (W / 320.0)
+    # plane at z=4: enough two-view parallax within a few frames of the
+    # default trajectory to clear the 2-degree init gate
+    images, T_wc, _ = render_sequence(n_frames, H, W, fx, seed=3, n_planes=0, z_background=4.0)
+    cam = make_pinhole(W, H, fx, fx, W / 2, H / 2)
+    cfg = Configs()
+    cfg.superpoint.capacity = 1024
+    cfg.superpoint.max_keypoints = 1000
+    cfg.superpoint.keypoint_threshold = 1e-4
+    cfg.superpoint.weights_path = sp_path
+    cfg.superglue.image_width = W
+    cfg.superglue.image_height = H
+    # permissive init gates: at the --tiny smoke resolution the plane
+    # render yields ~90 matches and ~50 triangulations; the bench times
+    # the pipeline, accuracy is gated by the test suite
+    cfg.initializer.min_matches = 40
+    cfg.initializer.min_features_first = 80
+    vo = UR_MVO(cfg, SensorSetup.MONO, camera=cam)
+
+    def run():
+        n_kf = 0
+        frames = [Frame(image=Image(images[i], i / 30.0)) for i in range(n_frames)]
+        for i in range(n_frames):
+            nxt = frames[i + 1] if i + 1 < n_frames else None
+            if vo.process(frames[i], next_data=nxt) is not None:
+                n_kf += 1
+        return n_kf
+
+    run()  # warm/compile pass
+    vo.reset()
+    t0 = time.perf_counter()
+    c0 = time.process_time()
+    n_kf = run()
+    wall = time.perf_counter() - t0
+    host_cpu = time.process_time() - c0
+    return {
+        "e2e_wall_fps": n_frames / wall,
+        "host_cpu_ms_per_frame": host_cpu / n_frames * 1e3,
+        "e2e_frames": n_frames,
+        "e2e_keyframes": n_kf,
+        "e2e_initialized": bool(vo.tracker.initialized),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
@@ -295,6 +376,18 @@ def main():
         file=sys.stderr,
     )
 
+    # --- stage 5: end-to-end wall clock through the real engine --------
+    # What a user of run_vo.py gets, including all host bookkeeping, with
+    # the one-frame-lookahead pipeline on. CAVEAT (measured, see
+    # CLAUDE.md): the dev harness reaches the TPU through a relay whose
+    # completion notification adds a ~24 ms floor to EVERY host sync, so
+    # the raw wall number here is a hard lower bound for a
+    # locally-attached host. We report it, the measured relay floor, and
+    # the host-CPU time per frame (process_time excludes blocking waits),
+    # whose max with the device-sustained time is the projected
+    # locally-attached e2e rate.
+    e2e = _bench_e2e(H, W, n_frames=12 if args.tiny else 40)
+    relay_floor_ms = _measure_sync_floor()
     per_frame_s = (t_extract + t_match + t_track + t_ba / KEYFRAME_EVERY) / 1e3
     fps = 1.0 / per_frame_s
     # schedule budget is 10+5; the convergence early exit (BAConfig.tol)
@@ -306,16 +399,33 @@ def main():
         f"=> {per_frame_s*1e3:.2f} ms/frame | BA >={n_lm_iters / (t_ba / 1e3):.0f} LM iters/s",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "vo_frames_per_sec_1chip",
-                "value": round(fps, 3),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / REFERENCE_FPS, 3),
-            }
+    out = {
+        "metric": "vo_frames_per_sec_1chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_FPS, 3),
+        "relay_sync_floor_ms": round(relay_floor_ms, 3),
+    }
+    if e2e:
+        # projected locally-attached e2e: with the lookahead pipeline the
+        # device and host work concurrently, so the steady-state frame
+        # period is the max of the two; the raw wall number additionally
+        # pays the relay's per-sync notification floor and is therefore a
+        # lower bound (equal to the local number when the floor is ~0).
+        host_ms = e2e["host_cpu_ms_per_frame"]
+        proj = 1e3 / max(per_frame_s * 1e3, host_ms)
+        out["e2e_wall_fps"] = round(e2e["e2e_wall_fps"], 3)
+        out["host_cpu_ms_per_frame"] = round(host_ms, 3)
+        out["e2e_fps_projected_local"] = round(proj, 3)
+        out["e2e_keyframes"] = e2e["e2e_keyframes"]
+        out["e2e_initialized"] = e2e["e2e_initialized"]
+        print(
+            f"# e2e: wall {e2e['e2e_wall_fps']:.1f} fps over {e2e['e2e_frames']} frames "
+            f"({e2e['e2e_keyframes']} keyframes) | host {host_ms:.2f} ms/frame | "
+            f"relay sync floor {relay_floor_ms:.1f} ms | projected local {proj:.1f} fps",
+            file=sys.stderr,
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--points", type=int, default=8192)
     ap.add_argument("--obs", type=int, default=32768)
     ap.add_argument("--iters", type=int, default=15)
+    ap.add_argument("--ici-gbps", type=float, default=45.0,
+                    help="assumed ICI all-reduce bandwidth (GB/s) for the prediction")
+    ap.add_argument("--ici-latency-us", type=float, default=1.0,
+                    help="assumed per-collective launch latency (us)")
     args = ap.parse_args()
 
     import jax
@@ -82,7 +86,29 @@ def main():
         obs_uv=pad(obs_uv, O, (3,)),
         obs_valid=jnp.arange(O) < len(obs_f),
     )
-    cfg = BAConfig(iters_phase1=args.iters, iters_phase2=0)
+    # tol=0 disables the LM convergence early exit: per-iteration rates
+    # must count iterations that actually ran
+    cfg = BAConfig(iters_phase1=args.iters, iters_phase2=0, tol=0.0)
+
+    # --- per-LM-iteration collective payload (exact, from the kernel) ---
+    # dist_ba.lm_phase psums, per iteration (parallel/dist_ba.py:232-255):
+    #   H_cc (FF,6,6) + b_c (FF,6) + S_part (6FF,6FF) + b_red (6FF,) +
+    #   cost (scalar), all f32.
+    FF = cfg.max_free_frames
+    psum_elems = FF * 36 + FF * 6 + (6 * FF) ** 2 + 6 * FF + 1
+    psum_bytes = 4 * psum_elems
+    psum_calls = 5
+
+    def predicted_efficiency(n, t1_iter_s):
+        """ICI cost model for a 1-D ring all-reduce on real hardware:
+        t(n) = t_comp/n + calls*latency + 2*(n-1)/n * bytes/bw.
+        eff = t(1) / (n * t(n)). Defaults: v5e ICI ~45 GB/s per link,
+        ~1 us collective launch latency (scaling-book numbers)."""
+        if n == 1:
+            return 1.0
+        t_comm = psum_calls * args.ici_latency_us * 1e-6 + 2 * (n - 1) / n * psum_bytes / (args.ici_gbps * 1e9)
+        t_n = t1_iter_s / n + t_comm
+        return t1_iter_s / (n * t_n)
 
     counts = args.devices or sorted({1, 2, len(jax.devices())})
     t1 = None
@@ -108,7 +134,11 @@ def main():
             "value": round(ips, 2),
             "unit": "iters/s",
             "efficiency_vs_1dev": round(eff, 3),
-            "problem": {"frames": F, "points": P, "obs": O},
+            "compute_ms_per_iter_per_shard": round(best / args.iters * 1e3, 4),
+            "psum_bytes_per_iter": psum_bytes,
+            "psum_calls_per_iter": psum_calls,
+            "predicted_efficiency_ici": round(predicted_efficiency(n, t1 / args.iters), 3),
+            "problem": {"frames": F, "points": P, "obs": O, "max_free_frames": FF},
         }))
 
 

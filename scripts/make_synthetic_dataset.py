@@ -113,6 +113,12 @@ def main():
                     metavar=("K1", "K2", "P1", "P2"),
                     help="render the right view through a radtan-distorted lens and "
                          "write a RIGHT_K/D/R/P calib block (stereo only)")
+    ap.add_argument("--scene", default="plane", choices=["plane", "3d"],
+                    help="'plane': single fronto-parallel textured plane; '3d': "
+                         "multi-plane scene with depth discontinuity + occlusion "
+                         "(ur_mvo_tpu.utils.synthscene). A constant-depth plane is "
+                         "DEGENERATE for RGB-D/stereo VO (yaw and x-translation "
+                         "produce identical image motion) — use '3d' for those.")
     ap.add_argument("--platform", default="cpu",
                     help="JAX platform (default cpu — rendering is host-side)")
     args = ap.parse_args()
@@ -132,14 +138,26 @@ def main():
     H, W = args.size
     baseline = args.baseline if args.setup == "stereo" else 0.0
     d_right = args.distort_right if args.setup == "stereo" else None
-    out = render_plane_sequence(
-        args.frames, H, W, args.fx, args.seed,
-        baseline=baseline, with_depth=args.setup == "rgbd",
-        d_right=d_right,
-    )
-    images, T_wc = out[0], out[1]
-    images_r = out[2] if args.setup == "stereo" else None
-    depths = out[2] if args.setup == "rgbd" else None
+    if args.scene == "3d":
+        if d_right is not None:
+            raise SystemExit("--distort-right is only implemented for --scene plane")
+        from ur_mvo_tpu.utils.synthscene import render_sequence
+
+        out3 = render_sequence(args.frames, H, W, args.fx, seed=args.seed,
+                               n_planes=3, baseline=baseline, z_background=5.0)
+        images, T_wc, depths = out3[0], out3[1], out3[2]
+        images_r = out3[3] if args.setup == "stereo" else None
+        if args.setup != "rgbd":
+            depths = None
+    else:
+        out = render_plane_sequence(
+            args.frames, H, W, args.fx, args.seed,
+            baseline=baseline, with_depth=args.setup == "rgbd",
+            d_right=d_right,
+        )
+        images, T_wc = out[0], out[1]
+        images_r = out[2] if args.setup == "stereo" else None
+        depths = out[2] if args.setup == "rgbd" else None
     data_dir = os.path.join(args.out, "cam0", "data")
     os.makedirs(data_dir, exist_ok=True)
     right_dir = os.path.join(args.out, "cam1", "data")

@@ -44,6 +44,11 @@ def main():
                     help="SuperPoint checkpoint (.npz/.pth); overrides the config's superpoint.weights_path")
     ap.add_argument("--matcher", default=None, choices=["auto", "superglue", "nn"],
                     help="matcher override (nn = mutual nearest-neighbor, no learned weights needed)")
+    ap.add_argument("--kpt-threshold", type=float, default=None,
+                    help="detector score threshold override (the shipped from-scratch "
+                         "checkpoints peak lower than the public SuperPoint: use 1e-4)")
+    ap.add_argument("--sg-weights", default=None,
+                    help="SuperGlue checkpoint (.npz/.pth); overrides superglue.weights_path")
     args = ap.parse_args()
 
     import jax
@@ -67,6 +72,24 @@ def main():
         cfg.superpoint.weights_path = args.weights
     if args.matcher:
         cfg.superglue.matcher = args.matcher
+    if args.kpt_threshold is not None:
+        cfg.superpoint.keypoint_threshold = args.kpt_threshold
+    if args.sg_weights:
+        cfg.superglue.weights_path = args.sg_weights
+    # shipped-matcher discovery: the in-repo SuperGlue checkpoint is
+    # trained against the v3 detector's descriptor space, so it is the
+    # default matcher exactly when that detector is in use (matcher
+    # "auto" then resolves to superglue; see NeuralExtractor)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shipped_sg = os.path.join(repo, "weights", "superglue_v3scene.npz")
+    if (
+        cfg.superglue.weights_path is None
+        and cfg.superpoint.weights_path
+        and "superpoint_scratch_v3" in os.path.basename(cfg.superpoint.weights_path)
+        and os.path.exists(shipped_sg)
+    ):
+        cfg.superglue.weights_path = shipped_sg
+        print(f"using shipped SuperGlue matcher: {shipped_sg}", file=sys.stderr)
     # dataset-local calibration (written by make_synthetic_dataset.py)
     seq_cam = os.path.join(args.images, "camera.yaml")
     if cfg.camera_config_path is None and os.path.exists(seq_cam):
@@ -79,8 +102,7 @@ def main():
     profile_ctx = jax.profiler.trace(args.profile) if args.profile else None
     if profile_ctx:
         profile_ctx.__enter__()
-    t0 = time.perf_counter()
-    for data in ds:
+    def to_frame(data):
         frame = Frame(image=Image(data.image, data.time))
         if data.image_right is not None:
             frame.right_image = Image(data.image_right, data.time)
@@ -88,12 +110,41 @@ def main():
             from ur_mvo_tpu.components import DepthMap
 
             frame.depth_map = DepthMap(data.depth)
-        poses = vo.process(frame)
+        return frame
+
+    def emit(poses, pending_ts):
+        """Pair returned poses with the frames they belong to: process()
+        emits one pose per frame since the last emission (SLERP-filled
+        accumulated frames + the keyframe), so the LAST len(poses)
+        pending timestamps are theirs — writing them all at the keyframe
+        time floors the ATE at the intra-keyframe motion (~0.2 m on the
+        synthetic sets) regardless of estimate quality."""
+        for ts_k, p in zip(pending_ts[-len(poses):], poses):
+            all_ts.append(ts_k)
+            all_pos.append(p.translation)
+            all_quat.append(p.quaternion)
+        pending_ts.clear()
+
+    t0 = time.perf_counter()
+    # one-frame lookahead: the engine dispatches frame i+1's extraction
+    # before frame i's tracking/host work, overlapping device inference
+    # with host bookkeeping (the reference's 2-thread pipeline,
+    # tracking.cc:57-59)
+    prev = None  # (frame, time)
+    pending_ts = []
+    for data in ds:
+        frame = to_frame(data)
+        if prev is not None:
+            pending_ts.append(prev[1])
+            poses = vo.process(prev[0], next_data=frame)
+            if poses:
+                emit(poses, pending_ts)
+        prev = (frame, data.time)
+    if prev is not None:
+        pending_ts.append(prev[1])
+        poses = vo.process(prev[0])
         if poses:
-            for p in poses:
-                all_ts.append(data.time)
-                all_pos.append(p.translation)
-                all_quat.append(p.quaternion)
+            emit(poses, pending_ts)
     elapsed = time.perf_counter() - t0
     if profile_ctx:
         profile_ctx.__exit__(None, None, None)

@@ -144,19 +144,32 @@ def train(args):
     data = np.load(args.data)
     S = len(data["pair_fi"])
     print(f"{S} pairs, {len(data['scores'])} frames; device: {jax.devices()[0]}")
-    # device-resident dataset (desc stays f16 until gathered)
-    d_scores = jnp.asarray(data["scores"])
-    d_kpts = jnp.asarray(data["kpts"])
-    d_desc = jnp.asarray(data["desc"])
-    d_valid = jnp.asarray(data["valid"])
-    d_fi = jnp.asarray(data["pair_fi"])
-    d_fj = jnp.asarray(data["pair_fj"])
-    d_tgt0 = jnp.asarray(data["tgt0"])
-    d_tgt1 = jnp.asarray(data["tgt1"])
+    # device-resident dataset (desc stays f16 until gathered). NOTE: the
+    # dataset is passed to the jitted chunk as a TRACED argument — as a
+    # closure constant it gets embedded in the XLA program, and multi-
+    # hundred-MB programs exceed the dev relay's compile-request limit
+    # (HTTP 413) besides defeating the compile cache.
+    dset = {
+        "scores": jnp.asarray(data["scores"]),
+        "kpts": jnp.asarray(data["kpts"]),
+        "desc": jnp.asarray(data["desc"]),
+        "valid": jnp.asarray(data["valid"]),
+        "fi": jnp.asarray(data["pair_fi"]),
+        "fj": jnp.asarray(data["pair_fj"]),
+        "tgt0": jnp.asarray(data["tgt0"]),
+        "tgt1": jnp.asarray(data["tgt1"]),
+    }
 
     params = superglue.init_params(jax.random.PRNGKey(args.seed), args.layers, args.heads)
     if args.init_from:
         params = superglue.load_weights(args.init_from, args.layers, args.heads)
+    if "desc_center" not in params:
+        # learned descriptor re-centering, initialized at the dataset mean
+        # (see superglue.encode: the v3 descriptor space is collapsed onto
+        # a common component; centering decompresses match/random cosines
+        # from 0.99/0.93 to 0.75/0.07)
+        mu = data["desc"][data["valid"]].astype(np.float32).mean(0)
+        params["desc_center"] = jnp.asarray(mu)
     optimizer = optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adamw(optax.warmup_cosine_decay_schedule(
@@ -165,33 +178,55 @@ def train(args):
     )
     opt_state = optimizer.init(params)
 
-    def gather_banks(idx):
+    def gather_banks(d, idx):
         def bank(f):
             return FeatureBank(
-                scores=d_scores[f], kpts=d_kpts[f],
-                desc=d_desc[f].astype(jnp.float32), valid=d_valid[f],
+                scores=d["scores"][f], kpts=d["kpts"][f],
+                desc=d["desc"][f].astype(jnp.float32), valid=d["valid"][f],
             )
 
-        return bank(d_fi[idx]), bank(d_fj[idx]), d_tgt0[idx], d_tgt1[idx]
+        return bank(d["fi"][idx]), bank(d["fj"][idx]), d["tgt0"][idx], d["tgt1"][idx]
 
     def augment(key, b0, b1):
-        """Mirror flips applied to BOTH banks preserve correspondence."""
-        kx, ky = jax.random.split(key)
+        """Correspondence-preserving augmentation:
+        - mirror flips applied to BOTH banks (shared);
+        - sub-pixel keypoint jitter and small descriptor noise;
+        - with --aug strong, an additional independent small similarity
+          warp per bank (as if that view's camera rolled/zoomed/shifted).
+          VO matches CONSECUTIVE frames (near-identity relative motion) —
+          training on wild relative warps makes the task gratuitously
+          harder than deployment, measured as a higher loss plateau and
+          worse held-out precision; "mild" is the default."""
+        kx, ky, k0, k1, kd0, kd1 = jax.random.split(key, 6)
         fx_ = jax.random.bernoulli(kx)
         fy = jax.random.bernoulli(ky)
+        c = jnp.array([W / 2.0, H / 2.0])
+        strong = args.aug == "strong"
 
-        def flip(b):
+        def warp(b, k, kd):
+            ks_ = jax.random.split(k, 4)
             x = jnp.where(fx_, W - 1.0 - b.kpts[..., 0], b.kpts[..., 0])
             y = jnp.where(fy, H - 1.0 - b.kpts[..., 1], b.kpts[..., 1])
-            return b._replace(kpts=jnp.stack([x, y], axis=-1) * b.valid[..., None])
+            p = jnp.stack([x, y], axis=-1)
+            if strong:
+                th = jax.random.uniform(ks_[0], (), minval=-0.25, maxval=0.25)
+                sc = jax.random.uniform(ks_[1], (), minval=0.9, maxval=1.1)
+                t = jax.random.uniform(ks_[2], (2,), minval=-15.0, maxval=15.0)
+                R = jnp.array([[jnp.cos(th), -jnp.sin(th)], [jnp.sin(th), jnp.cos(th)]])
+                p = (p - c) @ (sc * R).T + c + t
+            p = p + 0.3 * jax.random.normal(ks_[3], p.shape)
+            d = b.desc + 0.05 * jax.random.normal(kd, b.desc.shape)
+            d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
+            m = b.valid[..., None]
+            return b._replace(kpts=p * m, desc=d * m)
 
-        return flip(b0), flip(b1)
+        return warp(b0, k0, kd0), warp(b1, k1, kd1)
 
-    def one_step(carry, key):
+    def one_step(d, carry, key):
         p, s = carry
         ki, ka = jax.random.split(key)
         idx = jax.random.randint(ki, (args.batch,), 0, S)
-        b0, b1, t0, t1 = jax.vmap(gather_banks)(idx)
+        b0, b1, t0, t1 = jax.vmap(lambda i: gather_banks(d, i))(idx)
         b0, b1 = jax.vmap(augment)(jax.random.split(ka, args.batch), b0, b1)
         loss, grads = jax.value_and_grad(batch_loss)(
             p, b0, b1, t0, t1, W, H, args.sinkhorn_iters, args.heads
@@ -200,20 +235,33 @@ def train(args):
         return (optax.apply_updates(p, updates), s), loss
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def run_chunk(p, s, key):
+    def run_chunk(p, s, key, d):
         keys = jax.random.split(key, args.chunk)
-        (p, s), losses = jax.lax.scan(one_step, (p, s), keys)
+        (p, s), losses = jax.lax.scan(lambda c, k: one_step(d, c, k), (p, s), keys)
         return p, s, jnp.mean(losses)
+
+    def save(params):
+        superglue.save_npz(args.out, params)
+        state = dict(np.load(args.out))
+        state["__meta_num_layers__"] = np.asarray(args.layers)
+        state["__meta_num_heads__"] = np.asarray(args.heads)
+        np.savez(args.out, **state)
 
     key = jax.random.PRNGKey(args.seed + 1)
     done = 0
     t0 = time.time()
+    last_save = 0
     while done < args.steps:
         key, sub = jax.random.split(key)
-        params, opt_state, mean_loss = run_chunk(params, opt_state, sub)
+        params, opt_state, mean_loss = run_chunk(params, opt_state, sub, dset)
         done += args.chunk
         print(f"step {done}/{args.steps}: loss {float(mean_loss):.4f} "
               f"({time.time() - t0:.0f}s)", flush=True)
+        if done - last_save >= 5000:
+            # periodic checkpoint: the dev TPU relay has crashed mid-run
+            # before; losing an hour of training to it is avoidable
+            save(jax.device_get(params))
+            last_save = done
     superglue.save_npz(args.out, params)
     # embed the architecture so loaders don't need the config to agree
     state = dict(np.load(args.out))
@@ -310,6 +358,7 @@ def main():
     t.add_argument("--lr", type=float, default=1e-4)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--init-from", default=None)
+    t.add_argument("--aug", default="mild", choices=["mild", "strong"])
     t.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
 
     e = sub.add_parser("eval")

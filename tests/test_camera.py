@@ -134,6 +134,35 @@ def test_load_reference_calibration():
     assert abs(cy_src - cam.cy) < 15.0
 
 
+def test_subpixel_keypoint_refinement():
+    """A Gaussian peak at a known sub-pixel location must be recovered to
+    ~0.05 px by the quadratic fit (integer selection alone is ±0.5 px)."""
+    from ur_mvo_tpu.ops.keypoints import select_keypoints
+
+    H, W = 48, 64
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    px, py = 31.3, 22.6
+    raw = np.exp(-((xx - px) ** 2 + (yy - py) ** 2) / (2 * 1.5**2)).astype(np.float32)
+    # crude NMS stand-in: keep only the global max pixel
+    nms = np.where(raw >= raw.max(), raw, 0.0).astype(np.float32)
+    desc_map = np.zeros((H // 8, W // 8, 16), np.float32)
+    bank = select_keypoints(
+        jnp.asarray(nms), jnp.asarray(desc_map), capacity=8, threshold=0.1,
+        border=2, max_keypoints=8, raw_scores=jnp.asarray(raw),
+    )
+    k = np.asarray(bank.kpts)[np.asarray(bank.valid)]
+    assert len(k) == 1
+    assert abs(k[0, 0] - px) < 0.05, k[0]
+    assert abs(k[0, 1] - py) < 0.05, k[0]
+    # without raw scores: integer position
+    bank_i = select_keypoints(
+        jnp.asarray(nms), jnp.asarray(desc_map), capacity=8, threshold=0.1,
+        border=2, max_keypoints=8,
+    )
+    ki = np.asarray(bank_i.kpts)[np.asarray(bank_i.valid)]
+    assert ki[0, 0] == round(ki[0, 0]) and ki[0, 1] == round(ki[0, 1])
+
+
 def test_remap_identity():
     H, W = 32, 48
     img = jnp.arange(H * W, dtype=jnp.float32).reshape(H, W)

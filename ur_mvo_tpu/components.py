@@ -144,8 +144,17 @@ def slerp(q0: np.ndarray, q1: np.ndarray, alpha: float) -> np.ndarray:
 
 
 def interpolate(p1: Pose, p2: Pose, samples: int = 1) -> list:
-    """SLERP/linear pose interpolation filling dropped frames — parity
-    with ``engine.py:22-40`` (returns samples+1 poses ending at ``p2``)."""
+    """SLERP/linear pose interpolation filling dropped frames
+    (``engine.py:22-40``): samples+1 poses, one per frame since the last
+    emission, ENDING AT ``p2``.
+
+    Deliberate divergence: the reference uses alphas i/(samples+1) —
+    its first returned pose duplicates the PREVIOUS keyframe pose and
+    the last never reaches the current one, lagging every pose by one
+    inter-frame step (tolerable under its async 30 ms sleep+poll driver,
+    ``main_py.cpp:52``; a measured ~0.1-0.2 m ATE floor for our
+    synchronous engine). Here alphas are (i+1)/(samples+1) so the pose
+    of frame k is the interpolant AT frame k."""
     import jax.numpy as jnp
 
     from ur_mvo_tpu.ops.lie import quat_to_rotmat
@@ -154,7 +163,7 @@ def interpolate(p1: Pose, p2: Pose, samples: int = 1) -> list:
     q2 = p2.quaternion
     out = []
     for i in range(samples + 1):
-        a = (1.0 / (samples + 1.0)) * i
+        a = (1.0 / (samples + 1.0)) * (i + 1)
         q = slerp(q1, q2, a)
         t = p1.translation + (p2.translation - p1.translation) * a
         R = np.asarray(quat_to_rotmat(jnp.asarray(q)))

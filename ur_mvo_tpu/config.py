@@ -38,6 +38,15 @@ class SuperPointConfig:
     # normalized 16x16 intensity patches (256-d, ops/gridsample.py) —
     # lets the full pipeline run with an untrained/detector-only model.
     descriptor_source: str = "network"
+    # Sub-pixel keypoint refinement (quadratic peak fit on the pre-NMS
+    # score map; ops/keypoints.py). The reference emits integer pixels.
+    # Default OFF — measured NEGATIVE with the shipped v3 checkpoint:
+    # plane-scene mono ATE 0.19 -> 0.26 (the refined peak of its
+    # softmax-cell score map is a biased position estimate, and shifted
+    # descriptor sampling perturbs NN matching), stereo ATE unchanged
+    # (the timestamp fix, not quantization, was the 0.2 m floor). Kept
+    # for detectors with smooth calibrated score peaks.
+    subpixel: bool = False
     # Padded keypoint capacity of the fixed-shape feature bank. Must be a
     # multiple of 128 for MXU-aligned downstream matmuls and >= max_keypoints.
     capacity: int = 1024
@@ -140,6 +149,17 @@ class BackendConfig:
     # the TPU-native analog of the reference's extraction/tracking
     # thread split (tracking.cc:57-59).
     ba_async: bool = False
+    # Loop-closure detection (beyond the reference, which has none):
+    # keyframe retrieval by centered global-descriptor cosine, geometric
+    # verification by descriptor NN match + PnP against the candidate's
+    # mappoints; accepted edges feed Backend.global_optimize's pose graph.
+    loop_closure: bool = False
+    loop_min_gap_frames: int = 30  # frame-id distance before a revisit counts
+    loop_top_k: int = 3  # candidates geometrically verified per keyframe
+    loop_min_similarity: float = 0.3  # centered global-descriptor cosine gate
+    loop_min_inliers: int = 25  # PnP inliers to accept an edge
+    loop_edge_weight: float = 3.0  # pose-graph weight vs 1.0 odometry edges
+    loop_cooldown_keyframes: int = 5  # skip detection right after an accept
 
 
 @dataclasses.dataclass

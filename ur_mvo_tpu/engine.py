@@ -101,14 +101,46 @@ class UR_MVO:
         self.last_pose: Optional[Pose] = None
         self.accumulated_samples = 0
         self._trajectory: List[tuple] = []  # (timestamp, Pose)
+        # (timestamp, bank, bank_right) of a frame whose extraction was
+        # dispatched ahead of time — see process(next_data=...)
+        self._prefetched: Optional[tuple] = None
 
     # ------------------------------------------------------------------
 
-    def process(self, data: Frame) -> Optional[List[Pose]]:
-        """Feed one frame; returns interpolated poses when the backend
-        produced a keyframe pose, else None (reference semantics)."""
+    def _extract_banks(self, data: Frame):
+        """Dispatch the extraction device program(s) for one frame.
+
+        Returns (bank, bank_right) of device arrays WITHOUT synchronizing
+        — JAX async dispatch means the host returns immediately while the
+        device crunches, which is what makes frame-ahead prefetching
+        (process(next_data=...)) overlap device inference with host
+        bookkeeping (the reference gets the same overlap from its
+        dedicated extraction thread, tracking.cc:57-59)."""
         image = data.image.get_image()
         mask = data.mask.get_mask() if data.mask is not None else None
+        bank_right = None
+        if hasattr(self.extractor, "extract_with_pose") and "T_wc" in data.meta:
+            bank = self.extractor.extract_with_pose(data.meta["T_wc"])
+            if self.setup == Setup.STEREO:
+                bank_right = self.extractor.extract_with_pose(data.meta["T_wc"], right=True)
+        else:
+            bank = self.extractor.extract(image, mask)
+            if self.setup == Setup.STEREO and data.right_image is not None:
+                # right=True selects the RIGHT_K/D/R/P rectify map when
+                # the calibration provides one (camera.cc:117-127)
+                bank_right = self.extractor.extract(data.right_image.get_image(), mask, right=True)
+        return bank, bank_right
+
+    def process(self, data: Frame, next_data: Optional[Frame] = None) -> Optional[List[Pose]]:
+        """Feed one frame; returns interpolated poses when the backend
+        produced a keyframe pose, else None (reference semantics).
+
+        ``next_data``: optional lookahead frame — its extraction is
+        dispatched to the device *before* this frame's tracking/host
+        bookkeeping runs, so frame i+1's inference overlaps frame i's
+        host work (2-stage pipeline parity with ``tracking.cc:57-59``).
+        The next ``process`` call picks the prefetched banks up by
+        timestamp."""
         ts = data.image.get_timestamp()
 
         depth_lookup = None
@@ -127,17 +159,14 @@ class UR_MVO:
                     return np.where(ok, 100.0 / (raw + 1e-5), 0.0)
                 return raw
 
-        bank_right = None
-        if hasattr(self.extractor, "extract_with_pose") and "T_wc" in data.meta:
-            bank = self.extractor.extract_with_pose(data.meta["T_wc"])
-            if self.setup == Setup.STEREO:
-                bank_right = self.extractor.extract_with_pose(data.meta["T_wc"], right=True)
+        if self._prefetched is not None and self._prefetched[0] == ts:
+            bank, bank_right = self._prefetched[1], self._prefetched[2]
         else:
-            bank = self.extractor.extract(image, mask)
-            if self.setup == Setup.STEREO and data.right_image is not None:
-                # right=True selects the RIGHT_K/D/R/P rectify map when
-                # the calibration provides one (camera.cc:117-127)
-                bank_right = self.extractor.extract(data.right_image.get_image(), mask, right=True)
+            bank, bank_right = self._extract_banks(data)
+        self._prefetched = None
+        if next_data is not None:
+            nb, nbr = self._extract_banks(next_data)
+            self._prefetched = (next_data.image.get_timestamp(), nb, nbr)
 
         pose_mat = self.tracker.process(bank, ts, depth_lookup, bank_right=bank_right)
         if pose_mat is None:
@@ -162,15 +191,21 @@ class UR_MVO:
         data_dir = directory / "cam0" / "data"
         assert data_dir.is_dir(), f"{data_dir} missing"
         poses: List[Pose] = []
-        for name in sorted(os.listdir(data_dir)):
+
+        def load(name):
             stem = name.split(".")[0]
             try:
                 ts = int(stem) * 1e-9 if len(stem) >= 16 else float(stem)
             except ValueError:
                 ts = None
             img = _load_image(str(data_dir / name))
-            frame = Frame(image=Image(img, ts))
-            out = self.process(frame)
+            return Frame(image=Image(img, ts))
+
+        names = sorted(os.listdir(data_dir))
+        nxt = load(names[0]) if names else None
+        for i in range(len(names)):
+            cur, nxt = nxt, (load(names[i + 1]) if i + 1 < len(names) else None)
+            out = self.process(cur, next_data=nxt)
             if out is not None:
                 poses.extend(out)
         return poses

@@ -151,10 +151,23 @@ def encode(params: Dict[str, Any], bank: FeatureBank, width: int, height: int) -
     """Descriptor + positional encoding: desc + MLP(x, y, score).
 
     The encoder MLP runs lane-major (see :func:`_mlp_T`): its narrow
-    hidden widths starve vector lanes in the (K, C) orientation."""
+    hidden widths starve vector lanes in the (K, C) orientation.
+
+    Optional ``params['desc_center']`` (D,): descriptors are re-centered
+    and re-normalized before encoding. The shipped from-scratch detector's
+    descriptor space is nearly collapsed onto a common component (|mean|
+    ~0.96; matched-pair cosine 0.99 vs random-pair 0.93) — subtracting a
+    learned center (initialized to the dataset mean) decompresses it to
+    match 0.75 / random 0.07, the regime the matcher objective separates.
+    Checkpoints without the key (e.g. imported public weights) skip it."""
+    desc = bank.desc
+    if "desc_center" in params:
+        c = desc - params["desc_center"]
+        c = c / jnp.maximum(jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-6)
+        desc = c * bank.valid[:, None]
     kpts_n = normalize_keypoints_for_matching(bank.kpts, width, height)
     inputs = jnp.concatenate([kpts_n, bank.scores[:, None]], axis=-1)
-    return bank.desc + _mlp_T(params["kenc"], inputs.T).T
+    return desc + _mlp_T(params["kenc"], inputs.T).T
 
 
 def gnn(params: Dict[str, Any], x0: jax.Array, x1: jax.Array, valid0: jax.Array, valid1: jax.Array, num_heads: int = 4,
@@ -269,6 +282,8 @@ def load_npz(path: str, num_layers: int = 9, num_heads: int = 4) -> Dict[str, An
         return jnp.asarray(state[prefix[:-1]])
 
     template = init_params(jax.random.PRNGKey(0), num_layers, num_heads)
+    if "desc_center" in state:
+        template["desc_center"] = state["desc_center"]
     return fill(template)
 
 

@@ -453,12 +453,16 @@ def forward(
     image: jax.Array,
     nms_radius: int = 4,
     compute_dtype=jnp.float32,
-) -> tuple[jax.Array, jax.Array]:
+    return_raw_scores: bool = False,
+) -> tuple:
     """Full dense forward: (B, H, W, 1) image in [0, 1] ->
     (scores (B, H, W) post-NMS, descriptors (B, Hc, Wc, 256)).
 
     Matches the reference's exported graph (scores already NMS-suppressed
-    inside the network, ``SP/model.py:70-78``).
+    inside the network, ``SP/model.py:70-78``). With
+    ``return_raw_scores`` the pre-NMS score map is returned as a third
+    output — NMS zeroes the 3x3 neighborhoods that sub-pixel peak
+    refinement needs (``ops.keypoints.select_keypoints(subpixel=...)``).
     """
     x = image.astype(compute_dtype)
     feat = backbone(params, x)
@@ -469,7 +473,10 @@ def forward(
     else:
         scores = detector_head(params, feat).astype(jnp.float32)
         desc = descriptor_head(params, feat).astype(jnp.float32)
+    raw = scores
     scores = jax.vmap(partial(simple_nms, radius=nms_radius))(scores)
+    if return_raw_scores:
+        return scores, desc, raw
     return scores, desc
 
 

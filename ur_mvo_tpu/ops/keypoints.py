@@ -56,6 +56,7 @@ def select_keypoints(
     max_keypoints: int = 1000,
     mask: Optional[jax.Array] = None,
     cell: int = 8,
+    raw_scores: Optional[jax.Array] = None,
 ) -> FeatureBank:
     """Dense maps -> top-K fixed-shape :class:`FeatureBank`.
 
@@ -64,6 +65,13 @@ def select_keypoints(
     ``mask``: optional (H, W) semantic mask; nonzero keeps a pixel.
       When given, it *replaces* border removal — exactly the reference's
       behavior (``super_point.cpp:356-362``).
+    ``raw_scores``: optional (H, W) PRE-NMS score map — enables sub-pixel
+      peak refinement (1-D quadratic fit per axis over the 3x3 raw-score
+      neighborhood, offsets clamped to ±0.5 px). The reference emits
+      integer keypoints (``super_point.cpp:238-251``); sub-pixel peaks
+      cut the ±0.5 px quantization that dominates stereo-disparity depth
+      error at small baselines. NMS'd scores cannot be used here — NMS
+      zeroes exactly the neighborhoods the fit needs.
     """
     H, W = score_map.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
@@ -87,8 +95,23 @@ def select_keypoints(
     # differ, which NMS already made locally unique. Falls back to exact
     # on CPU.
     top_scores, top_idx = jax.lax.approx_max_k(flat, k, recall_target=0.98)
-    ys = (top_idx // W).astype(jnp.float32)
-    xs = (top_idx % W).astype(jnp.float32)
+    yi = top_idx // W
+    xi = top_idx % W
+    ys = yi.astype(jnp.float32)
+    xs = xi.astype(jnp.float32)
+    if raw_scores is not None:
+        def at(dy, dx):
+            yy = jnp.clip(yi + dy, 0, H - 1)
+            xx = jnp.clip(xi + dx, 0, W - 1)
+            return raw_scores[yy, xx]
+
+        sc, sl, sr = at(0, 0), at(0, -1), at(0, 1)
+        su, sd = at(-1, 0), at(1, 0)
+        # local max: denominators positive; guard degenerate plateaus
+        dx_off = 0.5 * (sr - sl) / jnp.maximum(2.0 * sc - sl - sr, 1e-8)
+        dy_off = 0.5 * (sd - su) / jnp.maximum(2.0 * sc - su - sd, 1e-8)
+        xs = xs + jnp.clip(dx_off, -0.5, 0.5)
+        ys = ys + jnp.clip(dy_off, -0.5, 0.5)
 
     valid = top_scores > threshold
     if max_keypoints < capacity:

@@ -144,6 +144,9 @@ def shard_problem(prob: BAProblem, n_shards: int) -> BAProblem:
     )
 
 
+_DIST_BA_CACHE: dict = {}
+
+
 def dist_bundle_adjust(
     prob: BAProblem,
     mesh: Mesh,
@@ -155,7 +158,20 @@ def dist_bundle_adjust(
     cfg: BAConfig = BAConfig(),
 ) -> BAResult:
     """Sharded two-phase LM BA. ``prob`` must come from
-    :func:`shard_problem` with ``n_shards = mesh size``."""
+    :func:`shard_problem` with ``n_shards = mesh size``.
+
+    The jitted shard_map program is cached per (mesh, problem shapes,
+    intrinsics, config) — a fresh ``jax.jit`` object every call would
+    miss XLA's trace cache and re-trace seconds of program each
+    invocation (measured on the scaling bench)."""
+    key = (
+        mesh,
+        tuple((a.shape, str(a.dtype)) for a in prob),
+        float(fx), float(fy), float(cx), float(cy), float(bf), cfg,
+    )
+    fn = _DIST_BA_CACHE.get(key)
+    if fn is not None:
+        return fn(prob)
     n = mesh.shape[AXIS]
     F = prob.R_wc.shape[0]
 
@@ -302,4 +318,5 @@ def dist_bundle_adjust(
     fn = jax.jit(
         jax.shard_map(local_fn, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs)
     )
+    _DIST_BA_CACHE[key] = fn
     return fn(prob)

@@ -85,11 +85,13 @@ class MultiSequenceVO:
         def _extract_one(sp_params, image):
             img = image.astype(jnp.float32)
             img = jnp.where(jnp.max(img) > 1.5, img / 255.0, img)
-            scores, desc = superpoint.forward(sp_params, img[None, :, :, None], nms_radius=sp_cfg.nms_radius)
+            out = superpoint.forward(sp_params, img[None, :, :, None], nms_radius=sp_cfg.nms_radius,
+                                     return_raw_scores=sp_cfg.subpixel)
             return select_keypoints(
-                scores[0], desc[0], capacity=cap,
+                out[0][0], out[1][0], capacity=cap,
                 threshold=sp_cfg.keypoint_threshold, border=sp_cfg.remove_borders,
                 max_keypoints=sp_cfg.max_keypoints,
+                raw_scores=out[2][0] if sp_cfg.subpixel else None,
             )
 
         # same "auto" matcher resolution as NeuralExtractor: a random-init

@@ -73,6 +73,146 @@ class Backend:
         self._pending_ba = None
         devs = jax.devices()
         self._ba_device = devs[-1] if (backend_cfg.ba_async and len(devs) > 1) else None
+        # loop closure (detect_loop): kernels built lazily on first use
+        self._loop_verify = None
+        self._loop_match = None
+        self._loop_cooldown = 0
+        self._loop_key = jax.random.PRNGKey(1234)
+
+    # ------------------------------------------------------------------
+    # Loop closure (beyond the reference — it has no place recognition;
+    # anchor: the previously self-referential pose-graph edges,
+    # ops/pose_graph.py:130-151, now get real loop constraints)
+    # ------------------------------------------------------------------
+
+    def _build_loop_kernels(self):
+        from ur_mvo_tpu.ops.nn_matcher import match_nn
+        from ur_mvo_tpu.ops.pnp import ransac_pnp
+        from ur_mvo_tpu.ops.pose_opt import PoseObs, optimize_pose
+
+        cam = self.camera
+        K_mat = jnp.asarray(cam.intrinsic_matrix())
+        opt = self.opt_cfg
+
+        @jax.jit
+        def verify(key, X, uv3, valid):
+            """PnP-RANSAC + pose-only refinement of the loop hypothesis
+            (same flow as the tracker's kernel, without a prior pose to
+            fall back on — a failed loop must report few inliers)."""
+            pnp = ransac_pnp(key, X, uv3[:, :2], valid, K_mat, iterations=100, threshold_px=8.0)
+            obs = PoseObs(X=X, uv=uv3, valid=valid)
+            res = optimize_pose(
+                pnp.R_cw, pnp.t_cw, obs, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+                chi2_mono=opt.mono_point, chi2_stereo=opt.stereo_point,
+            )
+            ok = jnp.all(jnp.isfinite(pnp.t_cw))
+            return res._replace(n_inliers=jnp.where(ok, res.n_inliers, 0))
+
+        @jax.jit
+        def matcher(b0, b1):
+            return match_nn(b0, b1, 0.2, 0.95)
+
+        self._loop_verify = verify
+        self._loop_match = matcher
+
+    def detect_loop(self, slot: int, bank_desc: np.ndarray, bank_kpts: np.ndarray,
+                    bank_valid: np.ndarray):
+        """Place recognition for the just-inserted keyframe ``slot``.
+
+        Retrieval: cosine over per-keyframe global descriptors, centered
+        by the all-keyframe mean (collapsed descriptor spaces — e.g. the
+        shipped v3 detector's — stay discriminative after centering).
+        Candidates must be non-covisible and >= loop_min_gap_frames old.
+        Verification: descriptor NN match of the current features against
+        the candidate's mappoints, PnP-RANSAC + pose refinement; accepted
+        edges (T_ij between the candidate and this keyframe) are appended
+        to ``store.loop_edges`` for :meth:`global_optimize` to consume.
+        Returns the edge tuple or None."""
+        cfg = self.cfg
+        if not cfg.loop_closure:
+            return None
+        if self._loop_cooldown > 0:
+            self._loop_cooldown -= 1
+            return None
+        st = self.store
+        slots = st.keyframe_slots()
+        cur_fid = int(st.kf_frame_id[slot])
+        # candidates: old enough and not covisibility-CONNECTED (weight
+        # >= 15 is the reference's connection MinWeight, mapping.cc:605-652
+        # — a handful of shared far points does not make a place "recent")
+        cand_mask = (cur_fid - st.kf_frame_id[slots] > cfg.loop_min_gap_frames) & (
+            st.covis[slot][slots] < 15
+        ) & (slots != slot)
+        cands = slots[cand_mask]
+        if len(cands) == 0:
+            return None
+        mu = st.kf_gdesc[slots].mean(0)
+
+        def centered(x):
+            c = x - mu
+            return c / np.maximum(np.linalg.norm(c, axis=-1, keepdims=True), 1e-8)
+
+        sims = centered(st.kf_gdesc[cands]) @ centered(st.kf_gdesc[slot][None])[0]
+        if self._loop_verify is None:
+            self._build_loop_kernels()
+        from ur_mvo_tpu.ops.keypoints import FeatureBank
+
+        K = st.cfg.keypoints_per_frame
+        bank_a = FeatureBank(
+            scores=jnp.asarray(bank_valid.astype(np.float32)),
+            kpts=jnp.asarray(bank_kpts.astype(np.float32)),
+            desc=jnp.asarray(bank_desc.astype(np.float32)),
+            valid=jnp.asarray(bank_valid),
+        )
+        for idx in np.argsort(-sims)[: cfg.loop_top_k]:
+            if sims[idx] < cfg.loop_min_similarity:
+                break
+            cand = int(cands[idx])
+            mp = st.kf_track[cand]
+            ids = mp[mp >= 0]
+            ids = ids[st.mp_good[ids] & ~st.mp_bad[ids]]
+            if len(ids) < cfg.loop_min_inliers or st.mp_desc is None:
+                continue
+            ids = ids[:K]
+            desc_b = np.zeros((K, st.cfg.descriptor_dim), np.float32)
+            valid_b = np.zeros(K, bool)
+            desc_b[: len(ids)] = st.mp_desc[ids].astype(np.float32)
+            valid_b[: len(ids)] = True
+            bank_b = FeatureBank(
+                scores=jnp.asarray(valid_b.astype(np.float32)),
+                kpts=jnp.zeros((K, 2), jnp.float32),
+                desc=jnp.asarray(desc_b),
+                valid=jnp.asarray(valid_b),
+            )
+            m = self._loop_match(bank_a, bank_b)
+            idx1 = np.asarray(m.idx1)
+            mvalid = np.asarray(m.valid) & bank_valid & (idx1 >= 0) & (idx1 < len(ids))
+            if mvalid.sum() < cfg.loop_min_inliers:
+                continue
+            X = np.zeros((K, 3), np.float32)
+            uv3 = np.concatenate([bank_kpts.astype(np.float32), -np.ones((K, 1), np.float32)], 1)
+            rows = np.nonzero(mvalid)[0]
+            X[rows] = st.mp_pos[ids[idx1[rows]]]
+            self._loop_key, sub = jax.random.split(self._loop_key)
+            res = self._loop_verify(sub, jnp.asarray(X), jnp.asarray(uv3), jnp.asarray(mvalid))
+            n_inl = int(res.n_inliers)
+            if n_inl < cfg.loop_min_inliers:
+                continue
+            R_cw = np.asarray(res.R_cw)
+            t_cw = np.asarray(res.t_cw)
+            R_wc_cur = R_cw.T
+            t_wc_cur = -R_cw.T @ t_cw
+            # edge: T_ij = T_i^-1 T_j, i = candidate, j = this keyframe
+            R_i = st.kf_R[cand]
+            t_i = st.kf_t[cand]
+            R_ij = R_i.T @ R_wc_cur
+            t_ij = R_i.T @ (t_wc_cur - t_i)
+            edge = (cand, int(slot), R_ij.astype(np.float32), t_ij.astype(np.float32),
+                    float(cfg.loop_edge_weight))
+            st.loop_edges.append(edge)
+            self._loop_cooldown = cfg.loop_cooldown_keyframes
+            return edge
+        return None
 
     # ------------------------------------------------------------------
     # Keyframe insertion (Mapping::InsertKeyframe, mapping.cc:41-130)
@@ -95,7 +235,7 @@ class Backend:
         Returns (kf_slot, optimized (R_wc, t_wc)).
         """
         st = self.store
-        slot = st.alloc_keyframe(frame_id, timestamp, R_wc, t_wc, kpts_uvr, valid_slots)
+        slot = st.alloc_keyframe(frame_id, timestamp, R_wc, t_wc, kpts_uvr, valid_slots, desc=desc)
         track = np.asarray(track_mp)
 
         # New mappoints for features without a track.
@@ -369,6 +509,25 @@ class Backend:
         R[:n] = st.kf_R[order]
         t[:n] = st.kf_t[order]
         ei, ej, Rm, tm, w = sequential_edges_from_trajectory(R, t, n, Fp)
+        # loop-closure constraints (detect_loop): remap store slots to
+        # graph node indices and append after the odometry chain. With
+        # loop edges present the (residual-zero) sequential edges become
+        # the spring chain PGO distributes the loop error along.
+        slot_to_node = {int(s): k for k, s in enumerate(order)}
+        loops = [e for e in st.loop_edges if e[0] in slot_to_node and e[1] in slot_to_node]
+        if loops:
+            E = self._round_up(Fp + len(loops), 8)
+            ei = np.concatenate([ei, np.zeros(E - Fp, np.int32)])
+            ej = np.concatenate([ej, np.zeros(E - Fp, np.int32)])
+            Rm = np.concatenate([Rm, np.tile(np.eye(3, dtype=np.float32), (E - Fp, 1, 1))])
+            tm = np.concatenate([tm, np.zeros((E - Fp, 3), np.float32)])
+            w = np.concatenate([w, np.zeros(E - Fp, np.float32)])
+            for k, (si, sj, R_ij, t_ij, wt) in enumerate(loops):
+                ei[Fp + k] = slot_to_node[si]
+                ej[Fp + k] = slot_to_node[sj]
+                Rm[Fp + k] = R_ij
+                tm[Fp + k] = t_ij
+                w[Fp + k] = wt
         g = PoseGraph(
             R_wc=jnp.asarray(R), t_wc=jnp.asarray(t),
             node_valid=jnp.arange(Fp) < n,
@@ -378,11 +537,37 @@ class Backend:
             edge_weight=jnp.asarray(w),
         )
         res = optimize_pose_graph(g, iterations=pose_graph_iterations)
+        R_old = st.kf_R[order].copy()
+        t_old = st.kf_t[order].copy()
         st.kf_R[order] = np.asarray(res.R_wc)[:n]
         st.kf_t[order] = np.asarray(res.t_wc)[:n]
+        # rigidly carry each map point with its first observing keyframe's
+        # pose correction (ORB-style loop correction) so the map is
+        # consistent with the corrected trajectory even when full BA is
+        # skipped — and a better init when it runs.
+        self._correct_points_after_pgo(order, R_old, t_old)
 
         if full_ba:
             self._full_bundle_adjustment(order, mesh=mesh)
+
+    def _correct_points_after_pgo(self, order: np.ndarray, R_old: np.ndarray, t_old: np.ndarray) -> None:
+        """X' = T_new_ref * T_old_ref^-1 * X per map point, with ref = its
+        first observing keyframe (insertion order)."""
+        st = self.store
+        mp_ids = np.nonzero(st.mp_alloc & st.mp_good & ~st.mp_bad)[0]
+        if len(mp_ids) == 0:
+            return
+        obs = st.obs_slot[mp_ids][:, order] >= 0  # (N, n)
+        has = obs.any(1)
+        mp_ids, obs = mp_ids[has], obs[has]
+        if len(mp_ids) == 0:
+            return
+        ref = obs.argmax(1)
+        Ro, to_ = R_old[ref], t_old[ref]
+        Rn, tn = st.kf_R[order][ref], st.kf_t[order][ref]
+        X = st.mp_pos[mp_ids]
+        Xc = np.einsum("nji,nj->ni", Ro, X - to_)  # old cam frame (R^T @ .)
+        st.mp_pos[mp_ids] = (np.einsum("nij,nj->ni", Rn, Xc) + tn).astype(np.float32)
 
     def _full_bundle_adjustment(self, order: np.ndarray, mesh=None) -> None:
         """BA over every keyframe and every good map point."""

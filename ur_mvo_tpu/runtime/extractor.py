@@ -92,10 +92,12 @@ class NeuralExtractor:
             img = image_u8.astype(jnp.float32) / 255.0
             if rect_map is not None:
                 img = remap_bilinear(img, rect_map)
-            scores, desc = superpoint.forward(
+            out = superpoint.forward(
                 sp_params, img[None, :, :, None], nms_radius=sp_cfg.nms_radius,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, return_raw_scores=sp_cfg.subpixel,
             )
+            scores, desc = out[0], out[1]
+            raw = out[2][0] if sp_cfg.subpixel else None
             bank = select_keypoints(
                 scores[0],
                 desc[0],
@@ -104,6 +106,7 @@ class NeuralExtractor:
                 border=sp_cfg.remove_borders,
                 max_keypoints=sp_cfg.max_keypoints,
                 mask=mask,
+                raw_scores=raw,
             )
             if use_patch_desc:
                 from ur_mvo_tpu.ops.gridsample import patch_descriptors

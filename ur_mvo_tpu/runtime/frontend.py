@@ -367,9 +367,18 @@ class Tracker:
         t_wc2 = -R21.T @ t21
 
         st = self.backend.store
-        # first keyframe (identity, fixed)
+        # first keyframe (identity, fixed). Keypoint slots are valid for
+        # ALL detected features (observations reference a subset; other
+        # slots stay available for later association) — masking with the
+        # triangulation mask is wrong for the SECOND frame, whose
+        # observation slots live in bank-1 index space (feat2 = idx1[...])
+        # while `tri` indexes bank-0 pairs; the mismatch zeroed some
+        # observed keypoints and cost inlier observations on the neural
+        # path (identity-matched oracle tests could not see it).
         uvr1 = np.concatenate([p1, -np.ones((K, 1), np.float32)], axis=1)
-        slot0 = st.alloc_keyframe(self._init_frame_id, self._init_time, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), uvr1, tri)
+        valid1 = np.asarray(self._init_bank.valid)
+        slot0 = st.alloc_keyframe(self._init_frame_id, self._init_time, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), uvr1, valid1,
+                                  desc=np.asarray(self._init_bank.desc))
         mp_ids = st.alloc_mappoints(int(tri.sum()))
         st.mp_pos[mp_ids] = Xw[tri]
         st.mp_good[mp_ids] = True
@@ -377,7 +386,8 @@ class Tracker:
 
         # second keyframe
         uvr2 = np.concatenate([kpts1, -np.ones((K, 1), np.float32)], axis=1)
-        slot1 = st.alloc_keyframe(frame_id, timestamp, R_wc2.astype(np.float32), t_wc2.astype(np.float32), uvr2, tri)
+        slot1 = st.alloc_keyframe(frame_id, timestamp, R_wc2.astype(np.float32), t_wc2.astype(np.float32), uvr2,
+                                  np.asarray(bank.valid), desc=np.asarray(bank.desc))
         # observed feature slots in frame2 are idx1 of the matched slots
         feat2 = idx1[np.nonzero(tri)[0]]
         st.add_observations(slot1, mp_ids, feat2)
@@ -413,7 +423,8 @@ class Tracker:
             return None
         st = self.backend.store
         uvr = np.concatenate([kpts, -np.ones((K, 1), np.float32)], axis=1)
-        slot = st.alloc_keyframe(frame_id, timestamp, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), uvr, valid)
+        slot = st.alloc_keyframe(frame_id, timestamp, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), uvr, valid,
+                                 desc=np.asarray(bank.desc))
         rays = np.stack(
             [
                 (kpts[:, 0] - self.camera.cx) / self.camera.fx,
@@ -611,6 +622,9 @@ class Tracker:
                 frame_id, timestamp, pose[:3, :3], pose[:3, 3], uvr, valid, track, depth,
                 desc=np.asarray(bank.desc),
             )
+        if self.cfg.backend.loop_closure:
+            with self.timer.span("loop_detect"):
+                self.backend.detect_loop(slot, np.asarray(bank.desc), kpts, valid)
         opt_pose = np.eye(4, dtype=np.float32)
         opt_pose[:3, :3] = R_opt
         opt_pose[:3, 3] = t_opt

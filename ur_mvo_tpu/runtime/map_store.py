@@ -67,6 +67,15 @@ class MapStore:
         self.obs_slot = np.full((MP, KF), -1, np.int16)
         # covisibility weights between keyframes
         self.covis = np.zeros((KF, KF), np.int32)
+        # per-keyframe global descriptor (raw mean of its feature
+        # descriptors) for loop-closure retrieval; queries re-center by
+        # the all-keyframe mean (see Backend.detect_loop) so collapsed
+        # descriptor spaces still discriminate places
+        self.kf_gdesc = np.zeros((KF, cfg.descriptor_dim), np.float32)
+        # accepted loop-closure constraints:
+        # (slot_i, slot_j, R_ij (3,3), t_ij (3,), weight) with
+        # T_ij = T_i^-1 T_j measured by geometric verification
+        self.loop_edges: list = []
 
         self._next_kf = 0
         self._next_mp = 0
@@ -78,8 +87,11 @@ class MapStore:
         return int(self.kf_valid.sum())
 
     def alloc_keyframe(self, frame_id: int, timestamp: float, R_wc: np.ndarray, t_wc: np.ndarray,
-                       kpts: np.ndarray, valid_slots: np.ndarray) -> int:
-        """Insert a keyframe; returns its store slot. ``kpts``: (K, 3)."""
+                       kpts: np.ndarray, valid_slots: np.ndarray,
+                       desc: np.ndarray = None) -> int:
+        """Insert a keyframe; returns its store slot. ``kpts``: (K, 3).
+        ``desc`` (K, D) fills the place-recognition global descriptor
+        (mean of valid feature descriptors; see Backend.detect_loop)."""
         if self._next_kf >= self.cfg.max_keyframes:
             raise RuntimeError("keyframe capacity exceeded; culling not yet enabled")
         s = self._next_kf
@@ -90,6 +102,8 @@ class MapStore:
         self.kf_R[s] = R_wc
         self.kf_t[s] = t_wc
         self.kf_kpts[s] = np.where(valid_slots[:, None], kpts, 0.0)
+        if desc is not None and valid_slots.any():
+            self.kf_gdesc[s] = np.asarray(desc)[valid_slots].astype(np.float32).mean(0)
         self.frame_id_to_slot[frame_id] = s
         return s
 
@@ -282,6 +296,8 @@ class MapStore:
         self.kf_track[s] = -1
         self.covis[s, :] = 0
         self.covis[:, s] = 0
+        self.kf_gdesc[s] = 0.0
+        self.loop_edges = [e for e in self.loop_edges if e[0] != s and e[1] != s]
 
     def _remove_mappoint(self, mp: int) -> None:
         kfs = np.nonzero(self.obs_slot[mp] >= 0)[0]
@@ -309,6 +325,13 @@ class MapStore:
         if self.mp_desc is not None:
             state["mp_desc"] = self.mp_desc
             state["mp_desc_sum"] = self.mp_desc_sum
+        state["kf_gdesc"] = self.kf_gdesc
+        if self.loop_edges:
+            state["loop_i"] = np.asarray([e[0] for e in self.loop_edges], np.int32)
+            state["loop_j"] = np.asarray([e[1] for e in self.loop_edges], np.int32)
+            state["loop_R"] = np.stack([e[2] for e in self.loop_edges]).astype(np.float32)
+            state["loop_t"] = np.stack([e[3] for e in self.loop_edges]).astype(np.float32)
+            state["loop_w"] = np.asarray([e[4] for e in self.loop_edges], np.float32)
         np.savez_compressed(path, **state)
 
     @classmethod
@@ -327,4 +350,13 @@ class MapStore:
         store._next_kf = int(data["_next_kf"])
         store._next_mp = int(data["_next_mp"])
         store.frame_id_to_slot = dict(zip(data["_frame_ids"].tolist(), data["_frame_slots"].tolist()))
+        if "kf_gdesc" in data and data["kf_gdesc"].shape == store.kf_gdesc.shape:
+            store.kf_gdesc = data["kf_gdesc"].copy()
+        if "loop_i" in data:
+            store.loop_edges = [
+                (int(i), int(j), R.copy(), t.copy(), float(w))
+                for i, j, R, t, w in zip(
+                    data["loop_i"], data["loop_j"], data["loop_R"], data["loop_t"], data["loop_w"]
+                )
+            ]
         return store

@@ -157,13 +157,14 @@ def render_sequence(
     brightness_decay: float = 0.0,
     poses: Optional[np.ndarray] = None,
     baseline: float = 0.0,
+    z_background: float = 6.0,
 ) -> tuple:
     """Render a 3D-scene sequence.
 
     Returns ``(images, T_wc, depths)`` or, with ``baseline`` > 0,
     ``(images, T_wc, depths, images_right)``. ``brightness_decay`` d
     dims frame i by ``(1 - d)^i`` (photometric degradation)."""
-    scene = make_scene(seed, n_planes=n_planes)
+    scene = make_scene(seed, n_planes=n_planes, z_background=z_background)
     if poses is None:
         poses = default_trajectory(n_frames)
     images = np.zeros((n_frames, H, W), np.uint8)
