@@ -113,6 +113,9 @@ def main():
                     metavar=("K1", "K2", "P1", "P2"),
                     help="render the right view through a radtan-distorted lens and "
                          "write a RIGHT_K/D/R/P calib block (stereo only)")
+    ap.add_argument("--masks", action="store_true",
+                    help="also write semantic masks (mask0/data): a moving blanked "
+                         "band simulating a dynamic object to exclude from features")
     ap.add_argument("--scene", default="plane", choices=["plane", "3d"],
                     help="'plane': single fronto-parallel textured plane; '3d': "
                          "multi-plane scene with depth discontinuity + occlusion "
@@ -166,6 +169,9 @@ def main():
         os.makedirs(right_dir, exist_ok=True)
     if depths is not None:
         os.makedirs(depth_dir, exist_ok=True)
+    mask_dir = os.path.join(args.out, "mask0", "data")
+    if args.masks:
+        os.makedirs(mask_dir, exist_ok=True)
     ts0 = 1400000000000000000
     dt = int(1e9 / args.fps)
     ts = []
@@ -176,6 +182,11 @@ def main():
             PILImage.fromarray(images_r[i]).save(os.path.join(right_dir, f"{t}.png"))
         if depths is not None:
             np.save(os.path.join(depth_dir, f"{t}.npy"), depths[i])
+        if args.masks:
+            m = np.full((H, W), 255, np.uint8)
+            x0 = int((0.1 + 0.02 * i) * W) % W  # drifting "dynamic object"
+            m[:, x0 : min(x0 + W // 6, W)] = 0
+            PILImage.fromarray(m).save(os.path.join(mask_dir, f"{t}.png"))
         ts.append(t * 1e-9)
     gt_path = args.gt or os.path.join(args.out, "gt.txt")
     q = np.asarray(rotmat_to_quat(jnp.asarray(T_wc[:, :3, :3])))

@@ -49,6 +49,9 @@ def main():
                          "checkpoints peak lower than the public SuperPoint: use 1e-4)")
     ap.add_argument("--sg-weights", default=None,
                     help="SuperGlue checkpoint (.npz/.pth); overrides superglue.weights_path")
+    ap.add_argument("--masks", action="store_true",
+                    help="feed semantic masks from <seq>/mask0/data (nonzero keeps a "
+                         "pixel; the reference's processMonoWithMask path)")
     args = ap.parse_args()
 
     import jax
@@ -95,7 +98,8 @@ def main():
     if cfg.camera_config_path is None and os.path.exists(seq_cam):
         cfg.camera_config_path = seq_cam
     vo = UR_MVO(cfg, setup)
-    ds = Dataset(args.images, use_right=(setup == Setup.STEREO), use_depth=(setup == Setup.RGBD))
+    ds = Dataset(args.images, use_right=(setup == Setup.STEREO), use_depth=(setup == Setup.RGBD),
+                 use_mask=args.masks)
     os.makedirs(args.results, exist_ok=True)
 
     all_ts, all_pos, all_quat = [], [], []
@@ -110,6 +114,10 @@ def main():
             from ur_mvo_tpu.components import DepthMap
 
             frame.depth_map = DepthMap(data.depth)
+        if data.mask is not None:
+            from ur_mvo_tpu.components import Mask
+
+            frame.mask = Mask(data.mask)
         return frame
 
     def emit(poses, pending_ts):
