@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--config", default=None)
     ap.add_argument("--weights", default=None)
     ap.add_argument("--matcher", default=None, choices=["auto", "superglue", "nn"])
+    ap.add_argument("--sg-weights", default=None)
+    ap.add_argument("--kpt-threshold", type=float, default=None)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--stride", type=int, default=5)
     args = ap.parse_args()
@@ -59,6 +61,21 @@ def main():
         cfg.superpoint.weights_path = args.weights
     if args.matcher:
         cfg.superglue.matcher = args.matcher
+    if args.sg_weights:
+        cfg.superglue.weights_path = args.sg_weights
+    if args.kpt_threshold is not None:
+        cfg.superpoint.keypoint_threshold = args.kpt_threshold
+    # shipped-matcher discovery (same rule as run_vo.py)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shipped_sg = os.path.join(repo, "weights", "superglue_v3scene.npz")
+    if (
+        cfg.superglue.weights_path is None
+        and cfg.superpoint.weights_path
+        and "superpoint_scratch_v3" in os.path.basename(cfg.superpoint.weights_path)
+        and os.path.exists(shipped_sg)
+    ):
+        cfg.superglue.weights_path = shipped_sg
+        print(f"using shipped SuperGlue matcher: {shipped_sg}", file=sys.stderr)
     seq_cam = os.path.join(args.images[0], "camera.yaml")
     if cfg.camera_config_path is None and os.path.exists(seq_cam):
         cfg.camera_config_path = seq_cam

@@ -74,11 +74,17 @@ class MultiSequenceVO:
             if sp_cfg.weights_path
             else superpoint.init_params(k1)
         )
-        self.sg_params = (
-            superglue.load_torch_weights(sg_cfg.weights_path, sg_cfg.num_layers, sg_cfg.num_heads)
-            if sg_cfg.weights_path
-            else superglue.init_params(k2, sg_cfg.num_layers, sg_cfg.num_heads)
-        )
+        sg_num_heads = sg_cfg.num_heads
+        if sg_cfg.weights_path:
+            # load_weights handles BOTH torch layouts and native .npz
+            # checkpoints (whose embedded num_layers/num_heads win over
+            # the config) — same resolution as NeuralExtractor
+            self.sg_params = superglue.load_weights(sg_cfg.weights_path, sg_cfg.num_layers, sg_cfg.num_heads)
+            meta = superglue.checkpoint_meta(sg_cfg.weights_path)
+            if meta is not None:
+                sg_num_heads = meta[1]
+        else:
+            self.sg_params = superglue.init_params(k2, sg_cfg.num_layers, sg_cfg.num_heads)
 
         cap = sp_cfg.capacity
 
@@ -106,13 +112,15 @@ class MultiSequenceVO:
             if matcher == "nn":
                 from ur_mvo_tpu.ops.nn_matcher import match_nn
 
-                m = match_nn(b0, b1, sg_cfg.nn_min_similarity, sg_cfg.nn_ratio)
+                m = match_nn(b0, b1, sg_cfg.nn_min_similarity, sg_cfg.nn_ratio,
+                             center=sg_cfg.nn_center)
             else:
                 from ur_mvo_tpu.ops.pallas_kernels import attention_pallas_wanted
 
                 Z = superglue.match_scores(
                     sg_params, b0, b1, sg_cfg.image_width, sg_cfg.image_height,
                     sinkhorn_iterations=sg_cfg.sinkhorn_iterations,
+                    num_heads=sg_num_heads,
                     use_pallas_attention=attention_pallas_wanted(batched=True),
                 )
                 m = decode_assignment(Z, b0.valid, b1.valid, sg_cfg.matching_threshold)

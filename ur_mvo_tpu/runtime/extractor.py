@@ -142,7 +142,8 @@ class NeuralExtractor:
             if matcher == "nn":
                 from ur_mvo_tpu.ops.nn_matcher import match_nn
 
-                m = match_nn(bank0, bank1, sg_cfg.nn_min_similarity, sg_cfg.nn_ratio)
+                m = match_nn(bank0, bank1, sg_cfg.nn_min_similarity, sg_cfg.nn_ratio,
+                             center=sg_cfg.nn_center)
             else:
                 Z = superglue.match_scores(
                     sg_params,
