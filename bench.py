@@ -169,6 +169,11 @@ def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
     cfg.superpoint.max_keypoints = 1000
     cfg.superpoint.keypoint_threshold = 1e-4
     cfg.superpoint.weights_path = sp_path
+    # production matcher: the shipped SuperGlue when present (same rule
+    # as run_vo.py), else the NN fallback — e2e times what a user gets
+    sg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "weights", "superglue_v3scene.npz")
+    if os.path.exists(sg_path):
+        cfg.superglue.weights_path = sg_path
     cfg.superglue.image_width = W
     cfg.superglue.image_height = H
     # permissive init gates: at the --tiny smoke resolution the plane

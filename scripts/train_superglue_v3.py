@@ -98,7 +98,12 @@ def gen_data(args):
             valid.append(np.asarray(b.valid))
         n_frames_total += args.frames
         for i in range(args.frames):
-            for gap in (1, 2, 3):
+            # VO matches the CURRENT frame against its reference KEYFRAME,
+            # which trails by up to max_num_passed_frame (10) frames —
+            # supervision must cover those gaps, not just adjacent pairs
+            # (a gap-1..3-trained matcher measured 0.80 precision on
+            # adjacent pairs yet DEGRADED VO trajectories).
+            for gap in (1, 2, 3, 5, 7, 9):
                 j = i + gap
                 if j >= args.frames:
                     continue
@@ -309,7 +314,7 @@ def evaluate(args):
         imgs, T, depths = _render_scene(seed, args.frames, rng)
         banks = [ext.extract(imgs[i]) for i in range(args.frames)]
         for i in range(args.frames):
-            for gap in (1, 2):
+            for gap in (1, 2, 5, 8):  # include keyframe-scale gaps
                 j = i + gap
                 if j >= args.frames:
                     continue
@@ -341,8 +346,8 @@ def main():
 
     d = sub.add_parser("data")
     d.add_argument("--out", default="/tmp/sg_data.npz")
-    d.add_argument("--scenes", type=int, default=40)
-    d.add_argument("--frames", type=int, default=6)
+    d.add_argument("--scenes", type=int, default=200)
+    d.add_argument("--frames", type=int, default=10)  # gaps up to 9 need them
     d.add_argument("--tol-px", type=float, default=3.0)
     d.add_argument("--seed", type=int, default=0)
 

@@ -1,0 +1,127 @@
+"""Shipped SuperGlue checkpoint gates (VERDICT round-1 item #1).
+
+The reference's production matcher IS SuperGlue
+(``/root/reference/src/super_glue.cpp:166-241``); these tests gate the
+in-repo trained checkpoint the same way ``test_shipped_v3_checkpoint_vo_capable``
+gates the detector: matcher="auto" must resolve to superglue when the
+checkpoint is configured, and the resulting trajectory must be at least
+as good as the mutual-NN fallback on the rendered benchmark scenes.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from ur_mvo_tpu.camera import make_pinhole
+from ur_mvo_tpu.components import Frame, Image
+from ur_mvo_tpu.config import Configs, SensorSetup
+from ur_mvo_tpu.engine import UR_MVO
+from ur_mvo_tpu.utils.metrics import ate_rmse
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SP_V3 = os.path.join(REPO, "weights", "superpoint_scratch_v3.npz")
+SG_CKPT = os.path.join(REPO, "weights", "superglue_v3scene.npz")
+
+H, W, FX = 240, 320, 260.0
+
+
+def _cfg(matcher: str) -> Configs:
+    cfg = Configs()
+    cfg.superpoint.capacity = 512
+    cfg.superpoint.max_keypoints = 400
+    cfg.superpoint.keypoint_threshold = 1e-4
+    cfg.superpoint.weights_path = SP_V3
+    cfg.superglue.matcher = matcher
+    if matcher != "nn":
+        cfg.superglue.weights_path = SG_CKPT
+    cfg.superglue.image_width = W
+    cfg.superglue.image_height = H
+    cfg.initializer.min_matches = 60
+    cfg.initializer.min_features_first = 100
+    cfg.backend.window_opt_frames = 8
+    cfg.backend.window_fixed_frames = 6
+    cfg.backend.ba_max_points = 1024
+    cfg.backend.ba_max_observations = 4096
+    cfg.backend.ba_iterations_phase1 = 6
+    cfg.backend.ba_iterations_phase2 = 3
+    cfg.runtime.compute_dtype = "float32"
+    return cfg
+
+
+def _run(images, T_wc, matcher):
+    n = len(images)
+    vo = UR_MVO(_cfg(matcher), SensorSetup.MONO, camera=make_pinhole(W, H, FX, FX, W / 2, H / 2))
+    for i in range(n):
+        vo.process(Frame(image=Image(images[i], i / 30.0)))
+    if not vo.tracker.initialized:
+        return None
+    kts, kpos, _ = vo.keyframe_trajectory()
+    idx = np.clip((np.asarray(kts) * 30.0).round().astype(int), 0, n - 1)
+    return float(ate_rmse(kpos, T_wc[idx, :3, 3], align=True, correct_scale=True))
+
+
+needs_ckpt = pytest.mark.skipif(
+    not (os.path.exists(SG_CKPT) and os.path.exists(SP_V3)),
+    reason="shipped SuperGlue/SuperPoint checkpoints not present",
+)
+
+
+@needs_ckpt
+def test_auto_matcher_resolves_to_superglue():
+    """matcher='auto' + configured weights -> the SuperGlue path runs
+    (not the NN fallback), with the checkpoint's embedded architecture."""
+    from ur_mvo_tpu.runtime.extractor import NeuralExtractor
+
+    cfg = _cfg("auto")
+    ext = NeuralExtractor(cfg, make_pinhole(W, H, FX, FX, W / 2, H / 2))
+    assert ext._matcher == "superglue"
+    # native checkpoint carries its architecture
+    from ur_mvo_tpu.models import superglue
+
+    meta = superglue.checkpoint_meta(SG_CKPT)
+    assert meta is not None and meta[0] >= 6
+
+
+@needs_ckpt
+@pytest.mark.slow
+def test_superglue_matches_beat_nn_on_3d_scene():
+    """Decoded-match quality vs exact GT correspondence on a held-out 3D
+    render: the trained matcher must recover MORE true matches than the
+    NN fallback at its production threshold."""
+    from ur_mvo_tpu.runtime.extractor import NeuralExtractor
+    from ur_mvo_tpu.utils.synthscene import gt_assignment, render_sequence
+
+    images, T_wc, depths = render_sequence(5, H, W, FX, seed=9100, n_planes=3)
+    cam = make_pinhole(W, H, FX, FX, W / 2, H / 2)
+    nn_ext = NeuralExtractor(_cfg("nn"), cam)
+    sg_ext = NeuralExtractor(_cfg("superglue"), cam)
+    correct = {"nn": 0, "sg": 0}
+    banks = [nn_ext.extract(images[i]) for i in range(5)]
+    for i, j in ((0, 1), (1, 2), (2, 4)):
+        t0, _ = gt_assignment(
+            np.asarray(banks[i].kpts), np.asarray(banks[i].valid),
+            np.asarray(banks[j].kpts), np.asarray(banks[j].valid),
+            depths[i], T_wc[i], T_wc[j], FX, W / 2, H / 2, depth1=depths[j],
+        )
+        for name, ext in (("nn", nn_ext), ("sg", sg_ext)):
+            m = ext.match(banks[i], banks[j], outlier_rejection=False)
+            pred = np.where(np.asarray(m.valid), np.asarray(m.idx1), -1)
+            correct[name] += int(((pred == t0) & (t0 < banks[i].capacity)).sum())
+    assert correct["sg"] > correct["nn"], correct
+
+
+@needs_ckpt
+@pytest.mark.slow
+def test_shipped_superglue_vo_at_least_nn():
+    """Engine roundtrip on the 3D benchmark scene: SuperGlue-matched VO
+    must produce a trajectory no worse than the NN-matched run (the
+    VERDICT's shipping criterion), and absolutely sane."""
+    from ur_mvo_tpu.utils.synthscene import render_sequence
+
+    images, T_wc, _ = render_sequence(24, H, W, FX, seed=5, n_planes=3, brightness_decay=0.02)
+    ate_nn = _run(images, T_wc, "nn")
+    ate_sg = _run(images, T_wc, "superglue")
+    assert ate_sg is not None, "SuperGlue-matched VO failed to initialize"
+    assert ate_nn is None or ate_sg <= ate_nn * 1.15, (ate_sg, ate_nn)
+    assert ate_sg < 0.45, ate_sg
