@@ -319,3 +319,15 @@ def test_point_reduce_pallas_segments():
         ref[pts[o], FF * 18 :] += Vp[o]
     scale = max(np.abs(ref).max(), 1.0)
     np.testing.assert_allclose(out / scale, ref / scale, atol=5e-3)
+
+
+def test_auto_assembly_large_problem_fallback():
+    """"auto" must not materialize an (O, P) one-hot beyond ~128M
+    elements (a long-sequence global BA would be a multi-GB indicator);
+    it falls back to the sorted-window assembly, which is O(P + O)."""
+    from ur_mvo_tpu.ops.ba import BAConfig, resolve_assembly
+
+    cfg = BAConfig()
+    assert resolve_assembly(cfg, n_obs=8192, n_points=2048) == "matmul"
+    assert resolve_assembly(cfg, n_obs=500_000, n_points=65_536) == "sorted"
+    assert resolve_assembly(cfg._replace(assembly="matmul"), n_obs=500_000, n_points=65_536) == "matmul"

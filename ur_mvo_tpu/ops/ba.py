@@ -566,7 +566,7 @@ def build_normal_terms_sorted(prob_s: BAProblem, R_cw, t_cw, X, fx, fy, cx, cy, 
     return H_cc, b_c, H_pp, b_p, U, cost
 
 
-def resolve_assembly(cfg: BAConfig) -> str:
+def resolve_assembly(cfg: BAConfig, n_obs: int = 0, n_points: int = 0) -> str:
     """Resolve "auto" to the best assembly for the current backend.
 
     Profiled on v5e (scripts/profile_ba.py, /tmp A/B runs): the
@@ -576,10 +576,16 @@ def resolve_assembly(cfg: BAConfig) -> str:
     savings (10 -> 4 GFLOP/linearization) are eaten by its per-call
     argsort/layout and per-iteration rank gather + value transpose
     (full 10+5-iter BA: matmul 2.77 ms vs sorted 2.96 ms, bitwise-equal
-    results). "auto" is the matmul path everywhere; "pallas"/"sorted"
-    stay available explicitly."""
+    results). "auto" is the matmul path at window scale; beyond
+    ~128M indicator elements (the bf16 Ep_b one-hot is O x P — a
+    long-sequence GLOBAL BA at 65k points / 500k obs would be a 65 GB
+    materialization) "auto" falls back to the sorted-window assembly,
+    whose memory is O(P + O). "pallas"/"sorted" stay available
+    explicitly."""
     if cfg.assembly != "auto":
         return cfg.assembly
+    if n_obs * n_points > 128 * 1024 * 1024:
+        return "sorted"
     return "matmul"
 
 
@@ -665,7 +671,7 @@ def bundle_adjust(
 
     R_cw0, t_cw0 = _invert_poses(prob.R_wc, prob.t_wc)
 
-    assembly = resolve_assembly(cfg)
+    assembly = resolve_assembly(cfg, n_obs=prob.obs_frame.shape[0], n_points=prob.X.shape[0])
     unsort = None
     if assembly == "sorted":
         # point-sort the observations; index structure is loop-invariant

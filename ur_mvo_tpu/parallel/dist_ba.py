@@ -207,7 +207,8 @@ def dist_bundle_adjust(
             make_one_hots,
         )
 
-        if cfg.assembly != "scatter":
+        O_l = prob_local.obs_frame.shape[0]
+        if cfg.assembly != "scatter" and O_l * Pl <= 128 * 1024 * 1024:
             # loop-invariant per-shard indicators: build once outside the
             # scan. ("auto"/"pallas" resolve to the one-hot matmul here:
             # the Pallas reduction is a single-device kernel and the
@@ -216,6 +217,9 @@ def dist_bundle_adjust(
 
             builder = _partial(build_normal_terms_matmul, one_hots=make_one_hots(prob_local, cfg))
         else:
+            # scatter assembly: exact, O(P + O) memory — the (O_l, P_l)
+            # bf16 one-hot would exceed ~256 MB per shard beyond this
+            # size (see ops.ba.resolve_assembly)
             builder = build_normal_terms
         FF = cfg.max_free_frames
         free_rank = _free_rank(prob_local, FF)
