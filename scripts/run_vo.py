@@ -52,6 +52,12 @@ def main():
     ap.add_argument("--masks", action="store_true",
                     help="feed semantic masks from <seq>/mask0/data (nonzero keeps a "
                          "pixel; the reference's processMonoWithMask path)")
+    ap.add_argument("--loop-closure", action="store_true",
+                    help="enable online loop detection (Backend.detect_loop); verified "
+                         "edges are consumed by the final --global-ba pose graph")
+    ap.add_argument("--global-ba", action="store_true",
+                    help="run global pose-graph optimization + full BA over all "
+                         "keyframes after the sequence (Backend.global_optimize)")
     args = ap.parse_args()
 
     import jax
@@ -92,11 +98,18 @@ def main():
         and os.path.exists(shipped_sg)
     ):
         cfg.superglue.weights_path = shipped_sg
-        print(f"using shipped SuperGlue matcher: {shipped_sg}", file=sys.stderr)
+        # the checkpoint carries its calibrated decode threshold
+        with np.load(shipped_sg) as st:
+            if "__meta_matching_threshold__" in st.files:
+                cfg.superglue.matching_threshold = float(st["__meta_matching_threshold__"])
+        print(f"using shipped SuperGlue matcher: {shipped_sg} "
+              f"(threshold {cfg.superglue.matching_threshold})", file=sys.stderr)
     # dataset-local calibration (written by make_synthetic_dataset.py)
     seq_cam = os.path.join(args.images, "camera.yaml")
     if cfg.camera_config_path is None and os.path.exists(seq_cam):
         cfg.camera_config_path = seq_cam
+    if args.loop_closure:
+        cfg.backend.loop_closure = True
     vo = UR_MVO(cfg, setup)
     ds = Dataset(args.images, use_right=(setup == Setup.STEREO), use_depth=(setup == Setup.RGBD),
                  use_mask=args.masks)
@@ -164,6 +177,11 @@ def main():
     pose_path = os.path.join(args.results, "poses.txt")
     idx = np.arange(0, len(all_ts), args.stride)
     write_tum(pose_path, [all_ts[i] for i in idx], np.asarray(all_pos)[idx], np.asarray(all_quat)[idx])
+    if args.global_ba:
+        n_loops = len(vo.tracker.backend.store.loop_edges)
+        vo.tracker.backend.global_optimize()
+        print(f"global BA over {vo.tracker.backend.store.num_keyframes()} keyframes "
+              f"({n_loops} loop edges)", file=sys.stderr)
     vo.save_trajectory(os.path.join(args.results, "keyframes.txt"))
     if args.save_map:
         vo.save_map_ply(args.save_map)

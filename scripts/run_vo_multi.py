@@ -75,6 +75,9 @@ def main():
         and os.path.exists(shipped_sg)
     ):
         cfg.superglue.weights_path = shipped_sg
+        with np.load(shipped_sg) as st:
+            if "__meta_matching_threshold__" in st.files:
+                cfg.superglue.matching_threshold = float(st["__meta_matching_threshold__"])
         print(f"using shipped SuperGlue matcher: {shipped_sg}", file=sys.stderr)
     seq_cam = os.path.join(args.images[0], "camera.yaml")
     if cfg.camera_config_path is None and os.path.exists(seq_cam):

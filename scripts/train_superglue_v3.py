@@ -250,6 +250,7 @@ def train(args):
         state = dict(np.load(args.out))
         state["__meta_num_layers__"] = np.asarray(args.layers)
         state["__meta_num_heads__"] = np.asarray(args.heads)
+        state["__meta_matching_threshold__"] = np.asarray(args.rec_threshold)
         np.savez(args.out, **state)
 
     key = jax.random.PRNGKey(args.seed + 1)
@@ -267,12 +268,7 @@ def train(args):
             # before; losing an hour of training to it is avoidable
             save(jax.device_get(params))
             last_save = done
-    superglue.save_npz(args.out, params)
-    # embed the architecture so loaders don't need the config to agree
-    state = dict(np.load(args.out))
-    state["__meta_num_layers__"] = np.asarray(args.layers)
-    state["__meta_num_heads__"] = np.asarray(args.heads)
-    np.savez(args.out, **state)
+    save(jax.device_get(params))
     print(f"saved {args.out}")
 
 
@@ -364,6 +360,8 @@ def main():
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--init-from", default=None)
     t.add_argument("--aug", default="mild", choices=["mild", "strong"])
+    t.add_argument("--rec-threshold", type=float, default=0.5,
+                   help="recommended decode threshold embedded in the checkpoint")
     t.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
 
     e = sub.add_parser("eval")
