@@ -116,6 +116,13 @@ def main():
     ap.add_argument("--masks", action="store_true",
                     help="also write semantic masks (mask0/data): a moving blanked "
                          "band simulating a dynamic object to exclude from features")
+    ap.add_argument("--brightness-decay", type=float, default=0.0,
+                    help="3d-scene per-frame brightness decay (frame i is "
+                         "dimmed by (1-d)^i; photometric degradation is the "
+                         "domain where the learned matcher beats mutual-NN)")
+    ap.add_argument("--z-background", type=float, default=6.0,
+                    help="3d-scene background depth (6.0 = the benchmark "
+                         "family the shipped matcher is trained/gated on)")
     ap.add_argument("--scene", default="plane", choices=["plane", "3d"],
                     help="'plane': single fronto-parallel textured plane; '3d': "
                          "multi-plane scene with depth discontinuity + occlusion "
@@ -147,7 +154,9 @@ def main():
         from ur_mvo_tpu.utils.synthscene import render_sequence
 
         out3 = render_sequence(args.frames, H, W, args.fx, seed=args.seed,
-                               n_planes=3, baseline=baseline, z_background=5.0)
+                               n_planes=3, baseline=baseline,
+                               z_background=args.z_background,
+                               brightness_decay=args.brightness_decay)
         images, T_wc, depths = out3[0], out3[1], out3[2]
         images_r = out3[3] if args.setup == "stereo" else None
         if args.setup != "rgbd":

@@ -88,22 +88,40 @@ def main():
     # shipped-matcher discovery: the in-repo SuperGlue checkpoint is
     # trained against the v3 detector's descriptor space, so it is the
     # default matcher exactly when that detector is in use (matcher
-    # "auto" then resolves to superglue; see NeuralExtractor)
+    # "auto" then resolves to superglue; see NeuralExtractor). It fires
+    # only on the pure-default MONO path (no --config: a config file
+    # states its own matcher choice; stereo left-right and RGB-D runs
+    # are not yet gate-validated with the learned matcher), and it
+    # ADOPTS the checkpoint's embedded validated operating point — the
+    # matcher was trained on 512-capacity banks; running it inside an
+    # untested detector configuration measurably degrades VO.
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     shipped_sg = os.path.join(repo, "weights", "superglue_v3scene.npz")
     if (
-        cfg.superglue.weights_path is None
+        args.config is None
+        and args.setup == "mono"
+        and cfg.superglue.matcher != "nn"
+        and cfg.superglue.weights_path is None
         and cfg.superpoint.weights_path
         and "superpoint_scratch_v3" in os.path.basename(cfg.superpoint.weights_path)
         and os.path.exists(shipped_sg)
     ):
+        from ur_mvo_tpu.models.superglue import checkpoint_operating_point, resolve_matching_threshold
+
         cfg.superglue.weights_path = shipped_sg
-        # the checkpoint carries its calibrated decode threshold
-        with np.load(shipped_sg) as st:
-            if "__meta_matching_threshold__" in st.files:
-                cfg.superglue.matching_threshold = float(st["__meta_matching_threshold__"])
+        op = checkpoint_operating_point(shipped_sg) or {}
+        for k in ("capacity", "max_keypoints"):
+            if k in op:
+                setattr(cfg.superpoint, k, op[k])
+        if "keypoint_threshold" in op and args.kpt_threshold is None:
+            cfg.superpoint.keypoint_threshold = op["keypoint_threshold"]
+        for k in ("min_matches", "min_features_first"):
+            if k in op:
+                setattr(cfg.initializer, k, op[k])
         print(f"using shipped SuperGlue matcher: {shipped_sg} "
-              f"(threshold {cfg.superglue.matching_threshold})", file=sys.stderr)
+              f"(threshold {resolve_matching_threshold(cfg.superglue)}, "
+              f"operating point {op}; pass --matcher nn or --sg-weights to override)",
+              file=sys.stderr)
     # dataset-local calibration (written by make_synthetic_dataset.py)
     seq_cam = os.path.join(args.images, "camera.yaml")
     if cfg.camera_config_path is None and os.path.exists(seq_cam):

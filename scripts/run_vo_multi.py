@@ -65,20 +65,11 @@ def main():
         cfg.superglue.weights_path = args.sg_weights
     if args.kpt_threshold is not None:
         cfg.superpoint.keypoint_threshold = args.kpt_threshold
-    # shipped-matcher discovery (same rule as run_vo.py)
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    shipped_sg = os.path.join(repo, "weights", "superglue_v3scene.npz")
-    if (
-        cfg.superglue.weights_path is None
-        and cfg.superpoint.weights_path
-        and "superpoint_scratch_v3" in os.path.basename(cfg.superpoint.weights_path)
-        and os.path.exists(shipped_sg)
-    ):
-        cfg.superglue.weights_path = shipped_sg
-        with np.load(shipped_sg) as st:
-            if "__meta_matching_threshold__" in st.files:
-                cfg.superglue.matching_threshold = float(st["__meta_matching_threshold__"])
-        print(f"using shipped SuperGlue matcher: {shipped_sg}", file=sys.stderr)
+    # NOTE: no shipped-matcher auto-discovery here (unlike run_vo.py) —
+    # the batched multi-sequence SuperGlue path is not yet
+    # gate-validated with the shipped checkpoint (measured: 12-frame
+    # plane sequences fail to initialize under its operating point).
+    # Pass --sg-weights weights/superglue_v3scene.npz to opt in.
     seq_cam = os.path.join(args.images[0], "camera.yaml")
     if cfg.camera_config_path is None and os.path.exists(seq_cam):
         cfg.camera_config_path = seq_cam

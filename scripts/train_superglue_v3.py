@@ -68,8 +68,13 @@ def _render_scene(seed: int, frames: int, rng):
 
     n_planes = 0 if seed % 3 == 0 else int(rng.integers(2, 5))
     decay = float(rng.uniform(0.0, 0.03))
+    # domain randomization: the first shipped (v3scene) matcher trained
+    # only at z_background=6.0 and collapsed at gap>=8 on a z=5.0 scene
+    # — randomize scene depth so the matcher generalizes across the
+    # generator's whole parameter family.
+    z_bg = float(rng.uniform(4.0, 8.0))
     return render_sequence(frames, H, W, FX, seed=seed, n_planes=n_planes,
-                           brightness_decay=decay)
+                           brightness_decay=decay, z_background=z_bg)
 
 
 def gen_data(args):
@@ -80,7 +85,7 @@ def gen_data(args):
 
     from ur_mvo_tpu.utils.synthscene import gt_assignment
 
-    ext = _make_extractor()
+    ext = _make_extractor(cap=args.capacity, max_kpts=args.max_kpts)
     rng = np.random.default_rng(args.seed)
     scores, kpts, desc, valid = [], [], [], []
     pair_fi, pair_fj, tgt0s, tgt1s = [], [], [], []
@@ -251,6 +256,14 @@ def train(args):
         state["__meta_num_layers__"] = np.asarray(args.layers)
         state["__meta_num_heads__"] = np.asarray(args.heads)
         state["__meta_matching_threshold__"] = np.asarray(args.rec_threshold)
+        # validated operating point: the detector/initializer knobs the
+        # training banks were generated with (see superglue.
+        # checkpoint_operating_point; CLI auto-discovery adopts these)
+        state["__meta_op_capacity__"] = np.asarray(args.op_capacity)
+        state["__meta_op_max_keypoints__"] = np.asarray(args.op_max_keypoints)
+        state["__meta_op_keypoint_threshold__"] = np.asarray(args.op_keypoint_threshold)
+        state["__meta_op_min_matches__"] = np.asarray(args.op_min_matches)
+        state["__meta_op_min_features_first__"] = np.asarray(args.op_min_features_first)
         np.savez(args.out, **state)
 
     key = jax.random.PRNGKey(args.seed + 1)
@@ -346,6 +359,10 @@ def main():
     d.add_argument("--frames", type=int, default=10)  # gaps up to 9 need them
     d.add_argument("--tol-px", type=float, default=3.0)
     d.add_argument("--seed", type=int, default=0)
+    d.add_argument("--capacity", type=int, default=CAP,
+                   help="feature-bank capacity of the generated banks (the "
+                        "matcher's native K; also its operating point)")
+    d.add_argument("--max-kpts", type=int, default=400)
 
     t = sub.add_parser("train")
     t.add_argument("--data", default="/tmp/sg_data.npz")
@@ -362,6 +379,13 @@ def main():
     t.add_argument("--aug", default="mild", choices=["mild", "strong"])
     t.add_argument("--rec-threshold", type=float, default=0.5,
                    help="recommended decode threshold embedded in the checkpoint")
+    # validated operating point embedded in the checkpoint (defaults =
+    # the sg_data generation geometry: K=512 banks, 400-keypoint budget)
+    t.add_argument("--op-capacity", type=int, default=512)
+    t.add_argument("--op-max-keypoints", type=int, default=400)
+    t.add_argument("--op-keypoint-threshold", type=float, default=1e-4)
+    t.add_argument("--op-min-matches", type=int, default=60)
+    t.add_argument("--op-min-features-first", type=int, default=100)
     t.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
 
     e = sub.add_parser("eval")

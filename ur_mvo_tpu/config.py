@@ -58,7 +58,12 @@ class SuperGlueConfig:
 
     image_width: int = 640
     image_height: int = 512
-    matching_threshold: float = 0.5
+    # Decode threshold on the Sinkhorn assignment. None = use the
+    # calibrated threshold embedded in a native checkpoint
+    # (``__meta_matching_threshold__``, written by train_superglue_v3)
+    # when one is configured, else the reference default 0.5
+    # (``read_configs.h:26-41``). An explicit float always wins.
+    matching_threshold: Optional[float] = None
     # "superglue" (learned GNN+Sinkhorn), "nn" (mutual nearest-neighbor
     # with ratio test — no trained weights required), or "auto"
     # (superglue when weights_path is set, nn otherwise — a random-init

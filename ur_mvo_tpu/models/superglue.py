@@ -268,6 +268,59 @@ def checkpoint_meta(path: str):
     return None
 
 
+def checkpoint_threshold(path) -> "float | None":
+    """Calibrated decode threshold embedded in a native .npz checkpoint
+    (``__meta_matching_threshold__``), or None. Trainers calibrate the
+    decode threshold jointly with the weights (the reference hard-codes
+    0.5 in ``read_configs.h``; a from-scratch matcher's score scale need
+    not match), so the checkpoint is the authority when the config does
+    not pin an explicit value."""
+    if not (path and str(path).endswith(".npz")):
+        return None
+    with np.load(path) as state:
+        if "__meta_matching_threshold__" in state.files:
+            return float(state["__meta_matching_threshold__"])
+    return None
+
+
+def checkpoint_operating_point(path) -> "dict | None":
+    """Validated operating point embedded in a native .npz checkpoint
+    (``__meta_op_*__`` keys, written by train_superglue_v3): the
+    detector/initializer knobs the matcher was trained and gate-tested
+    with (bank capacity, keypoint budget/threshold, init gates). A
+    matcher is only as good as the keypoint distribution it saw in
+    training — CLI auto-discovery adopts these so the default path runs
+    the validated configuration, not an untested hybrid."""
+    if not (path and str(path).endswith(".npz")):
+        return None
+    keys = {
+        "capacity": "__meta_op_capacity__",
+        "max_keypoints": "__meta_op_max_keypoints__",
+        "keypoint_threshold": "__meta_op_keypoint_threshold__",
+        "min_matches": "__meta_op_min_matches__",
+        "min_features_first": "__meta_op_min_features_first__",
+    }
+    with np.load(path) as state:
+        if keys["capacity"] not in state.files:
+            return None
+        out = {}
+        for name, k in keys.items():
+            if k in state.files:
+                v = state[k]
+                out[name] = float(v) if name == "keypoint_threshold" else int(v)
+    return out
+
+
+def resolve_matching_threshold(sg_cfg) -> float:
+    """Effective decode threshold for a ``SuperGlueConfig``: explicit
+    config value > checkpoint-embedded calibration > 0.5 (reference
+    default)."""
+    if sg_cfg.matching_threshold is not None:
+        return float(sg_cfg.matching_threshold)
+    thr = checkpoint_threshold(sg_cfg.weights_path)
+    return 0.5 if thr is None else thr
+
+
 def load_npz(path: str, num_layers: int = 9, num_heads: int = 4) -> Dict[str, Any]:
     meta = checkpoint_meta(path)
     if meta is not None:
@@ -279,11 +332,14 @@ def load_npz(path: str, num_layers: int = 9, num_heads: int = 4) -> Dict[str, An
             return {k: fill(v, f"{prefix}{k}.") for k, v in node.items()}
         if isinstance(node, list):
             return [fill(v, f"{prefix}{i}.") for i, v in enumerate(node)]
-        return jnp.asarray(state[prefix[:-1]])
+        # shipped checkpoints store float16 to halve the repo footprint;
+        # compute always runs in f32/bf16, so upcast at load
+        arr = state[prefix[:-1]]
+        return jnp.asarray(arr, dtype=jnp.float32 if arr.dtype == np.float16 else None)
 
     template = init_params(jax.random.PRNGKey(0), num_layers, num_heads)
     if "desc_center" in state:
-        template["desc_center"] = state["desc_center"]
+        template["desc_center"] = state["desc_center"].astype(np.float32)
     return fill(template)
 
 

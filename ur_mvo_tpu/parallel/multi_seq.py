@@ -107,6 +107,8 @@ class MultiSequenceVO:
         if matcher == "auto":
             matcher = "superglue" if sg_cfg.weights_path else "nn"
         self.matcher = matcher
+        # explicit config value > checkpoint-embedded calibration > 0.5
+        self.match_threshold = match_threshold = superglue.resolve_matching_threshold(sg_cfg)
 
         def _match_one(sg_params, key, b0, b1):
             if matcher == "nn":
@@ -123,7 +125,7 @@ class MultiSequenceVO:
                     num_heads=sg_num_heads,
                     use_pallas_attention=attention_pallas_wanted(batched=True),
                 )
-                m = decode_assignment(Z, b0.valid, b1.valid, sg_cfg.matching_threshold)
+                m = decode_assignment(Z, b0.valid, b1.valid, match_threshold)
             p0, p1, valid = gather_match_points(m, b0.kpts, b1.kpts)
             res = ransac_fundamental(key, p0, p1, valid, iterations=200)
             keep = jnp.where(m.num_valid() >= 8, res.inliers, valid)

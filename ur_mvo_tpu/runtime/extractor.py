@@ -136,6 +136,8 @@ class NeuralExtractor:
                 return _extract_impl(sp_params, image_u8, rect_map=undistort_map_right)
 
         matcher = self._matcher
+        # explicit config value > checkpoint-embedded calibration > 0.5
+        self.match_threshold = match_threshold = superglue.resolve_matching_threshold(sg_cfg)
 
         @partial(jax.jit, static_argnames=("outlier_rejection",))
         def _match(sg_params, key, bank0: FeatureBank, bank1: FeatureBank, outlier_rejection: bool = True) -> Matches:
@@ -157,7 +159,7 @@ class NeuralExtractor:
                     use_pallas_sinkhorn=use_pallas_sink,
                     use_pallas_attention=use_pallas_attn,
                 )
-                m = decode_assignment(Z, bank0.valid, bank1.valid, sg_cfg.matching_threshold)
+                m = decode_assignment(Z, bank0.valid, bank1.valid, match_threshold)
             if outlier_rejection:
                 p0, p1, valid = gather_match_points(m, bank0.kpts, bank1.kpts)
                 res = ransac_fundamental(key, p0, p1, valid, iterations=200, sigma=1.0)
