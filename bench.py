@@ -169,11 +169,20 @@ def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
     cfg.superpoint.max_keypoints = 1000
     cfg.superpoint.keypoint_threshold = 1e-4
     cfg.superpoint.weights_path = sp_path
-    # production matcher: the shipped SuperGlue when present (same rule
-    # as run_vo.py), else the NN fallback — e2e times what a user gets
+    # production matcher: the shipped SuperGlue when present, WITH its
+    # embedded validated operating point — the same rule as run_vo.py's
+    # discovery (the matcher measurably fails to initialize VO inside an
+    # untested detector configuration) — else the NN fallback. e2e times
+    # what a user of the default CLI path gets.
     sg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "weights", "superglue_v3scene.npz")
     if os.path.exists(sg_path):
+        from ur_mvo_tpu.models.superglue import checkpoint_operating_point
+
         cfg.superglue.weights_path = sg_path
+        op = checkpoint_operating_point(sg_path) or {}
+        for k in ("capacity", "max_keypoints", "keypoint_threshold"):
+            if k in op:
+                setattr(cfg.superpoint, k, op[k])
     cfg.superglue.image_width = W
     cfg.superglue.image_height = H
     # permissive init gates: at the --tiny smoke resolution the plane
@@ -181,9 +190,8 @@ def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
     # the pipeline, accuracy is gated by the test suite
     cfg.initializer.min_matches = 40
     cfg.initializer.min_features_first = 80
-    vo = UR_MVO(cfg, SensorSetup.MONO, camera=cam)
 
-    def run():
+    def run(vo):
         n_kf = 0
         frames = [Frame(image=Image(images[i], i / 30.0)) for i in range(n_frames)]
         for i in range(n_frames):
@@ -192,11 +200,21 @@ def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
                 n_kf += 1
         return n_kf
 
-    run()  # warm/compile pass
+    vo = UR_MVO(cfg, SensorSetup.MONO, camera=cam)
+    matcher = "superglue" if cfg.superglue.weights_path else "nn"
+    run(vo)  # warm/compile pass
+    if not vo.tracker.initialized and matcher == "superglue":
+        # the shipped matcher may not cover this scene/resolution yet —
+        # an uninitialized run times the (unrepresentative) init-retry
+        # path, so fall back to the NN matcher and say so
+        matcher = "nn"
+        cfg.superglue.weights_path = None
+        vo = UR_MVO(cfg, SensorSetup.MONO, camera=cam)
+        run(vo)
     vo.reset()
     t0 = time.perf_counter()
     c0 = time.process_time()
-    n_kf = run()
+    n_kf = run(vo)
     wall = time.perf_counter() - t0
     host_cpu = time.process_time() - c0
     return {
@@ -205,6 +223,7 @@ def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
         "e2e_frames": n_frames,
         "e2e_keyframes": n_kf,
         "e2e_initialized": bool(vo.tracker.initialized),
+        "e2e_matcher": matcher,
     }
 
 
@@ -424,6 +443,7 @@ def main():
         out["e2e_fps_projected_local"] = round(proj, 3)
         out["e2e_keyframes"] = e2e["e2e_keyframes"]
         out["e2e_initialized"] = e2e["e2e_initialized"]
+        out["e2e_matcher"] = e2e["e2e_matcher"]
         print(
             f"# e2e: wall {e2e['e2e_wall_fps']:.1f} fps over {e2e['e2e_frames']} frames "
             f"({e2e['e2e_keyframes']} keyframes) | host {host_ms:.2f} ms/frame | "

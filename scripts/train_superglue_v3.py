@@ -43,7 +43,7 @@ H, W, FX = 240, 320, 260.0
 CAP = 512
 
 
-def _make_extractor(cap=CAP, max_kpts=400):
+def _make_extractor(cap=CAP, max_kpts=400, H=H, W=W, fx=FX):
     from ur_mvo_tpu.camera import make_pinhole
     from ur_mvo_tpu.config import Configs
     from ur_mvo_tpu.runtime.extractor import NeuralExtractor
@@ -57,11 +57,11 @@ def _make_extractor(cap=CAP, max_kpts=400):
     cfg.superglue.image_width = W
     cfg.superglue.image_height = H
     cfg.runtime.compute_dtype = "float32"
-    cam = make_pinhole(W, H, FX, FX, W / 2, H / 2)
+    cam = make_pinhole(W, H, fx, fx, W / 2, H / 2)
     return NeuralExtractor(cfg, cam)
 
 
-def _render_scene(seed: int, frames: int, rng):
+def _render_scene(seed: int, frames: int, rng, H=H, W=W, fx=FX):
     """One scene: plane-only (1/3 of the time) or 3D multi-plane with
     random brightness decay — the two e2e benchmark families."""
     from ur_mvo_tpu.utils.synthscene import render_sequence
@@ -73,7 +73,7 @@ def _render_scene(seed: int, frames: int, rng):
     # — randomize scene depth so the matcher generalizes across the
     # generator's whole parameter family.
     z_bg = float(rng.uniform(4.0, 8.0))
-    return render_sequence(frames, H, W, FX, seed=seed, n_planes=n_planes,
+    return render_sequence(frames, H, W, fx, seed=seed, n_planes=n_planes,
                            brightness_decay=decay, z_background=z_bg)
 
 
@@ -85,7 +85,15 @@ def gen_data(args):
 
     from ur_mvo_tpu.utils.synthscene import gt_assignment
 
-    ext = _make_extractor(cap=args.capacity, max_kpts=args.max_kpts)
+    # multi-resolution scene family: the first shipped matcher trained
+    # only at 240x320 and collapsed to ~0 matches at 512x640 (the
+    # detector's random-projection descriptors shift with patch scale).
+    # Keypoints are stored RESCALED into the reference 240x320 frame so
+    # the trainer's fixed (W, H) position normalization stays valid.
+    res_family = [(120, 160), (240, 320), (360, 480), (480, 640)]
+    if not args.multires:
+        res_family = [(H, W)]
+    exts = {}
     rng = np.random.default_rng(args.seed)
     scores, kpts, desc, valid = [], [], [], []
     pair_fi, pair_fj, tgt0s, tgt1s = [], [], [], []
@@ -93,12 +101,22 @@ def gen_data(args):
     t0 = time.time()
     for s in range(args.scenes):
         seed = args.seed + 1000 + s
-        imgs, T, depths = _render_scene(seed, args.frames, rng)
+        Hs, Ws = res_family[s % len(res_family)]
+        fxs = FX * (Ws / W)
+        if (Hs, Ws) not in exts:
+            exts[(Hs, Ws)] = _make_extractor(
+                cap=args.capacity, max_kpts=args.max_kpts, H=Hs, W=Ws, fx=fxs
+            )
+        ext = exts[(Hs, Ws)]
+        imgs, T, depths = _render_scene(seed, args.frames, rng, H=Hs, W=Ws, fx=fxs)
         base = n_frames_total
+        kpts_scene = []  # scene-resolution coords, for gt reprojection
         for i in range(args.frames):
             b = ext.extract(imgs[i])
+            k_scene = np.asarray(b.kpts, np.float32)
+            kpts_scene.append(k_scene)
             scores.append(np.asarray(b.scores, np.float32))
-            kpts.append(np.asarray(b.kpts, np.float32))
+            kpts.append(k_scene * np.array([W / Ws, H / Hs], np.float32))
             desc.append(np.asarray(b.desc, np.float16))
             valid.append(np.asarray(b.valid))
         n_frames_total += args.frames
@@ -113,17 +131,17 @@ def gen_data(args):
                 if j >= args.frames:
                     continue
                 t_0, t_1 = gt_assignment(
-                    kpts[base + i], valid[base + i], kpts[base + j], valid[base + j],
-                    depths[i], T[i], T[j], FX, W / 2, H / 2, depth1=depths[j],
-                    tol_px=args.tol_px,
+                    kpts_scene[i], valid[base + i], kpts_scene[j], valid[base + j],
+                    depths[i], T[i], T[j], fxs, Ws / 2, Hs / 2, depth1=depths[j],
+                    tol_px=args.tol_px * (Ws / W),
                 )
-                if (t_0 < CAP).sum() < 30:
+                if (t_0 < args.capacity).sum() < 30:
                     continue
                 pair_fi.append(base + i)
                 pair_fj.append(base + j)
                 tgt0s.append(t_0)
                 tgt1s.append(t_1)
-        print(f"scene {s + 1}/{args.scenes}: {len(pair_fi)} pairs so far "
+        print(f"scene {s + 1}/{args.scenes} ({Hs}x{Ws}): {len(pair_fi)} pairs so far "
               f"({time.time() - t0:.0f}s)", flush=True)
     np.savez_compressed(
         args.out,
@@ -133,7 +151,7 @@ def gen_data(args):
         tgt0=np.stack(tgt0s), tgt1=np.stack(tgt1s),
         width=W, height=H,
     )
-    gt_counts = (np.stack(tgt0s) < CAP).sum(1)
+    gt_counts = (np.stack(tgt0s) < args.capacity).sum(1)
     print(f"wrote {args.out}: {len(pair_fi)} pairs over {n_frames_total} frames, "
           f"GT matches/pair median {np.median(gt_counts):.0f}")
 
@@ -363,6 +381,9 @@ def main():
                    help="feature-bank capacity of the generated banks (the "
                         "matcher's native K; also its operating point)")
     d.add_argument("--max-kpts", type=int, default=400)
+    d.add_argument("--multires", action="store_true",
+                   help="cycle scenes through 120x160..480x640 (kpts stored "
+                        "rescaled to the 240x320 reference frame)")
 
     t = sub.add_parser("train")
     t.add_argument("--data", default="/tmp/sg_data.npz")
