@@ -27,18 +27,24 @@ H, W, FX = 240, 320, 260.0
 
 
 def _cfg(matcher: str) -> Configs:
+    """Both matchers gated at the shipped checkpoint's embedded validated
+    operating point (identical detector/init configuration — the A/B
+    isolates the matcher)."""
+    from ur_mvo_tpu.models.superglue import checkpoint_operating_point
+
+    op = (checkpoint_operating_point(SG_CKPT) if os.path.exists(SG_CKPT) else None) or {}
     cfg = Configs()
-    cfg.superpoint.capacity = 512
-    cfg.superpoint.max_keypoints = 400
-    cfg.superpoint.keypoint_threshold = 1e-4
+    cfg.superpoint.capacity = op.get("capacity", 512)
+    cfg.superpoint.max_keypoints = op.get("max_keypoints", 400)
+    cfg.superpoint.keypoint_threshold = op.get("keypoint_threshold", 1e-4)
     cfg.superpoint.weights_path = SP_V3
     cfg.superglue.matcher = matcher
     if matcher != "nn":
         cfg.superglue.weights_path = SG_CKPT
     cfg.superglue.image_width = W
     cfg.superglue.image_height = H
-    cfg.initializer.min_matches = 60
-    cfg.initializer.min_features_first = 100
+    cfg.initializer.min_matches = op.get("min_matches", 60)
+    cfg.initializer.min_features_first = op.get("min_features_first", 100)
     cfg.backend.window_opt_frames = 8
     cfg.backend.window_fixed_frames = 6
     cfg.backend.ba_max_points = 1024
