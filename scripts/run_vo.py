@@ -90,11 +90,14 @@ def main():
     # default matcher exactly when that detector is in use (matcher
     # "auto" then resolves to superglue; see NeuralExtractor). It fires
     # only on the pure-default MONO path (no --config: a config file
-    # states its own matcher choice; stereo left-right and RGB-D runs
-    # are not yet gate-validated with the learned matcher), and it
-    # ADOPTS the checkpoint's embedded validated operating point — the
-    # matcher was trained on 512-capacity banks; running it inside an
-    # untested detector configuration measurably degrades VO.
+    # states its own matcher choice), and it ADOPTS the checkpoint's
+    # embedded validated operating point — running the matcher inside an
+    # untested detector configuration measurably degrades VO. Measured
+    # with the v2 (multires 1024) checkpoint: LR match precision on 3D
+    # stereo pairs is far better than NN (89% vs 41%), but end-to-end
+    # stereo (distorted-right plane) fails init and RGB-D ATE regresses
+    # 0.02->0.14 on the clean 3d scene — metric-depth setups keep the NN
+    # default until the matcher wins there too (--sg-weights opts in).
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     shipped_sg = os.path.join(repo, "weights", "superglue_v3scene.npz")
     if (
