@@ -231,6 +231,12 @@ def main():
                     "RIGHT_D: !!opencv-matrix\n"
                     "   rows: 1\n   cols: 4\n   dt: d\n"
                     f"   data: [{k1}, {k2}, {p1}, {p2}]\n"
+                    # explicit identity rectifying rotation: the reference
+                    # requires ALL of RIGHT_K/D/R/P (camera.cc:53-59), so
+                    # generated calibs must be loadable by it too
+                    "RIGHT_R: !!opencv-matrix\n"
+                    "   rows: 3\n   cols: 3\n   dt: d\n"
+                    "   data: [1., 0., 0., 0., 1., 0., 0., 0., 1.]\n"
                     "RIGHT_P: !!opencv-matrix\n"
                     "   rows: 3\n   cols: 4\n   dt: d\n"
                     f"   data: [{fx}, 0., {cx}, {-fx * args.baseline}, 0., {fx}, {cy}, 0., 0., 0., 1., 0.]\n"

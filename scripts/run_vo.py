@@ -161,6 +161,9 @@ def main():
         pending timestamps are theirs — writing them all at the keyframe
         time floors the ATE at the intra-keyframe motion (~0.2 m on the
         synthetic sets) regardless of estimate quality."""
+        # one pose per pending frame at most — a pose/timestamp
+        # misalignment must fail loudly, not be hidden by zip truncation
+        assert len(poses) <= len(pending_ts), (len(poses), len(pending_ts))
         for ts_k, p in zip(pending_ts[-len(poses):], poses):
             all_ts.append(ts_k)
             all_pos.append(p.translation)

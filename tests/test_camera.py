@@ -13,7 +13,8 @@ from ur_mvo_tpu.camera import (
 AQUA_YAML = "/root/reference/configs/camera_settings/aqua.yaml"
 
 
-def _write_stereo_yaml(path, W=160, H=120, fx=130.0, d_right=(-0.25, 0.08, 0.001, -0.0005)):
+def _write_stereo_yaml(path, W=160, H=120, fx=130.0, d_right=(-0.25, 0.08, 0.001, -0.0005),
+                       with_right_r=True):
     """Distortion-free LEFT + radially-distorted RIGHT calibration, the
     layout camera.cc:46-59 requires for a stereo rig."""
     cx, cy = W / 2.0, H / 2.0
@@ -32,9 +33,36 @@ def _write_stereo_yaml(path, W=160, H=120, fx=130.0, d_right=(-0.25, 0.08, 0.001
             f"   data: [{fx}, 0., {cx}, 0., {fx}, {cy}, 0., 0., 1.]\n"
             "RIGHT_D: !!opencv-matrix\n   rows: 1\n   cols: 4\n   dt: d\n"
             f"   data: [{k1}, {k2}, {p1}, {p2}]\n"
+        )
+        if with_right_r:
+            f.write(
+                "RIGHT_R: !!opencv-matrix\n   rows: 3\n   cols: 3\n   dt: d\n"
+                "   data: [1., 0., 0., 0., 1., 0., 0., 0., 1.]\n"
+            )
+        f.write(
             "RIGHT_P: !!opencv-matrix\n   rows: 3\n   cols: 4\n   dt: d\n"
             f"   data: [{fx}, 0., {cx}, {-fx * 0.1}, 0., {fx}, {cy}, 0., 0., 0., 1., 0.]\n"
         )
+
+
+def test_partial_right_block_warns(tmp_path):
+    """A RIGHT_K/D block missing RIGHT_R must warn (the reference
+    hard-exits on partial blocks, camera.cc:53-59); a complete block
+    loads silently."""
+    import warnings
+
+    import pytest
+
+    yaml_path = str(tmp_path / "stereo.yaml")
+    _write_stereo_yaml(yaml_path, with_right_r=False)
+    with pytest.warns(UserWarning, match="RIGHT_R"):
+        cam = Camera.from_yaml(yaml_path)
+    assert cam.undistort_map_right is not None
+    _write_stereo_yaml(yaml_path, with_right_r=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        cam2 = Camera.from_yaml(yaml_path)
+    np.testing.assert_allclose(cam2.undistort_map_right, cam.undistort_map_right)
 
 
 def test_right_camera_rectify_map(tmp_path):

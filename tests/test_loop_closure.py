@@ -92,6 +92,119 @@ def test_square_loop_closed_by_detected_edge():
     assert err_lc[-1] < 0.6 * err_no[-1], (err_lc[-1], err_no[-1])
 
 
+def _collapsed_descriptor_views(rng, K=64, D=256, a=0.27, noise=3.0):
+    """Two views of K collapsed descriptors modelled on the shipped v3
+    detector's space (matched/random cosine 0.99/0.93): every descriptor
+    shares a dominant common component ``c`` with a VARYING projection
+    onto it (beta), so raw cosine NN collapses onto a few "hub"
+    descriptors (largest beta) while centering recovers the per-point
+    signal. Calibrated: raw mutual-NN 10/64 correct, centered 63/64."""
+    c = rng.normal(size=D)
+    c /= np.linalg.norm(c)
+    e = rng.normal(size=(K, D))
+    e -= np.outer(e @ c, c)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    beta = rng.uniform(0, 0.9, K)
+
+    def view(noise_scale):
+        ee = e + noise_scale * rng.normal(size=e.shape) / np.sqrt(D)
+        ee -= np.outer(ee @ c, c)
+        ee /= np.linalg.norm(ee, axis=1, keepdims=True)
+        d = (1 + a * beta)[:, None] * c[None] + (a * np.sqrt(1 - beta**2))[:, None] * ee
+        return (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+
+    return view(0.0), view(noise)
+
+
+def test_loop_verification_survives_collapsed_descriptors():
+    """Neural-detector loop-closure gate (ADVICE r2, backend.py:113): the
+    verification NN matcher must CENTER descriptors like the retrieval
+    stage — with a v3-like collapsed descriptor space, raw matching is
+    hub-dominated (near-random) and would either reject real loops or
+    accept spurious geometry; centered matching recovers the true
+    assignment and detect_loop returns a geometrically correct edge."""
+    import jax.numpy as jnp
+
+    from ur_mvo_tpu.config import BackendConfig, OptimizationConfig
+    from ur_mvo_tpu.ops.keypoints import FeatureBank
+    from ur_mvo_tpu.ops.nn_matcher import match_nn
+    from ur_mvo_tpu.runtime.backend import Backend
+
+    rng = np.random.default_rng(3)
+    K, D = 64, 256
+    desc_cand, desc_query = _collapsed_descriptor_views(rng, K=K, D=D)
+
+    # -- unit-level pin: raw NN fails on this space, centered recovers --
+    def bank(d):
+        return FeatureBank(
+            scores=jnp.ones(K), kpts=jnp.zeros((K, 2)),
+            desc=jnp.asarray(d), valid=jnp.ones(K, bool),
+        )
+
+    def n_correct(m):
+        idx = np.asarray(m.idx1)
+        return int((np.asarray(m.valid) & (idx == np.arange(K))).sum())
+
+    raw = n_correct(match_nn(bank(desc_query), bank(desc_cand), 0.2, 0.95))
+    cen = n_correct(match_nn(bank(desc_query), bank(desc_cand), 0.2, 0.95, center=True))
+    assert raw < 25, f"collapsed space no longer defeats raw NN ({raw}/{K})"
+    assert cen > 50, f"centered NN should recover the assignment ({cen}/{K})"
+
+    # -- end-to-end: detect_loop on a store with collapsed descriptors --
+    cam = make_pinhole(256, 256, 400.0, 400.0, 128.0, 128.0)
+    bcfg = BackendConfig(
+        window_opt_frames=4, window_fixed_frames=4,
+        ba_max_points=256, ba_max_observations=512,
+        ba_iterations_phase1=2, ba_iterations_phase2=1,
+        max_keyframes=16, max_mappoints=1024,
+        loop_closure=True, loop_min_gap_frames=30, loop_min_inliers=25,
+    )
+    be = Backend(cam, bcfg, OptimizationConfig(), keypoints_per_frame=K)
+
+    X = np.stack(
+        [rng.uniform(-0.7, 0.7, K), rng.uniform(-0.7, 0.7, K), rng.uniform(4.0, 8.0, K)], 1
+    ).astype(np.float32)
+
+    def project(X_w, t_wc):
+        Xc = X_w - t_wc[None]  # R = I
+        u = 400.0 * Xc[:, 0] / Xc[:, 2] + 128.0
+        v = 400.0 * Xc[:, 1] / Xc[:, 2] + 128.0
+        return np.stack([u, v], 1).astype(np.float32)
+
+    I3 = np.eye(3, dtype=np.float32)
+    valid = np.ones(K, bool)
+    track_new = np.full(K, -1, np.int32)
+
+    # candidate keyframe at the origin: depth-seeded Good mappoints
+    uv0 = project(X, np.zeros(3))
+    uvr0 = np.concatenate([uv0, -np.ones((K, 1), np.float32)], 1)
+    slot_c, _ = be.insert_keyframe(
+        0, 0.0, I3, np.zeros(3, np.float32), uvr0, valid, track_new,
+        depth=X[:, 2].copy(), desc=desc_cand,
+    )
+    # distractor keyframes with unrelated (equally collapsed) descriptors
+    for k in range(1, 5):
+        d_k, _ = _collapsed_descriptor_views(rng, K=K, D=D)
+        be.insert_keyframe(
+            k, k * 0.1, I3, np.array([0, 0, 0.01 * k], np.float32),
+            uvr0, valid, track_new, desc=d_k,
+        )
+    # revisit after a long gap: same points from t=[0.3, 0, 0]
+    t_true = np.array([0.3, 0.0, 0.0], np.float32)
+    uv1 = project(X, t_true)
+    uvr1 = np.concatenate([uv1, -np.ones((K, 1), np.float32)], 1)
+    slot_q, _ = be.insert_keyframe(
+        100, 5.0, I3, t_true + np.array([0.15, 0, 0], np.float32),  # drifted estimate
+        uvr1, valid, track_new, desc=desc_query,
+    )
+    edge = be.detect_loop(slot_q, desc_query, uv1, valid)
+    assert edge is not None, "loop not detected on collapsed descriptors"
+    i, j, R_ij, t_ij, _w = edge
+    assert i == slot_c and j == slot_q
+    np.testing.assert_allclose(R_ij, I3, atol=0.02)
+    np.testing.assert_allclose(t_ij, t_true, atol=0.05)
+
+
 def test_loop_edge_survives_snapshot(tmp_path):
     """loop_edges + kf_gdesc roundtrip through map snapshots."""
     from ur_mvo_tpu.runtime.map_store import MapStore, StoreConfig

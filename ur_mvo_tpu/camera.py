@@ -203,6 +203,24 @@ class Camera:
         # rectified right intrinsics (P_r) usually equal the left P up to
         # the -bf column, but the distortion/rotation legs differ.
         if "RIGHT_K" in cfg and "RIGHT_D" in cfg:
+            # A partial RIGHT_* block is almost always a calib-file bug:
+            # the reference hard-exits unless ALL of RIGHT_K/D/R/P are
+            # present (camera.cc:53-59). We default RIGHT_R=I /
+            # RIGHT_P=left P to stay usable with identity-rectified
+            # synthetic rigs, but warn loudly — a real rig with a
+            # missing/typo'd RIGHT_R would otherwise silently rectify
+            # the right image with the wrong rotation.
+            missing = [k for k in ("RIGHT_R", "RIGHT_P") if k not in cfg]
+            if missing:
+                import warnings
+
+                warnings.warn(
+                    f"{path}: stereo calib has RIGHT_K/RIGHT_D but is missing "
+                    f"{'/'.join(missing)}; assuming identity rectification "
+                    "rotation / left projection. The reference rejects such "
+                    "files (camera.cc:53-59) — add explicit RIGHT_R/RIGHT_P.",
+                    stacklevel=2,
+                )
             K_r = np.asarray(cfg["RIGHT_K"])
             D_r = np.asarray(cfg["RIGHT_D"]).reshape(-1)
             R_r = np.asarray(cfg.get("RIGHT_R", np.eye(3)))

@@ -159,14 +159,18 @@ class UR_MVO:
                     return np.where(ok, 100.0 / (raw + 1e-5), 0.0)
                 return raw
 
-        if self._prefetched is not None and self._prefetched[0] == ts:
+        # Prefetch adoption is keyed on the Frame object's IDENTITY, not
+        # its timestamp: frames whose filenames don't parse carry
+        # ts=None, and None == None would adopt a stale bank for ANY
+        # frame if the caller skips or reorders frames.
+        if self._prefetched is not None and self._prefetched[0] is data:
             bank, bank_right = self._prefetched[1], self._prefetched[2]
         else:
             bank, bank_right = self._extract_banks(data)
         self._prefetched = None
         if next_data is not None:
             nb, nbr = self._extract_banks(next_data)
-            self._prefetched = (next_data.image.get_timestamp(), nb, nbr)
+            self._prefetched = (next_data, nb, nbr)
 
         pose_mat = self.tracker.process(bank, ts, depth_lookup, bank_right=bank_right)
         if pose_mat is None:

@@ -144,7 +144,13 @@ def shard_problem(prob: BAProblem, n_shards: int) -> BAProblem:
     )
 
 
-_DIST_BA_CACHE: dict = {}
+# Small LRU: long-running multi-sequence sessions see many distinct
+# (shape, config) keys; an unbounded dict would retain every compiled
+# shard_map executable (and its device buffers) for the process lifetime.
+from collections import OrderedDict as _OrderedDict
+
+_DIST_BA_CACHE: "_OrderedDict" = _OrderedDict()
+_DIST_BA_CACHE_MAX = 8
 
 
 def dist_bundle_adjust(
@@ -171,6 +177,7 @@ def dist_bundle_adjust(
     )
     fn = _DIST_BA_CACHE.get(key)
     if fn is not None:
+        _DIST_BA_CACHE.move_to_end(key)
         return fn(prob)
     n = mesh.shape[AXIS]
     F = prob.R_wc.shape[0]
@@ -323,4 +330,6 @@ def dist_bundle_adjust(
         jax.shard_map(local_fn, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs)
     )
     _DIST_BA_CACHE[key] = fn
+    while len(_DIST_BA_CACHE) > _DIST_BA_CACHE_MAX:
+        _DIST_BA_CACHE.popitem(last=False)
     return fn(prob)

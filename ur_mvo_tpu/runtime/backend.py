@@ -110,7 +110,14 @@ class Backend:
 
         @jax.jit
         def matcher(b0, b1):
-            return match_nn(b0, b1, 0.2, 0.95)
+            # center=True: the retrieval stage centers global descriptors
+            # because collapsed descriptor spaces (the shipped v3
+            # detector: matched/random cosine 0.99/0.93) have no raw
+            # contrast — the VERIFICATION matcher needs the same
+            # treatment or its NN assignments are near-random and a
+            # spurious loop edge poisons the whole trajectory via PGO.
+            # Centering is a no-op for well-spread (zero-mean) spaces.
+            return match_nn(b0, b1, 0.2, 0.95, center=True)
 
         self._loop_verify = verify
         self._loop_match = matcher
