@@ -212,14 +212,43 @@ def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
         vo = UR_MVO(cfg, SensorSetup.MONO, camera=cam)
         run(vo)
     vo.reset()
-    t0 = time.perf_counter()
-    c0 = time.process_time()
-    n_kf = run(vo)
-    wall = time.perf_counter() - t0
-    host_cpu = time.process_time() - c0
+
+    # count device->host transfers + the wall spent inside them: through
+    # the dev relay every sync costs a ~24 ms round trip ON THE CALLING
+    # THREAD (the client spins, so process_time/thread_time include it);
+    # locally the same sync is ~0.1-0.2 ms. The counts let us project.
+    import jax.numpy as jnp
+
+    arr_t = type(jnp.zeros(()))
+    xfer = {"n": 0, "t": 0.0}
+    orig_array = arr_t.__array__
+
+    def counted_array(self, *a, **k):
+        t0 = time.perf_counter()
+        r = orig_array(self, *a, **k)
+        xfer["n"] += 1
+        xfer["t"] += time.perf_counter() - t0
+        return r
+
+    arr_t.__array__ = counted_array
+    try:
+        t0 = time.perf_counter()
+        th0 = time.thread_time()
+        n_kf = run(vo)
+        wall = time.perf_counter() - t0
+        host_thread = time.thread_time() - th0
+    finally:
+        arr_t.__array__ = orig_array
+    # main-thread CPU time minus the (relay-inflated) transfer waits =
+    # true per-frame host bookkeeping, the number a locally-attached
+    # deployment would pay (dispatch overheads stay, ~0.1 ms/program)
+    host_excl = max(host_thread - xfer["t"], 0.0)
     return {
         "e2e_wall_fps": n_frames / wall,
-        "host_cpu_ms_per_frame": host_cpu / n_frames * 1e3,
+        "host_thread_ms_per_frame": host_thread / n_frames * 1e3,
+        "host_ms_per_frame_excl_sync": host_excl / n_frames * 1e3,
+        "d2h_transfers_per_frame": xfer["n"] / n_frames,
+        "d2h_wall_ms_per_frame": xfer["t"] / n_frames * 1e3,
         "e2e_frames": n_frames,
         "e2e_keyframes": n_kf,
         "e2e_initialized": bool(vo.tracker.initialized),
@@ -431,23 +460,30 @@ def main():
         "relay_sync_floor_ms": round(relay_floor_ms, 3),
     }
     if e2e:
-        # projected locally-attached e2e: with the lookahead pipeline the
-        # device and host work concurrently, so the steady-state frame
-        # period is the max of the two; the raw wall number additionally
-        # pays the relay's per-sync notification floor and is therefore a
-        # lower bound (equal to the local number when the floor is ~0).
-        host_ms = e2e["host_cpu_ms_per_frame"]
-        proj = 1e3 / max(per_frame_s * 1e3, host_ms)
+        # projected locally-attached e2e: the raw wall number pays the
+        # relay's ~24 ms round trip for EVERY transfer/sync (and the
+        # client spins on the calling thread, so thread CPU time is
+        # relay-inflated too). A locally-attached host pays ~0.2 ms per
+        # sync instead. Steady-state frame period = max(device pipeline,
+        # host bookkeeping + local sync costs).
+        host_ms = e2e["host_ms_per_frame_excl_sync"]
+        local_sync_ms = 0.2 * e2e["d2h_transfers_per_frame"]
+        proj = 1e3 / max(per_frame_s * 1e3, host_ms + local_sync_ms)
         out["e2e_wall_fps"] = round(e2e["e2e_wall_fps"], 3)
-        out["host_cpu_ms_per_frame"] = round(host_ms, 3)
+        out["host_thread_ms_per_frame"] = round(e2e["host_thread_ms_per_frame"], 3)
+        out["host_ms_per_frame_excl_sync"] = round(host_ms, 3)
+        out["d2h_transfers_per_frame"] = round(e2e["d2h_transfers_per_frame"], 2)
+        out["d2h_wall_ms_per_frame"] = round(e2e["d2h_wall_ms_per_frame"], 3)
         out["e2e_fps_projected_local"] = round(proj, 3)
         out["e2e_keyframes"] = e2e["e2e_keyframes"]
         out["e2e_initialized"] = e2e["e2e_initialized"]
         out["e2e_matcher"] = e2e["e2e_matcher"]
         print(
             f"# e2e: wall {e2e['e2e_wall_fps']:.1f} fps over {e2e['e2e_frames']} frames "
-            f"({e2e['e2e_keyframes']} keyframes) | host {host_ms:.2f} ms/frame | "
-            f"relay sync floor {relay_floor_ms:.1f} ms | projected local {proj:.1f} fps",
+            f"({e2e['e2e_keyframes']} keyframes) | host excl-sync {host_ms:.2f} ms/frame "
+            f"(thread {e2e['host_thread_ms_per_frame']:.1f} ms) | "
+            f"{e2e['d2h_transfers_per_frame']:.1f} d2h/frame @ floor {relay_floor_ms:.1f} ms | "
+            f"projected local {proj:.1f} fps",
             file=sys.stderr,
         )
     print(json.dumps(out))

@@ -97,12 +97,29 @@ class Pose:
 
     @property
     def quaternion(self) -> np.ndarray:
-        """Unit quaternion (w, x, y, z)."""
-        import jax.numpy as jnp
-
-        from ur_mvo_tpu.ops.lie import rotmat_to_quat
-
-        return np.asarray(rotmat_to_quat(jnp.asarray(self.rotation)))
+        """Unit quaternion (w, x, y, z). Host numpy on purpose: a 3x3
+        conversion dispatched as a device kernel costs a full round trip
+        per emitted pose (~24 ms through the dev relay)."""
+        R = self.rotation
+        K = np.array([
+            1.0 + R[0, 0] + R[1, 1] + R[2, 2],
+            1.0 + R[0, 0] - R[1, 1] - R[2, 2],
+            1.0 - R[0, 0] + R[1, 1] - R[2, 2],
+            1.0 - R[0, 0] - R[1, 1] + R[2, 2],
+        ])
+        i = int(np.argmax(K))
+        s = np.sqrt(max(K[i], 1e-12)) * 0.5
+        d = 4.0 * s
+        if i == 0:
+            q = [s, (R[2, 1] - R[1, 2]) / d, (R[0, 2] - R[2, 0]) / d, (R[1, 0] - R[0, 1]) / d]
+        elif i == 1:
+            q = [(R[2, 1] - R[1, 2]) / d, s, (R[0, 1] + R[1, 0]) / d, (R[0, 2] + R[2, 0]) / d]
+        elif i == 2:
+            q = [(R[0, 2] - R[2, 0]) / d, (R[0, 1] + R[1, 0]) / d, s, (R[1, 2] + R[2, 1]) / d]
+        else:
+            q = [(R[1, 0] - R[0, 1]) / d, (R[0, 2] + R[2, 0]) / d, (R[1, 2] + R[2, 1]) / d, s]
+        q = np.asarray(q, dtype=np.float64)
+        return q / np.linalg.norm(q)
 
     @property
     def orientation(self) -> "Pose._Quat":
@@ -130,6 +147,17 @@ class Pose:
         return f"Pose(t={self.translation.round(4).tolist()})"
 
 
+def _quat_to_rotmat_np(q: np.ndarray) -> np.ndarray:
+    """Host-numpy (w, x, y, z) -> 3x3 (see Pose.quaternion for why)."""
+    q = q / np.linalg.norm(q)
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
 def slerp(q0: np.ndarray, q1: np.ndarray, alpha: float) -> np.ndarray:
     """Spherical interpolation of (w, x, y, z) quaternions."""
     d = float(np.dot(q0, q1))
@@ -155,10 +183,6 @@ def interpolate(p1: Pose, p2: Pose, samples: int = 1) -> list:
     ``main_py.cpp:52``; a measured ~0.1-0.2 m ATE floor for our
     synchronous engine). Here alphas are (i+1)/(samples+1) so the pose
     of frame k is the interpolant AT frame k."""
-    import jax.numpy as jnp
-
-    from ur_mvo_tpu.ops.lie import quat_to_rotmat
-
     q1 = p1.quaternion
     q2 = p2.quaternion
     out = []
@@ -166,6 +190,5 @@ def interpolate(p1: Pose, p2: Pose, samples: int = 1) -> list:
         a = (1.0 / (samples + 1.0)) * (i + 1)
         q = slerp(q1, q2, a)
         t = p1.translation + (p2.translation - p1.translation) * a
-        R = np.asarray(quat_to_rotmat(jnp.asarray(q)))
-        out.append(Pose(R, t))
+        out.append(Pose(_quat_to_rotmat_np(q), t))
     return out

@@ -243,8 +243,22 @@ class UR_MVO:
         save_map_ply(path, st.mp_pos[good])
 
     def reset(self, config=None, setup: Optional[Setup] = None) -> None:
-        """Tear down and rebuild (parity with ``main_py.cpp:257-267``).
-        Injected camera/extractor survive the reset."""
+        """Fresh map/trajectory (parity with ``main_py.cpp:257-267``,
+        which builds a whole new Tracking instance). Injected
+        camera/extractor survive the reset.
+
+        With unchanged config/setup this is a STATE reset: the compiled
+        device programs are kept — rebuilding the jit closures forces a
+        full retrace (tens of seconds of host CPU; the reference pays an
+        analogous TensorRT-engine rebuild only because its state and
+        engines live in one object graph)."""
+        if config is None and (setup is None or setup == self.setup):
+            self.tracker.reset_state()
+            self.last_pose = None
+            self.accumulated_samples = 0
+            self._trajectory = []
+            self._prefetched = None
+            return
         self._build(
             config if config is not None else self.config,
             setup if setup is not None else self.setup,

@@ -62,8 +62,29 @@ class Backend:
         cam = camera
 
         @jax.jit
-        def _ba(prob: BAProblem):
-            return bundle_adjust(prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, ba_cfg)
+        def _ba(fpack, ppack, opack):
+            """Windowed BA with PACKED I/O: three uploads (frames (F,14),
+            points (P,4), observations (O,6)) and one f32 readback
+            [R_wc(9F), t_wc(3F), X(3P), obs_inlier(O)] instead of 10
+            uploads + 4 readbacks — every host<->device transfer is a
+            full round trip (~24 ms through the dev relay)."""
+            prob = BAProblem(
+                R_wc=fpack[:, 0:9].reshape(-1, 3, 3),
+                t_wc=fpack[:, 9:12],
+                frame_valid=fpack[:, 12] > 0.5,
+                frame_fixed=fpack[:, 13] > 0.5,
+                X=ppack[:, 0:3],
+                point_valid=ppack[:, 3] > 0.5,
+                obs_frame=opack[:, 0].astype(jnp.int32),
+                obs_point=opack[:, 1].astype(jnp.int32),
+                obs_uv=opack[:, 2:5],
+                obs_valid=opack[:, 5] > 0.5,
+            )
+            res = bundle_adjust(prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, ba_cfg)
+            return jnp.concatenate([
+                res.R_wc.reshape(-1), res.t_wc.reshape(-1), res.X.reshape(-1),
+                res.obs_inlier.astype(jnp.float32),
+            ])
 
         self._ba = _ba
         # Async keyframe BA (cfg.ba_async): the solve is dispatched
@@ -78,6 +99,18 @@ class Backend:
         self._loop_match = None
         self._loop_cooldown = 0
         self._loop_key = jax.random.PRNGKey(1234)
+
+    def reset_state(self) -> None:
+        """Fresh map/bookkeeping, SAME compiled kernels. The reference's
+        reset() builds a whole new Tracking instance (main_py.cpp:257-267)
+        because its state lives inside the object graph; here the jitted
+        programs are pure functions of their inputs, so rebuilding them
+        would only force a full retrace (tens of seconds of host time:
+        the unrolled Pallas pose schedule alone traces in ~29 s)."""
+        self.flush_pending_ba()
+        self.store = MapStore(self.store.cfg)
+        self._pending_ba = None
+        self._loop_cooldown = 0
 
     # ------------------------------------------------------------------
     # Loop closure (beyond the reference — it has no place recognition;
@@ -429,23 +462,25 @@ class Backend:
             out[: len(a)] = a[:n]
             return out
 
-        prob = BAProblem(
-            R_wc=jnp.asarray(pad(st.kf_R[frames], F, (3, 3)) + np.where(
-                (np.arange(F) >= len(frames))[:, None, None], np.eye(3, dtype=np.float32)[None], 0.0
-            )),
-            t_wc=jnp.asarray(pad(st.kf_t[frames], F, (3,))),
-            frame_valid=jnp.asarray(np.arange(F) < len(frames)),
-            frame_fixed=jnp.asarray(pad(frame_fixed, F, (), bool)),
-            X=jnp.asarray(pad(st.mp_pos[mp_sel], P, (3,))),
-            point_valid=jnp.asarray(np.arange(P) < len(mp_sel)),
-            obs_frame=jnp.asarray(pad(fi, O, (), np.int32)),
-            obs_point=jnp.asarray(pad(p_idx, O, (), np.int32)),
-            obs_uv=jnp.asarray(pad(uvr, O, (3,))),
-            obs_valid=jnp.asarray(np.arange(O) < len(pi)),
+        fpack = np.zeros((F, 14), np.float32)
+        fpack[:, 0:9] = pad(st.kf_R[frames], F, (3, 3)).reshape(F, 9) + np.where(
+            (np.arange(F) >= len(frames))[:, None], np.eye(3, dtype=np.float32).reshape(1, 9), 0.0
         )
+        fpack[:, 9:12] = pad(st.kf_t[frames], F, (3,))
+        fpack[:, 12] = np.arange(F) < len(frames)
+        fpack[:, 13] = pad(frame_fixed, F, (), bool)
+        ppack = np.zeros((P, 4), np.float32)
+        ppack[:, 0:3] = pad(st.mp_pos[mp_sel], P, (3,))
+        ppack[:, 3] = np.arange(P) < len(mp_sel)
+        opack = np.zeros((O, 6), np.float32)
+        opack[:, 0] = pad(fi, O, (), np.int32)
+        opack[:, 1] = pad(p_idx, O, (), np.int32)
+        opack[:, 2:5] = pad(uvr, O, (3,))
+        opack[:, 5] = np.arange(O) < len(pi)
+        args = (jnp.asarray(fpack), jnp.asarray(ppack), jnp.asarray(opack))
         if self._ba_device is not None:
-            prob = jax.device_put(prob, self._ba_device)
-        res = self._ba(prob)
+            args = jax.device_put(args, self._ba_device)
+        res = self._ba(*args)
 
         meta = (frames, frame_fixed, mp_sel, pi, fi, p_idx, uvr)
         if self.cfg.ba_async:
@@ -457,16 +492,26 @@ class Backend:
 
     def _apply_ba_result(self, res, frames, frame_fixed, mp_sel, pi, fi, p_idx, uvr) -> None:
         st = self.store
+        # ONE packed readback (see the _ba wrapper), then host slicing
+        arr = np.asarray(res)
+        # layout: [R_wc(9F), t_wc(3F), X(3P), obs_inlier(O)]
+        P = self.cfg.ba_max_points
+        O = self.cfg.ba_max_observations
+        F = (arr.shape[0] - 3 * P - O) // 12
+        R_all = arr[: 9 * F].reshape(F, 3, 3)
+        t_all = arr[9 * F : 12 * F].reshape(F, 3)
+        X_all = arr[12 * F : 12 * F + 3 * P].reshape(P, 3)
+        inl_all = arr[12 * F + 3 * P :] > 0.5
         # write back (mapping.cc:506-538)
         free = ~frame_fixed
-        st.kf_R[frames[free]] = np.asarray(res.R_wc)[: len(frames)][free]
-        st.kf_t[frames[free]] = np.asarray(res.t_wc)[: len(frames)][free]
-        st.mp_pos[mp_sel] = np.asarray(res.X)[: len(mp_sel)]
+        st.kf_R[frames[free]] = R_all[: len(frames)][free]
+        st.kf_t[frames[free]] = t_all[: len(frames)][free]
+        st.mp_pos[mp_sel] = X_all[: len(mp_sel)]
 
         # outlier removal (mapping.cc:474-501), batched: one vectorized
         # store update instead of a per-outlier Python loop (hundreds of
         # outliers per keyframe were a measurable host-time share)
-        inlier = np.asarray(res.obs_inlier)[: len(pi)]
+        inlier = inl_all[: len(pi)]
         bad = np.nonzero(~inlier)[0]
         if len(bad):
             kf_slots = frames[fi[bad]]

@@ -139,8 +139,7 @@ class NeuralExtractor:
         # explicit config value > checkpoint-embedded calibration > 0.5
         self.match_threshold = match_threshold = superglue.resolve_matching_threshold(sg_cfg)
 
-        @partial(jax.jit, static_argnames=("outlier_rejection",))
-        def _match(sg_params, key, bank0: FeatureBank, bank1: FeatureBank, outlier_rejection: bool = True) -> Matches:
+        def _match_impl(sg_params, key, bank0: FeatureBank, bank1: FeatureBank, outlier_rejection: bool = True) -> Matches:
             if matcher == "nn":
                 from ur_mvo_tpu.ops.nn_matcher import match_nn
 
@@ -174,7 +173,13 @@ class NeuralExtractor:
         self._extract_nomask_fn = _extract_nomask
         self._extract_right_fn = _extract_right
         self._extract_right_nomask_fn = _extract_right_nomask
-        self._match_fn = _match
+        self._match_fn = partial(jax.jit, static_argnames=("outlier_rejection",))(_match_impl)
+        # Traceable (un-jitted) matcher for callers that fuse matching
+        # into a larger device program (the tracker's fused frame step):
+        # composing at trace level keeps match+track ONE dispatch and
+        # ONE readback per frame instead of two programs with host
+        # gathers in between.
+        self.match_traceable = _match_impl
         self._key = jax.random.PRNGKey(cfg.runtime.seed + 1)
 
     def extract(self, image: np.ndarray, mask: Optional[np.ndarray] = None, right: bool = False) -> FeatureBank:

@@ -66,6 +66,7 @@ class Tracker:
         self._last_pose = np.eye(4, dtype=np.float32)  # T_wc
         self._last_bank = None
         self._last_track = None  # (K,) mappoint ids of last frame
+        self._last_uvr = None  # lazily materialized (see _after_track)
         self._last_time = 0.0
         self._last_frame_id = -1
         self._last_track_well = False
@@ -170,7 +171,126 @@ class Tracker:
 
         self._local_map_kernel = _local_map_kernel
 
+        # Fused frame step: match-vs-ref + correspondence scatter + PnP
+        # prior + pose refinement + jump-guard rescue as ONE device
+        # program with ONE packed f32 readback. The unfused path costs
+        # ~12 host<->device round trips per frame (3 dispatches + 9
+        # transfers), each floored by per-call latency (~24 ms through
+        # the dev relay, ~0.1 ms locally); fused it is 1 dispatch + 1
+        # small upload + 1 readback. Built only for extractors that
+        # expose a traceable matcher (the neural path); the oracle /
+        # stereo / precomputed-match paths keep the two-program flow.
+        self._fused_kernel = None
+        if hasattr(extractor, "match_traceable"):
+            match_impl = extractor.match_traceable
+            min_match = kf.min_num_match
+            max_jump = 4.0 * kf.max_distance
+
+            @jax.jit
+            def _fused_track(sg_params, key, ref_bank, bank, snapshot):
+                """``snapshot`` (K, 6) f32 packs every host-side input in
+                one upload: [:, 0:3] candidate mappoint positions per REF
+                slot, [:, 3] candidate-ok flag, [:, 4] ref track table
+                (mappoint ids, exact in f32), [0:9, 5] last R_cw,
+                [9:12, 5] last t_cw. Returns (next_key, packed) with
+                packed = [num_match, n_inliers, R_cw(9), t_cw(3),
+                frame_track(K)]."""
+                key_next, k_match, k_pnp = jax.random.split(key, 3)
+                m = match_impl(sg_params, k_match, ref_bank, bank, True)
+                K = m.idx1.shape[0]
+                cand_pos = snapshot[:, 0:3]
+                cand_ok = snapshot[:, 3] > 0.5
+                ref_track = snapshot[:, 4]
+                R_last_cw = snapshot[0:9, 5].reshape(3, 3)
+                t_last_cw = snapshot[9:12, 5]
+                num_match = m.num_valid()
+
+                # scatter ref-slot candidates to current-frame slots
+                # (the host-side gather in _track_frame, on device)
+                src_ok = m.valid & cand_ok
+                dst = jnp.where(src_ok, m.idx1, K)  # K = dump row
+                X = jnp.zeros((K + 1, 3), jnp.float32).at[dst].set(cand_pos)[:K]
+                valid_cur = jnp.zeros(K + 1, bool).at[dst].set(src_ok)[:K]
+                mp_slot = (
+                    jnp.full(K + 1, -1.0, jnp.float32)
+                    .at[dst]
+                    .set(jnp.where(src_ok, ref_track, -1.0))[:K]
+                )
+                uv = jnp.concatenate([bank.kpts, -jnp.ones((K, 1), jnp.float32)], axis=1)
+                obs = PoseObs(X=X, uv=uv, valid=valid_cur)
+
+                pnp = ransac_pnp(
+                    k_pnp, X, uv[:, :2], valid_cur, self.K_mat,
+                    iterations=rt.pnp_ransac_iterations,
+                    threshold_px=rt.pnp_reprojection_threshold,
+                )
+                weak = (
+                    (pnp.n_inliers < min_match)
+                    | (jnp.sum(valid_cur.astype(jnp.int32)) < 6)
+                    | ~jnp.all(jnp.isfinite(pnp.t_cw))
+                )
+                R0 = jnp.where(weak, R_last_cw, pnp.R_cw)
+                t0 = jnp.where(weak, t_last_cw, pnp.t_cw)
+                res = optimize_pose(
+                    R0, t0, obs, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+                    chi2_mono=topt.mono_point, chi2_stereo=topt.stereo_point,
+                )
+                # jump guard + rescue (see _track_frame for rationale)
+                t_wc_last = -R_last_cw.T @ t_last_cw
+                t_wc = -res.R_cw.T @ res.t_cw
+                jump = jnp.linalg.norm(t_wc - t_wc_last)
+                ok1 = res.n_inliers >= min_match
+                bad_jump = ~jnp.isfinite(jump) | (jump > max_jump)
+
+                def rescue(_):
+                    r2 = optimize_pose(
+                        R_last_cw, t_last_cw, obs, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+                        chi2_mono=topt.mono_point, chi2_stereo=topt.stereo_point,
+                    )
+                    t2 = -r2.R_cw.T @ r2.t_cw
+                    j2 = jnp.linalg.norm(t2 - t_wc_last)
+                    ok2 = jnp.isfinite(j2) & (j2 <= max_jump) & (r2.n_inliers >= min_match)
+                    return r2.R_cw, r2.t_cw, r2.inliers & ok2, jnp.where(ok2, r2.n_inliers, 0)
+
+                def keep(_):
+                    return res.R_cw, res.t_cw, res.inliers, res.n_inliers
+
+                R_f, t_f, inl_f, n_f = jax.lax.cond(ok1 & bad_jump, rescue, keep, None)
+                frame_track = jnp.where(inl_f, mp_slot, -1.0)
+                packed = jnp.concatenate([
+                    jnp.stack([num_match.astype(jnp.float32), n_f.astype(jnp.float32)]),
+                    R_f.reshape(-1), t_f, frame_track,
+                ])
+                return key_next, packed
+
+            self._fused_kernel = _fused_track
+
     # ------------------------------------------------------------------
+
+    def reset_state(self) -> None:
+        """Clear all per-sequence state, keep every compiled kernel (see
+        Backend.reset_state — a rebuild retraces for tens of seconds)."""
+        self.backend.reset_state()
+        self._initialized = False
+        self._init_bank = None
+        self._init_time = None
+        self._init_frame_id = None
+        self._frame_counter = 0
+        self._last_pose = np.eye(4, dtype=np.float32)
+        self._last_bank = None
+        self._last_track = None
+        self._last_uvr = None
+        self._last_time = 0.0
+        self._last_frame_id = -1
+        self._last_track_well = False
+        self._num_since_last_keyframe = 0
+        self._ref_slot = None
+        self._ref_bank = None
+        self._ref_frame_id = -1
+        self._last_keyframe_pose = np.eye(4, dtype=np.float32)
+        self._last_keyframe_frame_id = -1
+        self._last_keyframe_time = 0.0
+        self._rng = jax.random.PRNGKey(self.cfg.runtime.seed + 7)
 
     def _next_key(self):
         self._rng, sub = jax.random.split(self._rng)
@@ -187,7 +307,20 @@ class Tracker:
         frame_id = self._frame_counter
         self._frame_counter += 1
 
-        uvr = self._stereo_uvr(bank, bank_right)
+        # The fused frame step covers the production mono neural path;
+        # stereo (needs the left-right gate), precomputed batched
+        # matches, and local-map tracking keep the two-program flow.
+        use_fused = (
+            self._fused_kernel is not None
+            and bank_right is None
+            and precomputed_match is None
+            and not self.cfg.local_map_tracking.enabled
+        )
+        # uvr is a host array (np.asarray(kpts) is a device readback):
+        # build it eagerly only where it is consumed — stereo always,
+        # mono only on the unfused tracked path.
+        need_uvr = bank_right is not None or (self._initialized and not use_fused)
+        uvr = self._stereo_uvr(bank, bank_right) if need_uvr else None
 
         if not self._initialized:
             if bank_right is not None:
@@ -195,35 +328,51 @@ class Tracker:
             return self._try_initialize(bank, timestamp, frame_id, depth_lookup,
                                         precomputed_match=precomputed_match)
 
-        with self.timer.span("match"):
-            matches = precomputed_match if precomputed_match is not None else self.extractor.match(self._ref_bank, bank)
-            num_match = int(matches.num_valid())
-
         pose_out = None
-        ref_track = self.backend.store.kf_track[self._ref_slot]
-        ref_frame_id = self._ref_frame_id
+        min_match = self.cfg.keyframe.min_num_match
 
-        def run_track(ref_track_arr, m: Matches):
-            return self._track_frame(bank, uvr, ref_track_arr, m)
-
-        if num_match < self.cfg.keyframe.min_num_match:
-            promoted = self._promote_last_frame(timestamp)
-            if promoted is None:
-                self._after_track(bank, None, timestamp, frame_id, track_well=False, uvr=uvr)
-                return None
-            ref_track = self.backend.store.kf_track[self._ref_slot]
-            ref_frame_id = self._ref_frame_id
-            matches = self.extractor.match(self._ref_bank, bank)
-            num_inliers, pose, frame_track = run_track(ref_track, matches)
-        else:
-            num_inliers, pose, frame_track = run_track(ref_track, matches)
-            if num_inliers < self.cfg.keyframe.min_num_match:
+        if use_fused:
+            num_match, num_inliers, pose, frame_track = self._track_frame_fused(bank)
+            if num_match < min_match:
+                promoted = self._promote_last_frame(timestamp)
+                if promoted is None:
+                    self._after_track(bank, None, timestamp, frame_id, track_well=False, uvr=uvr)
+                    return None
+                num_match, num_inliers, pose, frame_track = self._track_frame_fused(bank)
+            elif num_inliers < min_match:
                 promoted = self._promote_last_frame(timestamp)
                 if promoted is not None:
-                    ref_track = self.backend.store.kf_track[self._ref_slot]
-                    ref_frame_id = self._ref_frame_id
-                    matches = self.extractor.match(self._ref_bank, bank)
-                    num_inliers, pose, frame_track = run_track(ref_track, matches)
+                    num_match, num_inliers, pose, frame_track = self._track_frame_fused(bank)
+            ref_frame_id = self._ref_frame_id
+        else:
+            with self.timer.span("match"):
+                matches = precomputed_match if precomputed_match is not None else self.extractor.match(self._ref_bank, bank)
+                num_match = int(matches.num_valid())
+
+            ref_track = self.backend.store.kf_track[self._ref_slot]
+            ref_frame_id = self._ref_frame_id
+
+            def run_track(ref_track_arr, m: Matches):
+                return self._track_frame(bank, uvr, ref_track_arr, m)
+
+            if num_match < min_match:
+                promoted = self._promote_last_frame(timestamp)
+                if promoted is None:
+                    self._after_track(bank, None, timestamp, frame_id, track_well=False, uvr=uvr)
+                    return None
+                ref_track = self.backend.store.kf_track[self._ref_slot]
+                ref_frame_id = self._ref_frame_id
+                matches = self.extractor.match(self._ref_bank, bank)
+                num_inliers, pose, frame_track = run_track(ref_track, matches)
+            else:
+                num_inliers, pose, frame_track = run_track(ref_track, matches)
+                if num_inliers < min_match:
+                    promoted = self._promote_last_frame(timestamp)
+                    if promoted is not None:
+                        ref_track = self.backend.store.kf_track[self._ref_slot]
+                        ref_frame_id = self._ref_frame_id
+                        matches = self.extractor.match(self._ref_bank, bank)
+                        num_inliers, pose, frame_track = run_track(ref_track, matches)
 
         track_well = num_inliers >= self.cfg.keyframe.min_num_match
         if not track_well:
@@ -538,6 +687,41 @@ class Tracker:
         frame_track = np.where(inl, mp_of_slot, -1).astype(np.int32)
         return n_inl, pose, frame_track
 
+    def _track_frame_fused(self, bank):
+        """Host half of the fused frame step: build the (K, 6) input
+        snapshot (numpy gathers over the store — microseconds), ONE
+        kernel dispatch, ONE packed readback. Returns
+        (num_match, n_inliers, pose T_wc, frame_track)."""
+        st = self.backend.store
+        ref_track = st.kf_track[self._ref_slot]
+        safe = np.maximum(ref_track, 0)
+        ok = (ref_track >= 0) & st.mp_good[safe] & ~st.mp_bad[safe]
+        K = ref_track.shape[0]
+        snap = np.zeros((K, 6), np.float32)
+        snap[:, 0:3] = st.mp_pos[safe]
+        snap[:, 3] = ok
+        snap[:, 4] = ref_track
+        R_last_cw = self._last_pose[:3, :3].T
+        snap[0:9, 5] = R_last_cw.reshape(-1)
+        snap[9:12, 5] = -R_last_cw @ self._last_pose[:3, 3]
+        with self.timer.span("track"):
+            self._rng, packed = self._fused_kernel(
+                self.extractor.sg_params, self._rng, self._ref_bank, bank, jnp.asarray(snap)
+            )
+            arr = np.asarray(packed)
+        num_match = int(arr[0])
+        n_inl = int(arr[1])
+        if n_inl >= self.cfg.keyframe.min_num_match and np.all(np.isfinite(arr[2:14])):
+            R_cw = arr[2:11].reshape(3, 3)
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = R_cw.T
+            pose[:3, 3] = -R_cw.T @ arr[11:14]
+            frame_track = arr[14:].astype(np.int32)
+        else:
+            pose = self._last_pose.copy()
+            frame_track = np.full(K, -1, np.int32)
+        return num_match, n_inl, pose, frame_track
+
     def _track_local_map(self, bank, pose, frame_track, num_inliers):
         """Optional: associate covisibility-local map points by projection
         and refine the pose on the expanded correspondence set."""
@@ -595,7 +779,10 @@ class Tracker:
         kf = self.cfg.keyframe
         last = self._last_keyframe_pose
         dR = last[:3, :3].T @ pose[:3, :3]
-        angle = float(lie.rotation_angle(jnp.asarray(dR)))
+        # host-side 3x3 angle: dispatching a device kernel for this cost
+        # a full host->device->host round trip EVERY tracked frame
+        # (~24 ms through the dev relay; ~0.1 ms even locally)
+        angle = float(np.arccos(np.clip((np.trace(dR) - 1.0) * 0.5, -1.0, 1.0)))
         dist = float(np.linalg.norm(pose[:3, 3] - last[:3, 3]))
         passed = frame_id - self._last_keyframe_frame_id
         return (
@@ -643,9 +830,9 @@ class Tracker:
             self._last_pose = pose
         self._last_bank = bank
         self._last_track = track if track is not None else np.full(bank.capacity, -1, np.int32)
-        if uvr is None:
-            kpts = np.asarray(bank.kpts)
-            uvr = np.concatenate([kpts, -np.ones((bank.capacity, 1), np.float32)], axis=1)
+        # uvr stays lazy (None) on the fused path: materializing it here
+        # is a per-frame device readback, and only the promote-fallback /
+        # keyframe paths consume it (they build it from the bank then).
         self._last_uvr = uvr
         self._last_time = timestamp
         self._last_frame_id = frame_id
