@@ -47,9 +47,12 @@ def _enable_compile_cache():
 
     d = os.environ.get("URMVO_COMPILE_CACHE", os.path.expanduser("~/.cache/ur_mvo_tpu/xla"))
     try:
-        os.makedirs(d, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", d)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # TPU only — XLA:CPU AOT serialization is unreliable on this
+        # host (segfault observed writing a large CPU executable)
+        if jax.default_backend() == "tpu":
+            os.makedirs(d, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", d)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
 

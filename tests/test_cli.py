@@ -27,7 +27,7 @@ def test_run_vo_cli(tmp_path):
         [sys.executable, os.path.join(REPO, "scripts", "run_vo.py"),
          "--images", str(tmp_path / "seq"), "--platform", "cpu",
          "--results", str(out)],
-        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=1200, env=env, cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert (out / "poses.txt").exists()
@@ -47,7 +47,7 @@ def test_train_cli(tmp_path):
         [sys.executable, os.path.join(REPO, "scripts", "train_superpoint.py"),
          "--images", str(img_dir), "--out", out, "--epochs", "1", "--batch", "2",
          "--crop", "64", "64", "--steps-per-epoch", "2", "--platform", "cpu"],
-        capture_output=True, text=True, timeout=600, cwd=REPO,
+        capture_output=True, text=True, timeout=1200, cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert os.path.exists(out)
@@ -70,7 +70,7 @@ def test_make_dataset_and_eval_roundtrip(tmp_path):
         [sys.executable, os.path.join(REPO, "scripts", "run_vo.py"),
          "--images", str(seq), "--gt", str(seq / "gt.txt"), "--platform", "cpu",
          "--results", str(tmp_path / "out"), "--stride", "1"],
-        capture_output=True, text=True, timeout=600, cwd=REPO,
+        capture_output=True, text=True, timeout=1200, cwd=REPO,
         env=dict(os.environ, URMVO_COMPILE_CACHE=str(tmp_path / "cache")),
     )
     assert proc.returncode == 0, proc.stderr[-1500:]
@@ -160,7 +160,7 @@ def test_make_dataset_rgbd_roundtrip(tmp_path):
          "--platform", "cpu", "--results", str(tmp_path / "out"), "--stride", "1",
          "--kpt-threshold", "1e-4",
          "--weights", os.path.join(REPO, "weights", "superpoint_scratch_v3.npz")],
-        capture_output=True, text=True, timeout=900, cwd=REPO,
+        capture_output=True, text=True, timeout=1500, cwd=REPO,
         env=dict(os.environ, URMVO_COMPILE_CACHE=str(tmp_path / "cache")),
     )
     assert proc.returncode == 0, proc.stderr[-1500:]
@@ -193,7 +193,7 @@ def test_cli_superglue_beats_nn_under_photometric_decay(tmp_path):
              "--images", str(seq), "--gt", str(seq / "gt.txt"), "--platform", "cpu",
              "--results", str(tmp_path / f"out_{tag}"), "--stride", "1",
              "--weights", os.path.join(REPO, "weights", "superpoint_scratch_v3.npz")] + extra,
-            capture_output=True, text=True, timeout=900, cwd=REPO,
+            capture_output=True, text=True, timeout=1500, cwd=REPO,
             env=dict(os.environ, URMVO_COMPILE_CACHE=str(tmp_path / "cache")),
         )
         assert proc.returncode == 0, proc.stderr[-1500:]

@@ -61,9 +61,16 @@ class UR_MVO:
 
             cache_dir = os.environ.get("URMVO_COMPILE_CACHE", os.path.expanduser("~/.cache/ur_mvo_tpu/xla"))
             try:
-                os.makedirs(cache_dir, exist_ok=True)
-                jax.config.update("jax_compilation_cache_dir", cache_dir)
-                jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+                # TPU only: XLA:CPU AOT (de)serialization is unreliable
+                # across machine-feature mismatches (observed: loader
+                # warnings, and a segfault in put_executable_and_time
+                # writing a large CPU executable), and CPU recompiles are
+                # cheap anyway. On TPU the cache is the analog of the
+                # reference's serialized engines and saves minutes.
+                if jax.default_backend() == "tpu":
+                    os.makedirs(cache_dir, exist_ok=True)
+                    jax.config.update("jax_compilation_cache_dir", cache_dir)
+                    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
             except Exception:
                 pass
             UR_MVO._compile_cache_set = True

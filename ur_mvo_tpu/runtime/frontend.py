@@ -181,23 +181,43 @@ class Tracker:
         # expose a traceable matcher (the neural path); the oracle /
         # stereo / precomputed-match paths keep the two-program flow.
         self._fused_kernel = None
+        self._fused_kernel_stereo = None
+        self._bank_pack = None
         if hasattr(extractor, "match_traceable"):
             match_impl = extractor.match_traceable
             min_match = kf.min_num_match
             max_jump = 4.0 * kf.max_distance
+            # stereo disparity band (Frame::AddRightFeatures,
+            # frame.cc:95-126) — closure constants from the calibration
+            st_min_dx = cam.bf / cam.depth_upper_thr if cam.bf > 0 else 0.0
+            st_max_dx = cam.bf / cam.depth_lower_thr if cam.bf > 0 else 0.0
+            st_max_dy = cam.max_y_diff
 
-            @jax.jit
-            def _fused_track(sg_params, key, ref_bank, bank, snapshot):
+            def _fused_impl(sg_params, key, ref_bank, bank, snapshot, bank_right):
                 """``snapshot`` (K, 6) f32 packs every host-side input in
                 one upload: [:, 0:3] candidate mappoint positions per REF
                 slot, [:, 3] candidate-ok flag, [:, 4] ref track table
                 (mappoint ids, exact in f32), [0:9, 5] last R_cw,
                 [9:12, 5] last t_cw. Returns (next_key, packed) with
                 packed = [num_match, n_inliers, R_cw(9), t_cw(3),
-                frame_track(K)]."""
-                key_next, k_match, k_pnp = jax.random.split(key, 3)
+                frame_track(K), uvr(3K row-major)]. With ``bank_right``
+                the left-right match + disparity gate run on device too."""
+                key_next, k_lr, k_match, k_pnp = jax.random.split(key, 4)
+                K = bank.kpts.shape[0]
+                if bank_right is None:
+                    uvr = jnp.concatenate([bank.kpts, -jnp.ones((K, 1), jnp.float32)], axis=1)
+                else:
+                    m_lr = match_impl(sg_params, k_lr, bank, bank_right, True)
+                    ridx = jnp.maximum(m_lr.idx1, 0)
+                    rx = bank_right.kpts[ridx, 0]
+                    ry = bank_right.kpts[ridx, 1]
+                    dx = bank.kpts[:, 0] - rx
+                    dy = jnp.abs(bank.kpts[:, 1] - ry)
+                    ok_lr = m_lr.valid & (dx > st_min_dx) & (dx < st_max_dx) & (dy <= st_max_dy)
+                    uvr = jnp.concatenate(
+                        [bank.kpts, jnp.where(ok_lr, rx, -1.0)[:, None]], axis=1
+                    )
                 m = match_impl(sg_params, k_match, ref_bank, bank, True)
-                K = m.idx1.shape[0]
                 cand_pos = snapshot[:, 0:3]
                 cand_ok = snapshot[:, 3] > 0.5
                 ref_track = snapshot[:, 4]
@@ -216,11 +236,10 @@ class Tracker:
                     .at[dst]
                     .set(jnp.where(src_ok, ref_track, -1.0))[:K]
                 )
-                uv = jnp.concatenate([bank.kpts, -jnp.ones((K, 1), jnp.float32)], axis=1)
-                obs = PoseObs(X=X, uv=uv, valid=valid_cur)
+                obs = PoseObs(X=X, uv=uvr, valid=valid_cur)
 
                 pnp = ransac_pnp(
-                    k_pnp, X, uv[:, :2], valid_cur, self.K_mat,
+                    k_pnp, X, uvr[:, :2], valid_cur, self.K_mat,
                     iterations=rt.pnp_ransac_iterations,
                     threshold_px=rt.pnp_reprojection_threshold,
                 )
@@ -259,11 +278,32 @@ class Tracker:
                 frame_track = jnp.where(inl_f, mp_slot, -1.0)
                 packed = jnp.concatenate([
                     jnp.stack([num_match.astype(jnp.float32), n_f.astype(jnp.float32)]),
-                    R_f.reshape(-1), t_f, frame_track,
+                    R_f.reshape(-1), t_f, frame_track, uvr.reshape(-1),
                 ])
                 return key_next, packed
 
+            @jax.jit
+            def _fused_track(sg_params, key, ref_bank, bank, snapshot):
+                return _fused_impl(sg_params, key, ref_bank, bank, snapshot, None)
+
+            @jax.jit
+            def _fused_track_stereo(sg_params, key, ref_bank, bank, snapshot, bank_right):
+                return _fused_impl(sg_params, key, ref_bank, bank, snapshot, bank_right)
+
             self._fused_kernel = _fused_track
+            self._fused_kernel_stereo = _fused_track_stereo if cam.bf > 0 else None
+
+            @jax.jit
+            def _bank_pack(bank):
+                """Keyframe-path bank materialization as ONE transfer
+                (kpts + valid + desc were three separate readbacks)."""
+                return jnp.concatenate([
+                    bank.kpts.reshape(-1),
+                    bank.valid.astype(jnp.float32),
+                    bank.desc.reshape(-1),
+                ])
+
+            self._bank_pack = _bank_pack
 
     # ------------------------------------------------------------------
 
@@ -307,19 +347,23 @@ class Tracker:
         frame_id = self._frame_counter
         self._frame_counter += 1
 
-        # The fused frame step covers the production mono neural path;
-        # stereo (needs the left-right gate), precomputed batched
-        # matches, and local-map tracking keep the two-program flow.
+        # The fused frame step covers the production neural paths (mono
+        # AND stereo — the left-right match + disparity gate ride in the
+        # same program); precomputed batched matches and local-map
+        # tracking keep the two-program flow.
         use_fused = (
             self._fused_kernel is not None
-            and bank_right is None
+            and (bank_right is None or self._fused_kernel_stereo is not None)
             and precomputed_match is None
             and not self.cfg.local_map_tracking.enabled
         )
         # uvr is a host array (np.asarray(kpts) is a device readback):
-        # build it eagerly only where it is consumed — stereo always,
-        # mono only on the unfused tracked path.
-        need_uvr = bank_right is not None or (self._initialized and not use_fused)
+        # build it eagerly only where it is consumed — stereo init and
+        # the unfused tracked path (the fused kernel RETURNS uvr in its
+        # packed output instead).
+        need_uvr = (bank_right is not None and not self._initialized) or (
+            self._initialized and not use_fused
+        )
         uvr = self._stereo_uvr(bank, bank_right) if need_uvr else None
 
         if not self._initialized:
@@ -332,17 +376,17 @@ class Tracker:
         min_match = self.cfg.keyframe.min_num_match
 
         if use_fused:
-            num_match, num_inliers, pose, frame_track = self._track_frame_fused(bank)
+            num_match, num_inliers, pose, frame_track, uvr = self._track_frame_fused(bank, bank_right)
             if num_match < min_match:
                 promoted = self._promote_last_frame(timestamp)
                 if promoted is None:
                     self._after_track(bank, None, timestamp, frame_id, track_well=False, uvr=uvr)
                     return None
-                num_match, num_inliers, pose, frame_track = self._track_frame_fused(bank)
+                num_match, num_inliers, pose, frame_track, uvr = self._track_frame_fused(bank, bank_right)
             elif num_inliers < min_match:
                 promoted = self._promote_last_frame(timestamp)
                 if promoted is not None:
-                    num_match, num_inliers, pose, frame_track = self._track_frame_fused(bank)
+                    num_match, num_inliers, pose, frame_track, uvr = self._track_frame_fused(bank, bank_right)
             ref_frame_id = self._ref_frame_id
         else:
             with self.timer.span("match"):
@@ -687,11 +731,11 @@ class Tracker:
         frame_track = np.where(inl, mp_of_slot, -1).astype(np.int32)
         return n_inl, pose, frame_track
 
-    def _track_frame_fused(self, bank):
+    def _track_frame_fused(self, bank, bank_right=None):
         """Host half of the fused frame step: build the (K, 6) input
         snapshot (numpy gathers over the store — microseconds), ONE
         kernel dispatch, ONE packed readback. Returns
-        (num_match, n_inliers, pose T_wc, frame_track)."""
+        (num_match, n_inliers, pose T_wc, frame_track, uvr)."""
         st = self.backend.store
         ref_track = st.kf_track[self._ref_slot]
         safe = np.maximum(ref_track, 0)
@@ -705,22 +749,29 @@ class Tracker:
         snap[0:9, 5] = R_last_cw.reshape(-1)
         snap[9:12, 5] = -R_last_cw @ self._last_pose[:3, 3]
         with self.timer.span("track"):
-            self._rng, packed = self._fused_kernel(
-                self.extractor.sg_params, self._rng, self._ref_bank, bank, jnp.asarray(snap)
-            )
+            if bank_right is not None:
+                self._rng, packed = self._fused_kernel_stereo(
+                    self.extractor.sg_params, self._rng, self._ref_bank, bank,
+                    jnp.asarray(snap), bank_right,
+                )
+            else:
+                self._rng, packed = self._fused_kernel(
+                    self.extractor.sg_params, self._rng, self._ref_bank, bank, jnp.asarray(snap)
+                )
             arr = np.asarray(packed)
         num_match = int(arr[0])
         n_inl = int(arr[1])
+        uvr = arr[14 + K : 14 + 4 * K].reshape(K, 3).astype(np.float32)
         if n_inl >= self.cfg.keyframe.min_num_match and np.all(np.isfinite(arr[2:14])):
             R_cw = arr[2:11].reshape(3, 3)
             pose = np.eye(4, dtype=np.float32)
             pose[:3, :3] = R_cw.T
             pose[:3, 3] = -R_cw.T @ arr[11:14]
-            frame_track = arr[14:].astype(np.int32)
+            frame_track = arr[14 : 14 + K].astype(np.int32)
         else:
             pose = self._last_pose.copy()
             frame_track = np.full(K, -1, np.int32)
-        return num_match, n_inl, pose, frame_track
+        return num_match, n_inl, pose, frame_track, uvr
 
     def _track_local_map(self, bank, pose, frame_track, num_inliers):
         """Optional: associate covisibility-local map points by projection
@@ -792,14 +843,27 @@ class Tracker:
             or passed >= kf.max_num_passed_frame
         )
 
+    def _materialize_bank(self, bank):
+        """(kpts, valid, desc) as host arrays — ONE device transfer via
+        the packer on the neural path (three separate readbacks cost
+        three round trips); plain asarray for host-side banks."""
+        K = bank.capacity
+        D = bank.desc.shape[-1]
+        if self._bank_pack is not None and not isinstance(bank.kpts, np.ndarray):
+            arr = np.asarray(self._bank_pack(bank))
+            kpts = arr[: 2 * K].reshape(K, 2).astype(np.float32)
+            valid = arr[2 * K : 3 * K] > 0.5
+            desc = arr[3 * K :].reshape(K, D).astype(np.float32)
+            return kpts, valid, desc
+        return (np.asarray(bank.kpts), np.asarray(bank.valid), np.asarray(bank.desc))
+
     def _insert_keyframe(self, bank, uvr, pose, frame_track, timestamp, frame_id, depth_lookup, set_ref=True):
         """InsertKeyframe (tracking.cc:962-995 + Mapping::InsertKeyframe)."""
         st = self.backend.store
         if frame_id in st.frame_id_to_slot:
             return None
         K = bank.capacity
-        valid = np.asarray(bank.valid)
-        kpts = np.asarray(bank.kpts)
+        kpts, valid, desc_h = self._materialize_bank(bank)
         if uvr is None:
             uvr = np.concatenate([kpts, -np.ones((K, 1), np.float32)], axis=1)
         depth = depth_lookup(kpts) if depth_lookup is not None else None
@@ -807,11 +871,11 @@ class Tracker:
         with self.timer.span("keyframe_ba"):
             slot, (R_opt, t_opt) = self.backend.insert_keyframe(
                 frame_id, timestamp, pose[:3, :3], pose[:3, 3], uvr, valid, track, depth,
-                desc=np.asarray(bank.desc),
+                desc=desc_h,
             )
         if self.cfg.backend.loop_closure:
             with self.timer.span("loop_detect"):
-                self.backend.detect_loop(slot, np.asarray(bank.desc), kpts, valid)
+                self.backend.detect_loop(slot, desc_h, kpts, valid)
         opt_pose = np.eye(4, dtype=np.float32)
         opt_pose[:3, :3] = R_opt
         opt_pose[:3, 3] = t_opt
