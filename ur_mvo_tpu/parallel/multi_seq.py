@@ -154,6 +154,37 @@ class MultiSequenceVO:
         self._extract_batched = lambda imgs: ext_jit(self.sp_params, _to_b(imgs))
         self._match_batched = lambda keys, b0, b1: match_jit(self.sg_params, _to_b(keys), _to_b(b0), _to_b(b1))
 
+        # Batched TRACK: the fused post-match core (candidate scatter +
+        # PnP + pose GN + jump rescue, runtime/frontend.fused_track_core)
+        # vmapped over sequences — one program + one packed readback per
+        # lock-step frame instead of S per-sequence track dispatches.
+        from ur_mvo_tpu.runtime.frontend import fused_track_core
+
+        K_mat = jnp.asarray(camera.intrinsic_matrix())
+        kfc = cfg.keyframe
+        topt = cfg.tracking_optimization
+        rtc = cfg.runtime
+        camc = camera
+
+        def _track_one(key, m, bank, snap):
+            Kc = bank.kpts.shape[0]
+            uvr = jnp.concatenate([bank.kpts, -jnp.ones((Kc, 1), jnp.float32)], axis=1)
+            return fused_track_core(
+                key, m, uvr, snap, K_mat,
+                camc.fx, camc.fy, camc.cx, camc.cy, camc.bf,
+                topt.mono_point, topt.stereo_point,
+                rtc.pnp_ransac_iterations, rtc.pnp_reprojection_threshold,
+                kfc.min_num_match, 4.0 * kfc.max_distance,
+            )
+
+        _track_v = jax.vmap(_track_one, in_axes=(0, 0, 0, 0))
+        if mesh is not None:
+            track_jit = jax.jit(_track_v, in_shardings=(bsh, bsh, bsh, bsh), out_shardings=bsh)
+        else:
+            track_jit = jax.jit(_track_v)
+        self._track_batched = lambda keys, m, banks, snaps: track_jit(
+            _to_b(keys), _to_b(m), _to_b(banks), _to_b(snaps))
+
         self.trackers: List[Tracker] = []
         for i in range(self.S):
             ext = extractors[i] if extractors is not None else _SeqExtractorView(self, i)
@@ -190,10 +221,24 @@ class MultiSequenceVO:
         keys = jax.random.split(self._next_key(), self.S)
         matches_b = self._match_batched(keys, partners_b, banks_b)
 
+        # batched track for the sequences that are in tracking state
+        track_lane = [t.initialized and t._ref_bank is not None for t in self.trackers]
+        packed_b = None
+        if any(track_lane):
+            K = self.cfg.superpoint.capacity
+            snaps = np.zeros((self.S, K, 6), np.float32)
+            for i, t in enumerate(self.trackers):
+                if track_lane[i]:
+                    snaps[i] = t.fused_snapshot()
+            keys2 = jax.random.split(self._next_key(), self.S)
+            packed_b = np.asarray(
+                self._track_batched(keys2, matches_b, banks_b, jnp.asarray(snaps)))
+
         out = []
         for i, t in enumerate(self.trackers):
             m = jax.tree.map(lambda x: x[i], matches_b) if have_partner[i] else None
-            out.append(t.process(banks[i], timestamps[i], precomputed_match=m))
+            pt = t.parse_fused_packed(packed_b[i]) if (packed_b is not None and track_lane[i]) else None
+            out.append(t.process(banks[i], timestamps[i], precomputed_match=m, precomputed_track=pt))
         return out
 
     def process_batch_with_oracle(self, T_wcs: Sequence[np.ndarray], timestamps: Sequence[float]) -> List[Optional[np.ndarray]]:

@@ -42,6 +42,80 @@ from ur_mvo_tpu.runtime.publisher import (
 from ur_mvo_tpu.utils.timing import StageTimer
 
 
+def fused_track_core(k_pnp, m, uvr, snapshot, K_mat, fx, fy, cx, cy, bf,
+                     chi2_mono, chi2_stereo, pnp_iterations, pnp_threshold_px,
+                     min_match, max_jump):
+    """Traceable post-match half of the fused frame step: candidate
+    scatter + PnP prior + pose refinement + jump-guard rescue.
+
+    Shared by the Tracker's per-frame fused program and the
+    multi-sequence driver's vmapped batched-track program. Returns the
+    packed f32 vector [num_match, n_inliers, R_cw(9), t_cw(3),
+    frame_track(K), uvr(3K)] (see Tracker._parse_fused_packed)."""
+    K = m.idx1.shape[0]
+    cand_pos = snapshot[:, 0:3]
+    cand_ok = snapshot[:, 3] > 0.5
+    ref_track = snapshot[:, 4]
+    R_last_cw = snapshot[0:9, 5].reshape(3, 3)
+    t_last_cw = snapshot[9:12, 5]
+    num_match = m.num_valid()
+
+    # scatter ref-slot candidates to current-frame slots
+    # (the host-side gather in _track_frame, on device)
+    src_ok = m.valid & cand_ok
+    dst = jnp.where(src_ok, m.idx1, K)  # K = dump row
+    X = jnp.zeros((K + 1, 3), jnp.float32).at[dst].set(cand_pos)[:K]
+    valid_cur = jnp.zeros(K + 1, bool).at[dst].set(src_ok)[:K]
+    mp_slot = (
+        jnp.full(K + 1, -1.0, jnp.float32)
+        .at[dst]
+        .set(jnp.where(src_ok, ref_track, -1.0))[:K]
+    )
+    obs = PoseObs(X=X, uv=uvr, valid=valid_cur)
+
+    pnp = ransac_pnp(
+        k_pnp, X, uvr[:, :2], valid_cur, K_mat,
+        iterations=pnp_iterations, threshold_px=pnp_threshold_px,
+    )
+    weak = (
+        (pnp.n_inliers < min_match)
+        | (jnp.sum(valid_cur.astype(jnp.int32)) < 6)
+        | ~jnp.all(jnp.isfinite(pnp.t_cw))
+    )
+    R0 = jnp.where(weak, R_last_cw, pnp.R_cw)
+    t0 = jnp.where(weak, t_last_cw, pnp.t_cw)
+    res = optimize_pose(
+        R0, t0, obs, fx, fy, cx, cy, bf,
+        chi2_mono=chi2_mono, chi2_stereo=chi2_stereo,
+    )
+    # jump guard + rescue (see _track_frame for rationale)
+    t_wc_last = -R_last_cw.T @ t_last_cw
+    t_wc = -res.R_cw.T @ res.t_cw
+    jump = jnp.linalg.norm(t_wc - t_wc_last)
+    ok1 = res.n_inliers >= min_match
+    bad_jump = ~jnp.isfinite(jump) | (jump > max_jump)
+
+    def rescue(_):
+        r2 = optimize_pose(
+            R_last_cw, t_last_cw, obs, fx, fy, cx, cy, bf,
+            chi2_mono=chi2_mono, chi2_stereo=chi2_stereo,
+        )
+        t2 = -r2.R_cw.T @ r2.t_cw
+        j2 = jnp.linalg.norm(t2 - t_wc_last)
+        ok2 = jnp.isfinite(j2) & (j2 <= max_jump) & (r2.n_inliers >= min_match)
+        return r2.R_cw, r2.t_cw, r2.inliers & ok2, jnp.where(ok2, r2.n_inliers, 0)
+
+    def keep(_):
+        return res.R_cw, res.t_cw, res.inliers, res.n_inliers
+
+    R_f, t_f, inl_f, n_f = jax.lax.cond(ok1 & bad_jump, rescue, keep, None)
+    frame_track = jnp.where(inl_f, mp_slot, -1.0)
+    return jnp.concatenate([
+        jnp.stack([num_match.astype(jnp.float32), n_f.astype(jnp.float32)]),
+        R_f.reshape(-1), t_f, frame_track, uvr.reshape(-1),
+    ])
+
+
 class Tracker:
     def __init__(self, cfg: Configs, camera: Camera, extractor, backend: Optional[Backend] = None,
                  publisher: Optional[Publisher] = None):
@@ -200,8 +274,8 @@ class Tracker:
                 (mappoint ids, exact in f32), [0:9, 5] last R_cw,
                 [9:12, 5] last t_cw. Returns (next_key, packed) with
                 packed = [num_match, n_inliers, R_cw(9), t_cw(3),
-                frame_track(K), uvr(3K row-major)]. With ``bank_right``
-                the left-right match + disparity gate run on device too."""
+                frame_track(K), uvr(3K)]. With ``bank_right`` the
+                left-right match + disparity gate run on device too."""
                 key_next, k_lr, k_match, k_pnp = jax.random.split(key, 4)
                 K = bank.kpts.shape[0]
                 if bank_right is None:
@@ -218,68 +292,13 @@ class Tracker:
                         [bank.kpts, jnp.where(ok_lr, rx, -1.0)[:, None]], axis=1
                     )
                 m = match_impl(sg_params, k_match, ref_bank, bank, True)
-                cand_pos = snapshot[:, 0:3]
-                cand_ok = snapshot[:, 3] > 0.5
-                ref_track = snapshot[:, 4]
-                R_last_cw = snapshot[0:9, 5].reshape(3, 3)
-                t_last_cw = snapshot[9:12, 5]
-                num_match = m.num_valid()
-
-                # scatter ref-slot candidates to current-frame slots
-                # (the host-side gather in _track_frame, on device)
-                src_ok = m.valid & cand_ok
-                dst = jnp.where(src_ok, m.idx1, K)  # K = dump row
-                X = jnp.zeros((K + 1, 3), jnp.float32).at[dst].set(cand_pos)[:K]
-                valid_cur = jnp.zeros(K + 1, bool).at[dst].set(src_ok)[:K]
-                mp_slot = (
-                    jnp.full(K + 1, -1.0, jnp.float32)
-                    .at[dst]
-                    .set(jnp.where(src_ok, ref_track, -1.0))[:K]
+                packed = fused_track_core(
+                    k_pnp, m, uvr, snapshot, self.K_mat,
+                    cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+                    topt.mono_point, topt.stereo_point,
+                    rt.pnp_ransac_iterations, rt.pnp_reprojection_threshold,
+                    min_match, max_jump,
                 )
-                obs = PoseObs(X=X, uv=uvr, valid=valid_cur)
-
-                pnp = ransac_pnp(
-                    k_pnp, X, uvr[:, :2], valid_cur, self.K_mat,
-                    iterations=rt.pnp_ransac_iterations,
-                    threshold_px=rt.pnp_reprojection_threshold,
-                )
-                weak = (
-                    (pnp.n_inliers < min_match)
-                    | (jnp.sum(valid_cur.astype(jnp.int32)) < 6)
-                    | ~jnp.all(jnp.isfinite(pnp.t_cw))
-                )
-                R0 = jnp.where(weak, R_last_cw, pnp.R_cw)
-                t0 = jnp.where(weak, t_last_cw, pnp.t_cw)
-                res = optimize_pose(
-                    R0, t0, obs, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
-                    chi2_mono=topt.mono_point, chi2_stereo=topt.stereo_point,
-                )
-                # jump guard + rescue (see _track_frame for rationale)
-                t_wc_last = -R_last_cw.T @ t_last_cw
-                t_wc = -res.R_cw.T @ res.t_cw
-                jump = jnp.linalg.norm(t_wc - t_wc_last)
-                ok1 = res.n_inliers >= min_match
-                bad_jump = ~jnp.isfinite(jump) | (jump > max_jump)
-
-                def rescue(_):
-                    r2 = optimize_pose(
-                        R_last_cw, t_last_cw, obs, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
-                        chi2_mono=topt.mono_point, chi2_stereo=topt.stereo_point,
-                    )
-                    t2 = -r2.R_cw.T @ r2.t_cw
-                    j2 = jnp.linalg.norm(t2 - t_wc_last)
-                    ok2 = jnp.isfinite(j2) & (j2 <= max_jump) & (r2.n_inliers >= min_match)
-                    return r2.R_cw, r2.t_cw, r2.inliers & ok2, jnp.where(ok2, r2.n_inliers, 0)
-
-                def keep(_):
-                    return res.R_cw, res.t_cw, res.inliers, res.n_inliers
-
-                R_f, t_f, inl_f, n_f = jax.lax.cond(ok1 & bad_jump, rescue, keep, None)
-                frame_track = jnp.where(inl_f, mp_slot, -1.0)
-                packed = jnp.concatenate([
-                    jnp.stack([num_match.astype(jnp.float32), n_f.astype(jnp.float32)]),
-                    R_f.reshape(-1), t_f, frame_track, uvr.reshape(-1),
-                ])
                 return key_next, packed
 
             @jax.jit
@@ -337,7 +356,7 @@ class Tracker:
         return sub
 
     def process(self, bank, timestamp: float, depth_lookup=None, bank_right=None,
-                precomputed_match=None) -> Optional[np.ndarray]:
+                precomputed_match=None, precomputed_track=None) -> Optional[np.ndarray]:
         """One frame. ``bank``: FeatureBank (already extracted);
         ``bank_right``: right-image FeatureBank for the stereo path;
         ``precomputed_match``: optional Matches of (reference bank ->
@@ -362,7 +381,7 @@ class Tracker:
         # the unfused tracked path (the fused kernel RETURNS uvr in its
         # packed output instead).
         need_uvr = (bank_right is not None and not self._initialized) or (
-            self._initialized and not use_fused
+            self._initialized and not use_fused and precomputed_track is None
         )
         uvr = self._stereo_uvr(bank, bank_right) if need_uvr else None
 
@@ -374,6 +393,27 @@ class Tracker:
 
         pose_out = None
         min_match = self.cfg.keyframe.min_num_match
+
+        if precomputed_track is not None:
+            # batched multi-sequence track (parallel/multi_seq.py): the
+            # driver already ran the vmapped fused core for all
+            # sequences; adopt its lane unless tracking was weak — the
+            # rare weak/promote path falls through to the per-sequence
+            # legacy flow below.
+            num_match, num_inliers, pose, frame_track, p_uvr = precomputed_track
+            if num_match >= min_match and num_inliers >= min_match:
+                if uvr is None:
+                    uvr = p_uvr
+                ref_frame_id = self._ref_frame_id
+                if self.cfg.local_map_tracking.enabled:
+                    pose, frame_track, num_inliers = self._track_local_map(
+                        bank, pose, frame_track, num_inliers)
+                return self._finish_tracked_frame(
+                    bank, uvr, pose, frame_track, num_inliers, timestamp,
+                    frame_id, ref_frame_id, depth_lookup)
+            precomputed_track = None  # fall through to the legacy flow
+            if uvr is None:
+                uvr = self._stereo_uvr(bank, bank_right)
 
         if use_fused:
             num_match, num_inliers, pose, frame_track, uvr = self._track_frame_fused(bank, bank_right)
@@ -426,6 +466,15 @@ class Tracker:
         if self.cfg.local_map_tracking.enabled:
             pose, frame_track, num_inliers = self._track_local_map(bank, pose, frame_track, num_inliers)
 
+        return self._finish_tracked_frame(
+            bank, uvr, pose, frame_track, num_inliers, timestamp, frame_id,
+            ref_frame_id, depth_lookup)
+
+    def _finish_tracked_frame(self, bank, uvr, pose, frame_track, num_inliers,
+                              timestamp, frame_id, ref_frame_id, depth_lookup):
+        """Shared tail of a successfully tracked frame: keyframe decision
+        + insertion, publishing, last-frame bookkeeping."""
+        pose_out = None
         # keyframe decision (tracking.cc:913-958) — only when the ref
         # keyframe is still the latest keyframe.
         if self._add_keyframe_decision(pose, num_inliers, frame_id) and (
@@ -731,11 +780,12 @@ class Tracker:
         frame_track = np.where(inl, mp_of_slot, -1).astype(np.int32)
         return n_inl, pose, frame_track
 
-    def _track_frame_fused(self, bank, bank_right=None):
-        """Host half of the fused frame step: build the (K, 6) input
-        snapshot (numpy gathers over the store — microseconds), ONE
-        kernel dispatch, ONE packed readback. Returns
-        (num_match, n_inliers, pose T_wc, frame_track, uvr)."""
+    def fused_snapshot(self) -> np.ndarray:
+        """(K, 6) f32 host-side input of the fused frame step: candidate
+        mappoint positions/flags/track ids for the reference keyframe +
+        the last pose (numpy gathers over the store — microseconds).
+        Public so the multi-sequence driver can batch these across
+        sequences for its vmapped track program."""
         st = self.backend.store
         ref_track = st.kf_track[self._ref_slot]
         safe = np.maximum(ref_track, 0)
@@ -748,17 +798,13 @@ class Tracker:
         R_last_cw = self._last_pose[:3, :3].T
         snap[0:9, 5] = R_last_cw.reshape(-1)
         snap[9:12, 5] = -R_last_cw @ self._last_pose[:3, 3]
-        with self.timer.span("track"):
-            if bank_right is not None:
-                self._rng, packed = self._fused_kernel_stereo(
-                    self.extractor.sg_params, self._rng, self._ref_bank, bank,
-                    jnp.asarray(snap), bank_right,
-                )
-            else:
-                self._rng, packed = self._fused_kernel(
-                    self.extractor.sg_params, self._rng, self._ref_bank, bank, jnp.asarray(snap)
-                )
-            arr = np.asarray(packed)
+        return snap
+
+    def parse_fused_packed(self, arr: np.ndarray):
+        """Decode a fused-step packed vector (host array) into
+        (num_match, n_inliers, pose T_wc, frame_track, uvr), applying the
+        weak-tracking fallback to the last pose (_track_frame semantics)."""
+        K = self.cfg.superpoint.capacity
         num_match = int(arr[0])
         n_inl = int(arr[1])
         uvr = arr[14 + K : 14 + 4 * K].reshape(K, 3).astype(np.float32)
@@ -772,6 +818,23 @@ class Tracker:
             pose = self._last_pose.copy()
             frame_track = np.full(K, -1, np.int32)
         return num_match, n_inl, pose, frame_track, uvr
+
+    def _track_frame_fused(self, bank, bank_right=None):
+        """Host half of the fused frame step: ONE kernel dispatch, ONE
+        packed readback (see fused_snapshot/parse_fused_packed)."""
+        snap = self.fused_snapshot()
+        with self.timer.span("track"):
+            if bank_right is not None:
+                self._rng, packed = self._fused_kernel_stereo(
+                    self.extractor.sg_params, self._rng, self._ref_bank, bank,
+                    jnp.asarray(snap), bank_right,
+                )
+            else:
+                self._rng, packed = self._fused_kernel(
+                    self.extractor.sg_params, self._rng, self._ref_bank, bank, jnp.asarray(snap)
+                )
+            arr = np.asarray(packed)
+        return self.parse_fused_packed(arr)
 
     def _track_local_map(self, bank, pose, frame_track, num_inliers):
         """Optional: associate covisibility-local map points by projection
