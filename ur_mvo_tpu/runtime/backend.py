@@ -61,13 +61,23 @@ class Backend:
         )
         cam = camera
 
+        # same frame padding as local_bundle_adjustment's _round_up(.., 4)
+        F_pad = (backend_cfg.window_opt_frames + backend_cfg.window_fixed_frames + 1 + 3) // 4 * 4
+        P_pad = backend_cfg.ba_max_points
+        O_pad = backend_cfg.ba_max_observations
+        self._ba_dims = (F_pad, P_pad, O_pad)
+
         @jax.jit
-        def _ba(fpack, ppack, opack):
-            """Windowed BA with PACKED I/O: three uploads (frames (F,14),
-            points (P,4), observations (O,6)) and one f32 readback
-            [R_wc(9F), t_wc(3F), X(3P), obs_inlier(O)] instead of 10
-            uploads + 4 readbacks — every host<->device transfer is a
-            full round trip (~24 ms through the dev relay)."""
+        def _ba(flat):
+            """Windowed BA with PACKED I/O: ONE flat f32 upload
+            [frames (F,14) | points (P,4) | observations (O,6)] and one
+            f32 readback [R_wc(9F), t_wc(3F), X(3P), obs_inlier(O)]
+            instead of 10 uploads + 4 readbacks — every host<->device
+            transfer is a full round trip (~24 ms through the dev
+            relay)."""
+            fpack = flat[: 14 * F_pad].reshape(F_pad, 14)
+            ppack = flat[14 * F_pad : 14 * F_pad + 4 * P_pad].reshape(P_pad, 4)
+            opack = flat[14 * F_pad + 4 * P_pad :].reshape(O_pad, 6)
             prob = BAProblem(
                 R_wc=fpack[:, 0:9].reshape(-1, 3, 3),
                 t_wc=fpack[:, 9:12],
@@ -345,10 +355,15 @@ class Backend:
         # Build padded ray bundles: cap observers per point at 8 (enough
         # for the triangulation LS; reference uses all).
         MAX_OBS = 8
+        # PAD the batch to a power-of-two bucket: a data-dependent n
+        # would retrace + recompile the vmapped kernel for EVERY distinct
+        # candidate count (minutes each through the dev relay); the
+        # padded rows have valid=all-False and triangulate to ok=False.
         n = len(cand)
-        origins = np.zeros((n, MAX_OBS, 3), np.float32)
-        bearings = np.zeros((n, MAX_OBS, 3), np.float32)
-        valid = np.zeros((n, MAX_OBS), bool)
+        n_pad = max(8, 1 << (n - 1).bit_length())
+        origins = np.zeros((n_pad, MAX_OBS, 3), np.float32)
+        bearings = np.zeros((n_pad, MAX_OBS, 3), np.float32)
+        valid = np.zeros((n_pad, MAX_OBS), bool)
         for i, mp in enumerate(cand):
             kfs = np.nonzero(st.obs_slot[mp] >= 0)[0][:MAX_OBS]
             slots = st.obs_slot[mp, kfs]
@@ -366,8 +381,8 @@ class Backend:
             origins[i, : len(kfs)] = st.kf_t[kfs]
             valid[i, : len(kfs)] = True
         pts, ok = self._tri_batch(jnp.asarray(origins), jnp.asarray(bearings), jnp.asarray(valid))
-        pts = np.asarray(pts)
-        ok = np.asarray(ok)
+        pts = np.asarray(pts)[:n]
+        ok = np.asarray(ok)[:n]
         # Cheirality: the point must be in front of all its observing
         # cameras (the reference catches this later via BA depth gating;
         # doing it here avoids seeding BA with points behind cameras).
@@ -477,10 +492,10 @@ class Backend:
         opack[:, 1] = pad(p_idx, O, (), np.int32)
         opack[:, 2:5] = pad(uvr, O, (3,))
         opack[:, 5] = np.arange(O) < len(pi)
-        args = (jnp.asarray(fpack), jnp.asarray(ppack), jnp.asarray(opack))
+        flat = jnp.asarray(np.concatenate([fpack.reshape(-1), ppack.reshape(-1), opack.reshape(-1)]))
         if self._ba_device is not None:
-            args = jax.device_put(args, self._ba_device)
-        res = self._ba(*args)
+            flat = jax.device_put(flat, self._ba_device)
+        res = self._ba(flat)
 
         meta = (frames, frame_fixed, mp_sel, pi, fi, p_idx, uvr)
         if self.cfg.ba_async:
