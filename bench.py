@@ -246,7 +246,7 @@ def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
     # true per-frame host bookkeeping, the number a locally-attached
     # deployment would pay (dispatch overheads stay, ~0.1 ms/program)
     host_excl = max(host_thread - xfer["t"], 0.0)
-    return {
+    out = {
         "e2e_wall_fps": n_frames / wall,
         "host_thread_ms_per_frame": host_thread / n_frames * 1e3,
         "host_ms_per_frame_excl_sync": host_excl / n_frames * 1e3,
@@ -257,6 +257,44 @@ def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
         "e2e_initialized": bool(vo.tracker.initialized),
         "e2e_matcher": matcher,
     }
+
+    # chunked scan variant: C frames of extract+match+track per device
+    # program with on-device keyframe rollover (Tracker.process_chunk) —
+    # one dispatch + one packed readback per chunk.
+    CHUNK = 8
+    cfg.runtime.chunk_frames = CHUNK
+    vo2 = UR_MVO(cfg, SensorSetup.MONO, camera=cam)
+    frames = [Frame(image=Image(images[i], i / 30.0)) for i in range(n_frames)]
+
+    def run_chunked(v):
+        outs = v.process_sequence(frames)
+        return sum(1 for o in outs if o is not None)
+
+    run_chunked(vo2)  # warm/compile
+    if vo2.tracker.initialized:
+        vo2.reset()
+        xfer2 = {"n": 0, "t": 0.0}
+
+        def counted2(self, *a, **k):
+            t0 = time.perf_counter()
+            r = orig_array(self, *a, **k)
+            xfer2["n"] += 1
+            xfer2["t"] += time.perf_counter() - t0
+            return r
+
+        arr_t.__array__ = counted2
+        try:
+            t0 = time.perf_counter()
+            n_kf2 = run_chunked(vo2)
+            wall2 = time.perf_counter() - t0
+        finally:
+            arr_t.__array__ = orig_array
+        out["e2e_wall_fps_chunked"] = n_frames / wall2
+        out["d2h_transfers_per_frame_chunked"] = xfer2["n"] / n_frames
+        out["e2e_keyframes_chunked"] = n_kf2
+        out["e2e_chunk_frames"] = CHUNK
+    cfg.runtime.chunk_frames = 0
+    return out
 
 
 def main():
@@ -527,6 +565,18 @@ def main():
             f"projected local {proj:.1f} fps",
             file=sys.stderr,
         )
+        if "e2e_wall_fps_chunked" in e2e:
+            out["e2e_wall_fps_chunked"] = round(e2e["e2e_wall_fps_chunked"], 3)
+            out["d2h_transfers_per_frame_chunked"] = round(e2e["d2h_transfers_per_frame_chunked"], 2)
+            out["e2e_keyframes_chunked"] = e2e["e2e_keyframes_chunked"]
+            out["e2e_chunk_frames"] = e2e["e2e_chunk_frames"]
+            print(
+                f"# e2e chunked (C={e2e['e2e_chunk_frames']}): wall "
+                f"{e2e['e2e_wall_fps_chunked']:.1f} fps | "
+                f"{e2e['d2h_transfers_per_frame_chunked']:.2f} d2h/frame | "
+                f"{e2e['e2e_keyframes_chunked']} keyframes",
+                file=sys.stderr,
+            )
     print(json.dumps(out))
 
 

@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--masks", action="store_true",
                     help="feed semantic masks from <seq>/mask0/data (nonzero keeps a "
                          "pixel; the reference's processMonoWithMask path)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="process N frames per device program (chunked scan with "
+                         "on-device keyframe rollover; mono/rgbd neural path). "
+                         "0/1 = per-frame")
     ap.add_argument("--loop-closure", action="store_true",
                     help="enable online loop detection (Backend.detect_loop); verified "
                          "edges are consumed by the final --global-ba pose graph")
@@ -131,6 +135,8 @@ def main():
         cfg.camera_config_path = seq_cam
     if args.loop_closure:
         cfg.backend.loop_closure = True
+    if args.chunk and args.chunk > 1:
+        cfg.runtime.chunk_frames = args.chunk
     vo = UR_MVO(cfg, setup)
     ds = Dataset(args.images, use_right=(setup == Setup.STEREO), use_depth=(setup == Setup.RGBD),
                  use_mask=args.masks)
@@ -171,25 +177,46 @@ def main():
         pending_ts.clear()
 
     t0 = time.perf_counter()
-    # one-frame lookahead: the engine dispatches frame i+1's extraction
-    # before frame i's tracking/host work, overlapping device inference
-    # with host bookkeeping (the reference's 2-thread pipeline,
-    # tracking.cc:57-59)
-    prev = None  # (frame, time)
     pending_ts = []
-    for data in ds:
-        frame = to_frame(data)
+    if args.chunk and args.chunk > 1:
+        # chunked scan: blocks of frames through ONE device program each
+        # (engine.process_sequence; falls back per-frame around init,
+        # masks, and weak-tracking recoveries)
+        block = []
+
+        def flush_block():
+            outs = vo.process_sequence([f for f, _ in block])
+            for (f, ts_i), out in zip(block, outs):
+                pending_ts.append(ts_i)
+                if out:
+                    emit(out, pending_ts)
+            block.clear()
+
+        for data in ds:
+            block.append((to_frame(data), data.time))
+            if len(block) >= args.chunk * 8:
+                flush_block()
+        if block:
+            flush_block()
+    else:
+        # one-frame lookahead: the engine dispatches frame i+1's
+        # extraction before frame i's tracking/host work, overlapping
+        # device inference with host bookkeeping (the reference's
+        # 2-thread pipeline, tracking.cc:57-59)
+        prev = None  # (frame, time)
+        for data in ds:
+            frame = to_frame(data)
+            if prev is not None:
+                pending_ts.append(prev[1])
+                poses = vo.process(prev[0], next_data=frame)
+                if poses:
+                    emit(poses, pending_ts)
+            prev = (frame, data.time)
         if prev is not None:
             pending_ts.append(prev[1])
-            poses = vo.process(prev[0], next_data=frame)
+            poses = vo.process(prev[0])
             if poses:
                 emit(poses, pending_ts)
-        prev = (frame, data.time)
-    if prev is not None:
-        pending_ts.append(prev[1])
-        poses = vo.process(prev[0])
-        if poses:
-            emit(poses, pending_ts)
     elapsed = time.perf_counter() - t0
     if profile_ctx:
         profile_ctx.__exit__(None, None, None)

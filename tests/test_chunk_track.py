@@ -1,0 +1,91 @@
+"""Chunked multi-frame tracking (Tracker.process_chunk + the chunk scan
+kernel): C frames of extract+match+track as ONE device program with
+on-device keyframe rollover and provisional-id minting.
+
+TPU-first design with no reference analog (the reference overlaps its
+frame loop with 2 host threads, ``tracking.cc:57-59``; here the loop
+itself is compiled control flow). These tests pin behavioral
+equivalence with the per-frame fused path on a rendered scene: same
+initialization, comparable keyframe cadence / map growth / trajectory,
+and correct translation of provisional mappoint ids (a translation bug
+would leave orphan ids and starve the map — asserted via growth).
+"""
+
+import numpy as np
+import pytest
+
+from ur_mvo_tpu.camera import make_pinhole
+from ur_mvo_tpu.components import Frame, Image
+from ur_mvo_tpu.config import Configs, SensorSetup
+from ur_mvo_tpu.engine import UR_MVO
+from ur_mvo_tpu.utils.metrics import ate_rmse
+from ur_mvo_tpu.utils.synthscene import render_sequence
+
+H, W, K = 240, 320, 512
+N_FRAMES = 18
+FX = 260.0
+
+
+def _cfg(chunk):
+    cfg = Configs()
+    cfg.superpoint.capacity = K
+    cfg.superpoint.max_keypoints = 400
+    cfg.superpoint.keypoint_threshold = 1e-4
+    cfg.superpoint.weights_path = "weights/superpoint_scratch_v3.npz"
+    cfg.superglue.image_width = W
+    cfg.superglue.image_height = H
+    cfg.initializer.min_matches = 40
+    cfg.initializer.min_features_first = 80
+    cfg.runtime.chunk_frames = chunk
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def scene():
+    images, T_wc, _ = render_sequence(N_FRAMES, H, W, FX, seed=3, n_planes=3)
+    cam = make_pinhole(W, H, FX, FX, W / 2, H / 2)
+    return images, T_wc, cam
+
+
+def _run(images, T_wc, cam, chunk):
+    vo = UR_MVO(_cfg(chunk), SensorSetup.MONO, camera=cam)
+    frames = [Frame(image=Image(images[i], i / 30.0)) for i in range(N_FRAMES)]
+    outs = vo.process_sequence(frames)
+    n_kf = sum(1 for o in outs if o is not None)
+    kts, kpos, _ = vo.keyframe_trajectory()
+    idx = np.clip((np.asarray(kts) * 30.0).round().astype(int), 0, N_FRAMES - 1)
+    gt = T_wc[idx][:, :3, 3]
+    ate = ate_rmse(kpos, gt, align=True, correct_scale=True)
+    st = vo.tracker.backend.store
+    return vo, n_kf, ate, int((st.mp_good & ~st.mp_bad).sum())
+
+
+def test_chunked_matches_per_frame_path(scene):
+    images, T_wc, cam = scene
+    vo0, kf0, ate0, good0 = _run(images, T_wc, cam, chunk=0)
+    vo1, kf1, ate1, good1 = _run(images, T_wc, cam, chunk=3)
+    assert vo0.tracker.initialized and vo1.tracker.initialized
+    # same init path => same first keyframes; cadence may differ by a
+    # frame or two afterwards (different PnP RNG streams)
+    assert abs(kf1 - kf0) <= 3, (kf0, kf1)
+    assert ate0 < 0.5 and ate1 < 0.5, (ate0, ate1)
+    # provisional-id translation feeds the same map lifecycle: growth
+    # beyond the init set on both paths, comparable magnitude
+    assert good1 > 0.5 * good0, (good0, good1)
+    # keyframe track tables must never leak provisional codes (< -1)
+    st = vo1.tracker.backend.store
+    slots = st.keyframe_slots()
+    assert (st.kf_track[slots] >= -1).all()
+
+
+def test_chunk_pads_and_tail(scene):
+    """A block shorter than the chunk size pads with the last frame and
+    consumes only the real ones (results length == n_valid)."""
+    images, T_wc, cam = scene
+    vo = UR_MVO(_cfg(4), SensorSetup.MONO, camera=cam)
+    frames = [Frame(image=Image(images[i], i / 30.0)) for i in range(N_FRAMES)]
+    # odd-length feed: 18 frames through C=4 chunks => one 2-frame tail
+    outs = vo.process_sequence(frames)
+    assert len(outs) == N_FRAMES
+    assert vo.tracker.initialized
+    assert vo.tracker._frame_counter == N_FRAMES

@@ -79,6 +79,40 @@ def test_e2e_mono_scale_convention():
     assert abs(np.median(z) - 4.0) < 0.8, np.median(z)
 
 
+def test_e2e_mono_map_grows_after_init():
+    """Post-init mono mappoints must triangulate as they gain observers.
+
+    Track ids of matched-but-untriangulated points must propagate
+    through tracking (tracking.cc:723-728) so a point reaches the >2
+    observers that multi-view triangulation requires (mapping.cc:107-110)
+    — a regression here starves the mono map of every post-init point
+    (observed: 5500+ one-observation orphans, zero triangulations)."""
+    cfg = small_config()
+    cam = make_camera()
+    n_frames = 40
+    T_wc, ts = make_trajectory(n_frames, advance=0.05)
+    X = make_landmarks(400, along=n_frames * 0.05)
+    oracle = OracleExtractor(X, cam, capacity=cfg.superpoint.capacity, noise_px=0.2, seed=3)
+    vo = UR_MVO(cfg, SensorSetup.MONO, camera=cam, extractor=oracle)
+
+    good_after_init = None
+    for i in range(n_frames):
+        frame = Frame(image=Image(np.zeros((cam.height, cam.width), np.uint8), ts[i]))
+        frame.meta["T_wc"] = T_wc[i]
+        out = vo.process(frame)
+        st = vo.tracker.backend.store
+        if good_after_init is None and vo.tracker.initialized:
+            good_after_init = int((st.mp_good & ~st.mp_bad).sum())
+    st = vo.tracker.backend.store
+    good_end = int((st.mp_good & ~st.mp_bad).sum())
+    assert good_after_init is not None and good_after_init > 0
+    # landmarks enter the FOV along the trajectory; a healthy map keeps
+    # triangulating them (multi-view LS at >2 observers)
+    assert good_end > good_after_init + 20, (good_after_init, good_end)
+    # and observations keep accumulating on tracked points (ids propagate)
+    assert int((st.mp_obs_count >= 3).sum()) > 100, "no multi-observer points"
+
+
 def test_e2e_noise_robustness():
     vo, est, gt, n_kf = run_vo(noise_px=0.8)
     ate = ate_rmse(est, gt, align=True, correct_scale=True)

@@ -68,7 +68,7 @@ def _bank(kpts, desc):
 def _snapshot(X):
     snap = np.zeros((K, 6), np.float32)
     snap[:, 0:3] = X
-    snap[:, 3] = 1.0
+    snap[:, 3] = 2.0  # 2 = triangulated candidate; 1 = live id only
     snap[:, 4] = np.arange(K)
     snap[0:9, 5] = np.eye(3, dtype=np.float32).reshape(-1)  # last pose = I
     return snap
@@ -109,6 +109,45 @@ def test_fused_recovers_pose_and_tracks(tracker):
     # mono uvr rides back in the packed output
     np.testing.assert_allclose(uvr[:, :2], _project(X, t_true), atol=1e-4)
     assert (uvr[:, 2] < 0).all()
+
+
+def test_fused_propagates_untriangulated_track_ids(tracker):
+    """Matches to LIVE-but-untriangulated mappoints must carry their
+    track ids into frame_track (snapshot flag 1) without contributing a
+    3D constraint — this is how new mono points accumulate the >2
+    observers required to triangulate (tracking.cc:723-728 writes track
+    ids for every match; mapping.cc:107-110 triangulates at 3 observers).
+    Dropping them starves the mono map of all post-init points."""
+    import jax
+
+    trk, ext, cam = tracker
+    rng = np.random.default_rng(2)
+    X, desc = _scene(rng)
+    t_true = np.array([0.1, 0.0, 0.0], np.float32)
+    snap = _snapshot(X)
+    live_only = np.arange(K) % 3 == 0  # a third of the slots: id, no 3D
+    snap[live_only, 3] = 1.0
+    snap[live_only, 0:3] = 777.0  # garbage position: must never be used
+
+    import jax.numpy as jnp
+
+    bank_ref = _bank(_project(X, [0, 0, 0]), desc)
+    bank_cur = _bank(_project(X, t_true), desc)
+    _k, packed = trk._fused_kernel(
+        ext.sg_params, jax.random.PRNGKey(0), bank_ref, bank_cur, jnp.asarray(snap)
+    )
+    arr = np.asarray(packed)
+    n_inl = int(arr[1])
+    frame_track = arr[14 : 14 + K].astype(np.int32)
+    t_wc = -arr[2:11].reshape(3, 3).T @ arr[11:14]
+    # pose solved from the triangulated two-thirds only, unpolluted
+    np.testing.assert_allclose(t_wc, t_true, atol=2e-2)
+    # live-only ids propagated; identity association => track == slot
+    kept = frame_track >= 0
+    assert kept[live_only].sum() > K // 6
+    assert (frame_track[kept] == np.nonzero(kept)[0]).all()
+    # and inlier count counts only 3D-constrained slots
+    assert n_inl <= (~live_only).sum()
 
 
 def test_fused_jump_guard_hard_fails_teleport(tracker):

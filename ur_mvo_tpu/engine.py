@@ -149,22 +149,7 @@ class UR_MVO:
         The next ``process`` call picks the prefetched banks up by
         timestamp."""
         ts = data.image.get_timestamp()
-
-        depth_lookup = None
-        if self.setup == Setup.RGBD and data.depth_map is not None:
-            depth_img = data.depth_map.get_depth_map()
-
-            def depth_lookup(kpts, _d=depth_img):
-                c = np.clip(kpts[:, 0].astype(int), 0, _d.shape[1] - 1)
-                r = np.clip(kpts[:, 1].astype(int), 0, _d.shape[0] - 1)
-                raw = _d[r, c].astype(np.float32)
-                # reference RGB-D scaling: d = 100 / pixel for pixel in
-                # [50, 200] (tracking.cc:440-447); pass metric depth
-                # images through unchanged.
-                if _d.dtype == np.uint8:
-                    ok = (raw >= 50) & (raw <= 200)
-                    return np.where(ok, 100.0 / (raw + 1e-5), 0.0)
-                return raw
+        depth_lookup = self._make_depth_lookup(data)
 
         # Prefetch adoption is keyed on the Frame object's IDENTITY, not
         # its timestamp: frames whose filenames don't parse carry
@@ -180,10 +165,33 @@ class UR_MVO:
             self._prefetched = (next_data, nb, nbr)
 
         pose_mat = self.tracker.process(bank, ts, depth_lookup, bank_right=bank_right)
+        return self._emit(ts, pose_mat)
+
+    def _make_depth_lookup(self, data: Frame):
+        if self.setup != Setup.RGBD or data.depth_map is None:
+            return None
+        depth_img = data.depth_map.get_depth_map()
+
+        def depth_lookup(kpts, _d=depth_img):
+            c = np.clip(kpts[:, 0].astype(int), 0, _d.shape[1] - 1)
+            r = np.clip(kpts[:, 1].astype(int), 0, _d.shape[0] - 1)
+            raw = _d[r, c].astype(np.float32)
+            # reference RGB-D scaling: d = 100 / pixel for pixel in
+            # [50, 200] (tracking.cc:440-447); pass metric depth
+            # images through unchanged.
+            if _d.dtype == np.uint8:
+                ok = (raw >= 50) & (raw <= 200)
+                return np.where(ok, 100.0 / (raw + 1e-5), 0.0)
+            return raw
+
+        return depth_lookup
+
+    def _emit(self, ts, pose_mat) -> Optional[List[Pose]]:
+        """Keyframe-pose emission + SLERP fill of dropped frames
+        (reference engine.py:22-40 semantics)."""
         if pose_mat is None:
             self.accumulated_samples += 1
             return None
-
         current = Pose(pose_mat[:3, :3], pose_mat[:3, 3], np.eye(6))
         self._trajectory.append((ts, current))
         if self.last_pose is None:
@@ -194,6 +202,55 @@ class UR_MVO:
         self.accumulated_samples = 0
         self.last_pose = current
         return res
+
+    def process_sequence(self, frames: List[Frame]) -> List[Optional[List[Pose]]]:
+        """Chunked sequence driver: with ``runtime.chunk_frames = C > 1``
+        and an initialized mono/RGB-D neural tracker, frames go through
+        the multi-frame chunk program (ONE dispatch + ONE packed readback
+        per C frames — Tracker.process_chunk); initialization, masks,
+        stereo, and weak-tracking recoveries fall back to the per-frame
+        path. Per-frame return values match process()."""
+        C = int(self.config.runtime.chunk_frames or 0)
+        outs: List[Optional[List[Pose]]] = [None] * len(frames)
+        chunk_setup = self.setup in (Setup.MONO, Setup.RGBD)
+        i = 0
+        pending_bank = None  # weak-event bank handed back by the chunk
+        while i < len(frames):
+            f = frames[i]
+            n = min(C, len(frames) - i) if C > 1 else 0
+            batch = frames[i : i + n]
+            chunkable = (
+                n > 1
+                and chunk_setup
+                and pending_bank is None
+                and self.tracker.chunk_available()
+                and all(fr.mask is None for fr in batch)
+            )
+            if not chunkable:
+                ts = f.image.get_timestamp()
+                if pending_bank is not None:
+                    # the chunk already extracted this frame's features
+                    pose_mat = self.tracker.process(
+                        pending_bank.resolve(), ts, self._make_depth_lookup(f))
+                    pending_bank = None
+                    outs[i] = self._emit(ts, pose_mat)
+                else:
+                    nxt = frames[i + 1] if C <= 1 and i + 1 < len(frames) else None
+                    outs[i] = self.process(f, next_data=nxt)
+                i += 1
+                continue
+            imgs = np.stack([fr.image.get_image() for fr in batch])
+            if n < C:  # pad so every chunk compiles the same program
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], C - n, axis=0)])
+            ts_list = [fr.image.get_timestamp() for fr in batch]
+            dls = [self._make_depth_lookup(fr) for fr in batch] if self.setup == Setup.RGBD else None
+            results, consumed, weak_bank = self.tracker.process_chunk(
+                imgs, ts_list, depth_lookups=dls, n_valid=n)
+            for j, pose_mat in enumerate(results):
+                outs[i + j] = self._emit(ts_list[j], pose_mat)
+            i += consumed
+            pending_bank = weak_bank
+        return outs
 
     def process_directory(self, directory: str) -> List[Pose]:
         """EuRoC-style layout: ``cam0/data/*.png`` (+``cam1`` for stereo),

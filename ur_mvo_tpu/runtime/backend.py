@@ -47,7 +47,15 @@ class Backend:
                 keypoints_per_frame=keypoints_per_frame,
             )
         )
-        self._tri_batch = jax.jit(jax.vmap(triangulate_bearings))
+        @jax.jit
+        def _tri_batch(origins, bearings, valid):
+            # packed (N, 4) [xyz | ok] output: ONE device readback per
+            # keyframe instead of two (each d2h sync is a ~24 ms round
+            # trip through the dev relay)
+            pts, ok = jax.vmap(triangulate_bearings)(origins, bearings, valid)
+            return jnp.concatenate([pts, ok[:, None].astype(jnp.float32)], axis=1)
+
+        self._tri_batch = _tri_batch
         ba_cfg = BAConfig(
             chi2_mono=opt_cfg.mono_point,
             chi2_stereo=opt_cfg.stereo_point,
@@ -380,9 +388,9 @@ class Backend:
             bearings[i, : len(kfs)] = np.einsum("kij,kj->ki", Rk, rays)
             origins[i, : len(kfs)] = st.kf_t[kfs]
             valid[i, : len(kfs)] = True
-        pts, ok = self._tri_batch(jnp.asarray(origins), jnp.asarray(bearings), jnp.asarray(valid))
-        pts = np.asarray(pts)[:n]
-        ok = np.asarray(ok)[:n]
+        packed = np.asarray(self._tri_batch(jnp.asarray(origins), jnp.asarray(bearings), jnp.asarray(valid)))
+        pts = packed[:n, :3]
+        ok = packed[:n, 3] > 0.5
         # Cheirality: the point must be in front of all its observing
         # cameras (the reference catches this later via BA depth gating;
         # doing it here avoids seeding BA with points behind cameras).

@@ -180,6 +180,10 @@ class NeuralExtractor:
         # ONE readback per frame instead of two programs with host
         # gathers in between.
         self.match_traceable = _match_impl
+        # Traceable extractor (left camera, no mask) for the multi-frame
+        # chunk scan, which fuses extract+match+track for C frames into
+        # one program: (sp_params, image_u8) -> FeatureBank.
+        self.extract_traceable = _extract_impl
         self._key = jax.random.PRNGKey(cfg.runtime.seed + 1)
 
     def extract(self, image: np.ndarray, mask: Optional[np.ndarray] = None, right: bool = False) -> FeatureBank:

@@ -44,17 +44,27 @@ from ur_mvo_tpu.utils.timing import StageTimer
 
 def fused_track_core(k_pnp, m, uvr, snapshot, K_mat, fx, fy, cx, cy, bf,
                      chi2_mono, chi2_stereo, pnp_iterations, pnp_threshold_px,
-                     min_match, max_jump):
+                     min_match, max_jump, return_aux=False):
     """Traceable post-match half of the fused frame step: candidate
     scatter + PnP prior + pose refinement + jump-guard rescue.
 
-    Shared by the Tracker's per-frame fused program and the
-    multi-sequence driver's vmapped batched-track program. Returns the
-    packed f32 vector [num_match, n_inliers, R_cw(9), t_cw(3),
-    frame_track(K), uvr(3K)] (see Tracker._parse_fused_packed)."""
+    Shared by the Tracker's per-frame fused program, the multi-sequence
+    driver's vmapped batched-track program, and the multi-frame chunk
+    scan. Returns the packed f32 vector [num_match, n_inliers, R_cw(9),
+    t_cw(3), frame_track(K), uvr(3K)] (see Tracker._parse_fused_packed);
+    with ``return_aux`` also (X, valid3d) — the scattered candidate
+    positions and 3D-constraint mask the chunk kernel needs to roll the
+    candidate snapshot over an in-scan keyframe."""
     K = m.idx1.shape[0]
     cand_pos = snapshot[:, 0:3]
-    cand_ok = snapshot[:, 3] > 0.5
+    # col 3 is a 2-level flag: 2 = triangulated (Good) candidate with a
+    # usable 3D position, 1 = live but untriangulated mappoint (its
+    # TRACK ID must still propagate so the point can accumulate
+    # observers and triangulate at a later keyframe — the reference
+    # writes track ids for every match, tracking.cc:723-728, and only
+    # chi2-classifies the triangulated ones, :896-911), 0 = none.
+    cand_ok = snapshot[:, 3] > 1.5
+    cand_live = snapshot[:, 3] > 0.5
     ref_track = snapshot[:, 4]
     R_last_cw = snapshot[0:9, 5].reshape(3, 3)
     t_last_cw = snapshot[9:12, 5]
@@ -66,10 +76,12 @@ def fused_track_core(k_pnp, m, uvr, snapshot, K_mat, fx, fy, cx, cy, bf,
     dst = jnp.where(src_ok, m.idx1, K)  # K = dump row
     X = jnp.zeros((K + 1, 3), jnp.float32).at[dst].set(cand_pos)[:K]
     valid_cur = jnp.zeros(K + 1, bool).at[dst].set(src_ok)[:K]
+    live_ok = m.valid & cand_live
+    dst_live = jnp.where(live_ok, m.idx1, K)
     mp_slot = (
         jnp.full(K + 1, -1.0, jnp.float32)
-        .at[dst]
-        .set(jnp.where(src_ok, ref_track, -1.0))[:K]
+        .at[dst_live]
+        .set(jnp.where(live_ok, ref_track, -1.0))[:K]
     )
     obs = PoseObs(X=X, uv=uvr, valid=valid_cur)
 
@@ -109,11 +121,44 @@ def fused_track_core(k_pnp, m, uvr, snapshot, K_mat, fx, fy, cx, cy, bf,
         return res.R_cw, res.t_cw, res.inliers, res.n_inliers
 
     R_f, t_f, inl_f, n_f = jax.lax.cond(ok1 & bad_jump, rescue, keep, None)
-    frame_track = jnp.where(inl_f, mp_slot, -1.0)
-    return jnp.concatenate([
+    # chi2 inlier classification applies only to slots that carried a 3D
+    # constraint; matched-but-untriangulated ids are kept as-is
+    # (tracking.cc:896-911 sets inliers[idx]=-1 only for constraints).
+    # "has an id" is track != -1: the chunk scan also routes PROVISIONAL
+    # ids (<= -2, minted at an in-chunk keyframe) through here.
+    keep_id = jnp.where(valid_cur, inl_f, mp_slot > -1.5)
+    frame_track = jnp.where(keep_id, mp_slot, -1.0)
+    packed = jnp.concatenate([
         jnp.stack([num_match.astype(jnp.float32), n_f.astype(jnp.float32)]),
         R_f.reshape(-1), t_f, frame_track, uvr.reshape(-1),
     ])
+    if return_aux:
+        return packed, X, valid_cur
+    return packed
+
+
+class _LazyBankSlice:
+    """Deferred row of the chunk scan's stacked FeatureBank output.
+
+    The chunk replay books one of these per frame instead of slicing the
+    device arrays eagerly (4 gather dispatches/frame); only the rare
+    consumers — the promote-keyframe fallback and keyframe insertion —
+    pay for materialization."""
+
+    __slots__ = ("banks", "idx", "capacity")
+
+    def __init__(self, banks, idx):
+        self.banks = banks
+        self.idx = idx
+        self.capacity = int(banks.kpts.shape[-2])
+
+    def resolve(self):
+        i = self.idx
+        return jax.tree.map(lambda x: x[i], self.banks)
+
+
+def _resolve_bank(bank):
+    return bank.resolve() if isinstance(bank, _LazyBankSlice) else bank
 
 
 class Tracker:
@@ -257,6 +302,8 @@ class Tracker:
         self._fused_kernel = None
         self._fused_kernel_stereo = None
         self._bank_pack = None
+        self._chunk_builder = None
+        self._chunk_kernels = {}
         if hasattr(extractor, "match_traceable"):
             match_impl = extractor.match_traceable
             min_match = kf.min_num_match
@@ -323,6 +370,116 @@ class Tracker:
                 ])
 
             self._bank_pack = _bank_pack
+
+            # Multi-frame chunk scan: C frames of extract+match+track as
+            # ONE device program (lax.scan), with ON-DEVICE keyframe
+            # rollover — when the keyframe policy fires mid-chunk, the
+            # scan re-bases the reference bank to the new keyframe's
+            # bank and rebuilds the candidate snapshot from the match
+            # scatter, so the remaining frames track against it without
+            # any host round trip. The host replays the packed per-frame
+            # results afterwards (keyframe insertion, triangulation, BA
+            # — consistent with the one-keyframe-stale async-BA design).
+            # New mappoints minted at an in-chunk keyframe get
+            # PROVISIONAL ids -(2 + e*K + slot) that the replay maps to
+            # store ids once keyframe e is inserted. This is the
+            # TPU-first answer to the reference's 2-thread pipeline
+            # (tracking.cc:57-59): the sequential frame loop lives in
+            # compiled control flow, not host threads.
+            ext_traceable = getattr(extractor, "extract_traceable", None)
+            topt_c, rt_c, kf_c, cam_c = topt, rt, kf, cam
+
+            def _build_chunk(C):
+                K = cfg.superpoint.capacity
+
+                @jax.jit
+                def _chunk(sp_params, sg_params, key, ref_bank, cand, pose_pack, passed0, images):
+                    """``cand``: (K, 5) [pos(3) | flag | track];
+                    ``pose_pack``: (24,) [R_last_cw(9) t_last_cw(3)
+                    kf_R_wc(9) kf_t_wc(3)]; ``images``: (C, H, W) u8.
+                    Returns (next_key, outs (C, 16+K), banks stacked)."""
+
+                    def body(carry, img):
+                        key, refb, cnd, R_last, t_last, kfR, kft, passed, alive, nkf = carry
+                        key, k_m, k_pnp = jax.random.split(key, 3)
+                        bank = ext_traceable(sp_params, img)
+                        uvr = jnp.concatenate([bank.kpts, -jnp.ones((K, 1), jnp.float32)], axis=1)
+                        m = match_impl(sg_params, k_m, refb, bank, True)
+                        posecol = (
+                            jnp.zeros((K,), jnp.float32)
+                            .at[0:9].set(R_last.reshape(-1))
+                            .at[9:12].set(t_last)
+                        )
+                        snap = jnp.concatenate([cnd, posecol[:, None]], axis=1)
+                        packed, X3, valid3d = fused_track_core(
+                            k_pnp, m, uvr, snap, self.K_mat,
+                            cam_c.fx, cam_c.fy, cam_c.cx, cam_c.cy, cam_c.bf,
+                            topt_c.mono_point, topt_c.stereo_point,
+                            rt_c.pnp_ransac_iterations, rt_c.pnp_reprojection_threshold,
+                            min_match, max_jump, return_aux=True,
+                        )
+                        n_match, n_inl = packed[0], packed[1]
+                        R_cw = packed[2:11].reshape(3, 3)
+                        t_cw = packed[11:14]
+                        track = packed[14:14 + K]
+                        well = (n_match >= min_match) & (n_inl >= min_match)
+                        R_wc = R_cw.T
+                        t_wc = -R_cw.T @ t_cw
+                        # keyframe policy (_add_keyframe_decision, on device)
+                        ang = jnp.arccos(jnp.clip((jnp.trace(kfR.T @ R_wc) - 1.0) * 0.5, -1.0, 1.0))
+                        dist = jnp.linalg.norm(t_wc - kft)
+                        is_kf = alive & well & (
+                            (n_inl < kf_c.max_num_match)
+                            | (ang > kf_c.max_angle)
+                            | (dist > kf_c.max_distance)
+                            | (passed >= kf_c.max_num_passed_frame)
+                        )
+                        # rollover candidate table: inherited ids (real or
+                        # provisional from an earlier in-chunk keyframe)
+                        # keep their flag; fresh valid slots mint
+                        # provisional ids. Only classified 3D inliers
+                        # (real ids) carry a usable position in X3.
+                        prov = -(2.0 + nkf * K + jnp.arange(K, dtype=jnp.float32))
+                        inherited = track > -1.5  # real >= 0 or provisional <= -2
+                        new_track = jnp.where(inherited, track, jnp.where(bank.valid, prov, -1.0))
+                        new_flag = jnp.where(
+                            inherited,
+                            1.0 + (valid3d & (track >= 0)).astype(jnp.float32),
+                            jnp.where(bank.valid, 1.0, 0.0),
+                        )
+                        cand_kf = jnp.concatenate(
+                            [X3, new_flag[:, None], new_track[:, None]], axis=1
+                        )
+                        cand_n = jnp.where(is_kf, cand_kf, cnd)
+                        refb_n = jax.tree.map(lambda a, b: jnp.where(is_kf, a, b), bank, refb)
+                        out = jnp.concatenate([
+                            packed[: 14 + K],
+                            jnp.stack([is_kf.astype(jnp.float32), alive.astype(jnp.float32)]),
+                        ])
+                        carry_n = (
+                            key, refb_n, cand_n,
+                            jnp.where(well, R_cw, R_last), jnp.where(well, t_cw, t_last),
+                            jnp.where(is_kf, R_wc, kfR), jnp.where(is_kf, t_wc, kft),
+                            jnp.where(is_kf, 1.0, passed + 1.0),
+                            alive & well, nkf + is_kf.astype(jnp.float32),
+                        )
+                        return carry_n, (out, bank)
+
+                    R_last0 = pose_pack[0:9].reshape(3, 3)
+                    t_last0 = pose_pack[9:12]
+                    kfR0 = pose_pack[12:21].reshape(3, 3)
+                    kft0 = pose_pack[21:24]
+                    carry0 = (
+                        key, ref_bank, cand, R_last0, t_last0, kfR0, kft0,
+                        passed0, jnp.asarray(True), jnp.asarray(0.0, jnp.float32),
+                    )
+                    carry, (outs, banks) = jax.lax.scan(body, carry0, images)
+                    return carry[0], outs, banks
+
+                return _chunk
+
+            self._chunk_builder = _build_chunk if ext_traceable is not None else None
+            self._chunk_kernels = {}
 
     # ------------------------------------------------------------------
 
@@ -486,8 +643,13 @@ class Tracker:
         # the optimized one forward (the reference mutates the shared
         # Frame object in Mapping's write-back).
         final_pose = pose_out if pose_out is not None else pose
+        self._publish_tracked(final_pose, timestamp, pose_out is not None)
+        self._after_track(bank, final_pose, timestamp, frame_id, track_well=True, track=frame_track, uvr=uvr)
+        return pose_out
+
+    def _publish_tracked(self, final_pose, timestamp, is_keyframe: bool) -> None:
         self.publisher.publish_frame_pose(FramePoseMessage(time=timestamp, pose=final_pose))
-        if pose_out is not None:
+        if is_keyframe:
             st = self.backend.store
             slots = st.keyframe_slots()
             self.publisher.publish_keyframe(
@@ -497,8 +659,114 @@ class Tracker:
             )
             good = st.mp_good & ~st.mp_bad
             self.publisher.publish_map(MapMessage(ids=np.nonzero(good)[0], points=st.mp_pos[good]))
-        self._after_track(bank, final_pose, timestamp, frame_id, track_well=True, track=frame_track, uvr=uvr)
-        return pose_out
+
+    # ------------------------------------------------------------------
+    # Multi-frame chunk tracking (see the chunk-kernel comment in
+    # __init__): one dispatch + one packed readback per C frames.
+    # ------------------------------------------------------------------
+
+    def chunk_available(self) -> bool:
+        return (
+            self._chunk_builder is not None
+            and self._initialized
+            and self._ref_bank is not None
+        )
+
+    def process_chunk(self, images, timestamps, frame_ids=None, depth_lookups=None,
+                      n_valid=None):
+        """Track up to C frames in ONE device program.
+
+        ``images``: (C, H, W) u8 stack; ``n_valid``: how many leading
+        frames are real (the tail may be padding so every chunk length
+        compiles the same program). Returns ``(results, consumed)``:
+        per-frame keyframe poses (None for tracked non-keyframes) for the
+        first ``consumed`` frames. ``consumed < n_valid`` means frame
+        ``consumed`` hit a weak-tracking event — its bank was NOT
+        processed; the caller re-feeds it through the per-frame path
+        (whose promote-keyframe recovery is host logic, tracking.cc:
+        254-276)."""
+        C = int(images.shape[0])
+        n_valid = C if n_valid is None else int(n_valid)
+        assert self.chunk_available()
+        kern = self._chunk_kernels.get(C)
+        if kern is None:
+            kern = self._chunk_builder(C)
+            self._chunk_kernels[C] = kern
+
+        st = self.backend.store
+        snap6 = self.fused_snapshot()
+        cand = snap6[:, 0:5]
+        R_last_cw = self._last_pose[:3, :3].T
+        t_last_cw = -R_last_cw @ self._last_pose[:3, 3]
+        kfp = self._last_keyframe_pose
+        pose_pack = np.concatenate([
+            R_last_cw.reshape(-1).astype(np.float32), t_last_cw.astype(np.float32),
+            kfp[:3, :3].reshape(-1).astype(np.float32), kfp[:3, 3].astype(np.float32),
+        ])
+        passed0 = np.float32(self._frame_counter - self._last_keyframe_frame_id)
+        ref_bank = _resolve_bank(self._ref_bank)
+        with self.timer.span("track"):
+            self._rng, outs_d, banks = kern(
+                self.extractor.sp_params, self.extractor.sg_params, self._rng,
+                ref_bank, jnp.asarray(cand), jnp.asarray(pose_pack),
+                jnp.asarray(passed0), jnp.asarray(images),
+            )
+            outs = np.asarray(outs_d)  # ONE readback for the whole chunk
+
+        K = self.cfg.superpoint.capacity
+        min_match = self.cfg.keyframe.min_num_match
+        results = []
+        consumed = 0
+        prov_real = {}  # in-chunk keyframe index -> (K,) allocated store ids
+        nkf = 0
+        for j in range(n_valid):
+            row = outs[j]
+            num_match = int(row[0])
+            n_inl = int(row[1])
+            if num_match < min_match or n_inl < min_match:
+                break  # weak event: caller re-feeds frame j per-frame
+            is_kf = row[14 + K] > 0.5
+            track_f = row[14 : 14 + K].copy()
+            # map provisional ids (from earlier in-chunk keyframes) to
+            # the store ids their insertion allocated
+            pmask = track_f <= -1.5
+            if pmask.any():
+                code = np.round(-track_f[pmask] - 2.0).astype(np.int64)
+                e, s = code // K, code % K
+                real = np.full(len(code), -1, np.int64)
+                for ei in np.unique(e):
+                    sel = e == ei
+                    if int(ei) in prov_real:
+                        real[sel] = prov_real[int(ei)][s[sel]]
+                track_f[pmask] = real
+            frame_track = track_f.astype(np.int32)
+            R_cw = row[2:11].reshape(3, 3)
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = R_cw.T
+            pose[:3, 3] = -R_cw.T @ row[11:14]
+            fid = self._frame_counter
+            self._frame_counter += 1
+            ts = timestamps[j]
+            pose_out = None
+            if is_kf:
+                bank_j = _LazyBankSlice(banks, j).resolve()
+                dl = depth_lookups[j] if depth_lookups is not None else None
+                pose_out = self._insert_keyframe(
+                    bank_j, None, pose, frame_track, ts, fid, dl, set_ref=True)
+                slot = st.frame_id_to_slot[fid]
+                prov_real[nkf] = st.kf_track[slot].copy()
+                nkf += 1
+            final_pose = pose_out if pose_out is not None else pose
+            self._publish_tracked(final_pose, ts, pose_out is not None)
+            self._after_track(_LazyBankSlice(banks, j), final_pose, ts, fid,
+                              track_well=True, track=frame_track)
+            results.append(pose_out)
+            consumed += 1
+        if consumed < n_valid:
+            # hand the weak frame's bank to the caller for the per-frame
+            # retry (its extraction already ran on device)
+            return results, consumed, _LazyBankSlice(banks, consumed)
+        return results, consumed, None
 
     # ------------------------------------------------------------------
     # Stereo association (Frame::AddRightFeatures, frame.cc:95-126)
@@ -706,10 +974,15 @@ class Tracker:
         mvalid = np.asarray(matches.valid)
         K = idx1.shape[0]
 
-        # candidate mappoints via the reference keyframe's track table
+        # candidate mappoints via the reference keyframe's track table.
+        # LIVE ids (untriangulated included) propagate so points can
+        # accumulate observers and triangulate at later keyframes
+        # (tracking.cc:723-728); only triangulated (Good) ones become 3D
+        # constraints for the pose solve.
         cand_mp = np.where(mvalid, ref_track, -1)
-        cand_ok = mvalid & (cand_mp >= 0)
-        cand_ok &= np.where(cand_mp >= 0, st.mp_good[np.maximum(cand_mp, 0)] & ~st.mp_bad[np.maximum(cand_mp, 0)], False)
+        safe = np.maximum(cand_mp, 0)
+        cand_live = mvalid & (cand_mp >= 0) & ~st.mp_bad[safe]
+        cand_ok = cand_live & st.mp_good[safe]
 
         # per-current-frame-slot correspondence arrays
         X = np.zeros((K, 3), np.float32)
@@ -717,12 +990,13 @@ class Tracker:
         uv[:, 2] = -1.0
         valid = np.zeros(K, bool)
         mp_of_slot = np.full(K, -1, np.int32)
+        src_live = np.nonzero(cand_live)[0]
+        mp_of_slot[idx1[src_live]] = cand_mp[src_live]
         src = np.nonzero(cand_ok)[0]
         dst = idx1[src]
         X[dst] = st.mp_pos[cand_mp[src]]
         uv[dst] = uvr[dst]
         valid[dst] = True
-        mp_of_slot[dst] = cand_mp[src]
 
         R_last_cw = self._last_pose[:3, :3].T
         t_last_cw = -R_last_cw @ self._last_pose[:3, 3]
@@ -777,7 +1051,12 @@ class Tracker:
             pose = self._last_pose.copy()
             inl = np.zeros(K, bool)
 
-        frame_track = np.where(inl, mp_of_slot, -1).astype(np.int32)
+        # chi2 classification applies only to 3D-constrained slots;
+        # matched untriangulated ids survive (tracking.cc:896-911)
+        track_ok = np.where(valid, inl, mp_of_slot >= 0)
+        if n_inl < self.cfg.keyframe.min_num_match:
+            track_ok[:] = False
+        frame_track = np.where(track_ok, mp_of_slot, -1).astype(np.int32)
         return n_inl, pose, frame_track
 
     def fused_snapshot(self) -> np.ndarray:
@@ -789,11 +1068,14 @@ class Tracker:
         st = self.backend.store
         ref_track = st.kf_track[self._ref_slot]
         safe = np.maximum(ref_track, 0)
-        ok = (ref_track >= 0) & st.mp_good[safe] & ~st.mp_bad[safe]
+        live = (ref_track >= 0) & ~st.mp_bad[safe]
+        ok = live & st.mp_good[safe]
         K = ref_track.shape[0]
         snap = np.zeros((K, 6), np.float32)
         snap[:, 0:3] = st.mp_pos[safe]
-        snap[:, 3] = ok
+        # 2 = triangulated candidate (3D usable), 1 = live id to carry
+        # forward (untriangulated), 0 = none — see fused_track_core
+        snap[:, 3] = live.astype(np.float32) + ok.astype(np.float32)
         snap[:, 4] = ref_track
         R_last_cw = self._last_pose[:3, :3].T
         snap[0:9, 5] = R_last_cw.reshape(-1)
@@ -884,7 +1166,7 @@ class Tracker:
         if self._num_since_last_keyframe < 1 or not self._last_track_well or self._last_bank is None:
             return None
         slot = self._insert_keyframe(
-            self._last_bank, self._last_uvr, self._last_pose, self._last_track,
+            _resolve_bank(self._last_bank), self._last_uvr, self._last_pose, self._last_track,
             self._last_time, self._last_frame_id, None, set_ref=True,
         )
         return slot
