@@ -44,17 +44,14 @@ from ur_mvo_tpu.utils.timing import StageTimer
 
 def fused_track_core(k_pnp, m, uvr, snapshot, K_mat, fx, fy, cx, cy, bf,
                      chi2_mono, chi2_stereo, pnp_iterations, pnp_threshold_px,
-                     min_match, max_jump, return_aux=False):
+                     min_match, max_jump):
     """Traceable post-match half of the fused frame step: candidate
     scatter + PnP prior + pose refinement + jump-guard rescue.
 
     Shared by the Tracker's per-frame fused program, the multi-sequence
     driver's vmapped batched-track program, and the multi-frame chunk
-    scan. Returns the packed f32 vector [num_match, n_inliers, R_cw(9),
-    t_cw(3), frame_track(K), uvr(3K)] (see Tracker._parse_fused_packed);
-    with ``return_aux`` also (X, valid3d) — the scattered candidate
-    positions and 3D-constraint mask the chunk kernel needs to roll the
-    candidate snapshot over an in-scan keyframe."""
+    kernel. Returns the packed f32 vector [num_match, n_inliers, R_cw(9),
+    t_cw(3), frame_track(K), uvr(3K)] (see Tracker._parse_fused_packed)."""
     K = m.idx1.shape[0]
     cand_pos = snapshot[:, 0:3]
     # col 3 is a 2-level flag: 2 = triangulated (Good) candidate with a
@@ -124,17 +121,12 @@ def fused_track_core(k_pnp, m, uvr, snapshot, K_mat, fx, fy, cx, cy, bf,
     # chi2 inlier classification applies only to slots that carried a 3D
     # constraint; matched-but-untriangulated ids are kept as-is
     # (tracking.cc:896-911 sets inliers[idx]=-1 only for constraints).
-    # "has an id" is track != -1: the chunk scan also routes PROVISIONAL
-    # ids (<= -2, minted at an in-chunk keyframe) through here.
-    keep_id = jnp.where(valid_cur, inl_f, mp_slot > -1.5)
+    keep_id = jnp.where(valid_cur, inl_f, mp_slot >= 0)
     frame_track = jnp.where(keep_id, mp_slot, -1.0)
-    packed = jnp.concatenate([
+    return jnp.concatenate([
         jnp.stack([num_match.astype(jnp.float32), n_f.astype(jnp.float32)]),
         R_f.reshape(-1), t_f, frame_track, uvr.reshape(-1),
     ])
-    if return_aux:
-        return packed, X, valid_cur
-    return packed
 
 
 class _LazyBankSlice:
@@ -371,21 +363,25 @@ class Tracker:
 
             self._bank_pack = _bank_pack
 
-            # Multi-frame chunk scan: C frames of extract+match+track as
-            # ONE device program (lax.scan), with ON-DEVICE keyframe
-            # rollover — when the keyframe policy fires mid-chunk, the
-            # scan re-bases the reference bank to the new keyframe's
-            # bank and rebuilds the candidate snapshot from the match
-            # scatter, so the remaining frames track against it without
-            # any host round trip. The host replays the packed per-frame
-            # results afterwards (keyframe insertion, triangulation, BA
-            # — consistent with the one-keyframe-stale async-BA design).
-            # New mappoints minted at an in-chunk keyframe get
-            # PROVISIONAL ids -(2 + e*K + slot) that the replay maps to
-            # store ids once keyframe e is inserted. This is the
-            # TPU-first answer to the reference's 2-thread pipeline
-            # (tracking.cc:57-59): the sequential frame loop lives in
-            # compiled control flow, not host threads.
+            # Multi-frame chunk kernel: up to C frames of
+            # extract+match+track as ONE device program (lax.while_loop),
+            # CUT at the first keyframe decision or weak-tracking event.
+            # Within a keyframe interval nothing in the host state
+            # changes (the reference bank, candidate snapshot, and
+            # keyframe-policy anchors are all functions of the last
+            # keyframe), so the device loop makes EXACTLY the decisions
+            # the per-frame path would — then stops, and the host replay
+            # (keyframe insertion, triangulation, BA) runs with fresh
+            # state before the next chunk. One dispatch + one packed
+            # readback per chunk; the while_loop spends zero compute past
+            # the cut. This is the TPU-first answer to the reference's
+            # 2-thread pipeline (tracking.cc:57-59): the sequential frame
+            # loop lives in compiled control flow, not host threads.
+            # (A scan variant with on-device keyframe ROLLOVER was
+            # measured first: tracking against the rolled-over candidate
+            # set without BA/triangulation refresh doubled the keyframe
+            # cadence on the bench scene — staleness made the match-count
+            # criterion fire early — so the exact cut design won.)
             ext_traceable = getattr(extractor, "extract_traceable", None)
             topt_c, rt_c, kf_c, cam_c = topt, rt, kf, cam
 
@@ -393,88 +389,86 @@ class Tracker:
                 K = cfg.superpoint.capacity
 
                 @jax.jit
-                def _chunk(sp_params, sg_params, key, ref_bank, cand, pose_pack, passed0, images):
-                    """``cand``: (K, 5) [pos(3) | flag | track];
+                def _chunk(sp_params, sg_params, key, ref_bank, snap, pose_pack, passed0, n_valid, images):
+                    """``snap``: the (K, 6) fused_snapshot (col 5 is
+                    overwritten per frame with the carried last pose);
                     ``pose_pack``: (24,) [R_last_cw(9) t_last_cw(3)
-                    kf_R_wc(9) kf_t_wc(3)]; ``images``: (C, H, W) u8.
-                    Returns (next_key, outs (C, 16+K), banks stacked)."""
+                    kf_R_wc(9) kf_t_wc(3)]; ``images``: (C, H, W) u8;
+                    ``n_valid``: leading real frames (tail = padding).
+                    Returns (next_key, outs (C, 15+K), banks stacked);
+                    rows the loop never reached have num_match = -1."""
+                    H, W = images.shape[1], images.shape[2]
+                    bank0 = ext_traceable(sp_params, jnp.zeros((H, W), images.dtype))
+                    banks0 = jax.tree.map(
+                        lambda a: jnp.zeros((C,) + a.shape, a.dtype), bank0)
+                    outs0 = jnp.full((C, 15 + K), -1.0, jnp.float32)
+                    R_last0 = pose_pack[0:9].reshape(3, 3)
+                    t_last0 = pose_pack[9:12]
+                    kfR = pose_pack[12:21].reshape(3, 3)
+                    kft = pose_pack[21:24]
 
-                    def body(carry, img):
-                        key, refb, cnd, R_last, t_last, kfR, kft, passed, alive, nkf = carry
+                    def cond(state):
+                        key, i, stop, R_last, t_last, outs, banks = state
+                        return (i < n_valid) & (stop == 0)
+
+                    def body(state):
+                        key, i, stop, R_last, t_last, outs, banks = state
                         key, k_m, k_pnp = jax.random.split(key, 3)
+                        img = jax.lax.dynamic_index_in_dim(images, i, keepdims=False)
                         bank = ext_traceable(sp_params, img)
                         uvr = jnp.concatenate([bank.kpts, -jnp.ones((K, 1), jnp.float32)], axis=1)
-                        m = match_impl(sg_params, k_m, refb, bank, True)
+                        m = match_impl(sg_params, k_m, ref_bank, bank, True)
                         posecol = (
                             jnp.zeros((K,), jnp.float32)
                             .at[0:9].set(R_last.reshape(-1))
                             .at[9:12].set(t_last)
                         )
-                        snap = jnp.concatenate([cnd, posecol[:, None]], axis=1)
-                        packed, X3, valid3d = fused_track_core(
-                            k_pnp, m, uvr, snap, self.K_mat,
+                        snap_i = jnp.concatenate([snap[:, 0:5], posecol[:, None]], axis=1)
+                        packed = fused_track_core(
+                            k_pnp, m, uvr, snap_i, self.K_mat,
                             cam_c.fx, cam_c.fy, cam_c.cx, cam_c.cy, cam_c.bf,
                             topt_c.mono_point, topt_c.stereo_point,
                             rt_c.pnp_ransac_iterations, rt_c.pnp_reprojection_threshold,
-                            min_match, max_jump, return_aux=True,
+                            min_match, max_jump,
                         )
                         n_match, n_inl = packed[0], packed[1]
                         R_cw = packed[2:11].reshape(3, 3)
                         t_cw = packed[11:14]
-                        track = packed[14:14 + K]
                         well = (n_match >= min_match) & (n_inl >= min_match)
                         R_wc = R_cw.T
                         t_wc = -R_cw.T @ t_cw
-                        # keyframe policy (_add_keyframe_decision, on device)
+                        # keyframe policy (_add_keyframe_decision) against
+                        # the HOST-refined last-keyframe pose — exact
+                        # parity with the per-frame path
                         ang = jnp.arccos(jnp.clip((jnp.trace(kfR.T @ R_wc) - 1.0) * 0.5, -1.0, 1.0))
                         dist = jnp.linalg.norm(t_wc - kft)
-                        is_kf = alive & well & (
+                        is_kf = well & (
                             (n_inl < kf_c.max_num_match)
                             | (ang > kf_c.max_angle)
                             | (dist > kf_c.max_distance)
-                            | (passed >= kf_c.max_num_passed_frame)
+                            | (passed0 + i.astype(jnp.float32) >= kf_c.max_num_passed_frame)
                         )
-                        # rollover candidate table: inherited ids (real or
-                        # provisional from an earlier in-chunk keyframe)
-                        # keep their flag; fresh valid slots mint
-                        # provisional ids. Only classified 3D inliers
-                        # (real ids) carry a usable position in X3.
-                        prov = -(2.0 + nkf * K + jnp.arange(K, dtype=jnp.float32))
-                        inherited = track > -1.5  # real >= 0 or provisional <= -2
-                        new_track = jnp.where(inherited, track, jnp.where(bank.valid, prov, -1.0))
-                        new_flag = jnp.where(
-                            inherited,
-                            1.0 + (valid3d & (track >= 0)).astype(jnp.float32),
-                            jnp.where(bank.valid, 1.0, 0.0),
-                        )
-                        cand_kf = jnp.concatenate(
-                            [X3, new_flag[:, None], new_track[:, None]], axis=1
-                        )
-                        cand_n = jnp.where(is_kf, cand_kf, cnd)
-                        refb_n = jax.tree.map(lambda a, b: jnp.where(is_kf, a, b), bank, refb)
                         out = jnp.concatenate([
-                            packed[: 14 + K],
-                            jnp.stack([is_kf.astype(jnp.float32), alive.astype(jnp.float32)]),
+                            packed[: 14 + K], is_kf.astype(jnp.float32)[None],
                         ])
-                        carry_n = (
-                            key, refb_n, cand_n,
+                        outs = jax.lax.dynamic_update_slice(outs, out[None], (i, 0))
+                        banks = jax.tree.map(
+                            lambda buf, a: jax.lax.dynamic_update_slice(
+                                buf, a[None].astype(buf.dtype), (i,) + (0,) * a.ndim),
+                            banks, bank)
+                        # stop: 1 = weak (row i NOT consumed by the host),
+                        # 2 = keyframe (row i consumed; host inserts it)
+                        stop = jnp.where(~well, 1, jnp.where(is_kf, 2, 0))
+                        return (
+                            key, i + 1, stop,
                             jnp.where(well, R_cw, R_last), jnp.where(well, t_cw, t_last),
-                            jnp.where(is_kf, R_wc, kfR), jnp.where(is_kf, t_wc, kft),
-                            jnp.where(is_kf, 1.0, passed + 1.0),
-                            alive & well, nkf + is_kf.astype(jnp.float32),
+                            outs, banks,
                         )
-                        return carry_n, (out, bank)
 
-                    R_last0 = pose_pack[0:9].reshape(3, 3)
-                    t_last0 = pose_pack[9:12]
-                    kfR0 = pose_pack[12:21].reshape(3, 3)
-                    kft0 = pose_pack[21:24]
-                    carry0 = (
-                        key, ref_bank, cand, R_last0, t_last0, kfR0, kft0,
-                        passed0, jnp.asarray(True), jnp.asarray(0.0, jnp.float32),
-                    )
-                    carry, (outs, banks) = jax.lax.scan(body, carry0, images)
-                    return carry[0], outs, banks
+                    state = (key, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                             R_last0, t_last0, outs0, banks0)
+                    key, i, stop, _R, _t, outs, banks = jax.lax.while_loop(cond, body, state)
+                    return key, outs, banks
 
                 return _chunk
 
@@ -672,8 +666,7 @@ class Tracker:
             and self._ref_bank is not None
         )
 
-    def process_chunk(self, images, timestamps, frame_ids=None, depth_lookups=None,
-                      n_valid=None):
+    def process_chunk(self, images, timestamps, depth_lookups=None, n_valid=None):
         """Track up to C frames in ONE device program.
 
         ``images``: (C, H, W) u8 stack; ``n_valid``: how many leading
@@ -693,9 +686,7 @@ class Tracker:
             kern = self._chunk_builder(C)
             self._chunk_kernels[C] = kern
 
-        st = self.backend.store
         snap6 = self.fused_snapshot()
-        cand = snap6[:, 0:5]
         R_last_cw = self._last_pose[:3, :3].T
         t_last_cw = -R_last_cw @ self._last_pose[:3, 3]
         kfp = self._last_keyframe_pose
@@ -708,8 +699,9 @@ class Tracker:
         with self.timer.span("track"):
             self._rng, outs_d, banks = kern(
                 self.extractor.sp_params, self.extractor.sg_params, self._rng,
-                ref_bank, jnp.asarray(cand), jnp.asarray(pose_pack),
-                jnp.asarray(passed0), jnp.asarray(images),
+                ref_bank, jnp.asarray(snap6), jnp.asarray(pose_pack),
+                jnp.asarray(passed0), jnp.asarray(np.int32(n_valid)),
+                jnp.asarray(images),
             )
             outs = np.asarray(outs_d)  # ONE readback for the whole chunk
 
@@ -717,29 +709,16 @@ class Tracker:
         min_match = self.cfg.keyframe.min_num_match
         results = []
         consumed = 0
-        prov_real = {}  # in-chunk keyframe index -> (K,) allocated store ids
-        nkf = 0
         for j in range(n_valid):
             row = outs[j]
             num_match = int(row[0])
+            if num_match < 0:
+                break  # the device loop cut before this row
             n_inl = int(row[1])
             if num_match < min_match or n_inl < min_match:
                 break  # weak event: caller re-feeds frame j per-frame
             is_kf = row[14 + K] > 0.5
-            track_f = row[14 : 14 + K].copy()
-            # map provisional ids (from earlier in-chunk keyframes) to
-            # the store ids their insertion allocated
-            pmask = track_f <= -1.5
-            if pmask.any():
-                code = np.round(-track_f[pmask] - 2.0).astype(np.int64)
-                e, s = code // K, code % K
-                real = np.full(len(code), -1, np.int64)
-                for ei in np.unique(e):
-                    sel = e == ei
-                    if int(ei) in prov_real:
-                        real[sel] = prov_real[int(ei)][s[sel]]
-                track_f[pmask] = real
-            frame_track = track_f.astype(np.int32)
+            frame_track = row[14 : 14 + K].astype(np.int32)
             R_cw = row[2:11].reshape(3, 3)
             pose = np.eye(4, dtype=np.float32)
             pose[:3, :3] = R_cw.T
@@ -753,16 +732,20 @@ class Tracker:
                 dl = depth_lookups[j] if depth_lookups is not None else None
                 pose_out = self._insert_keyframe(
                     bank_j, None, pose, frame_track, ts, fid, dl, set_ref=True)
-                slot = st.frame_id_to_slot[fid]
-                prov_real[nkf] = st.kf_track[slot].copy()
-                nkf += 1
             final_pose = pose_out if pose_out is not None else pose
             self._publish_tracked(final_pose, ts, pose_out is not None)
             self._after_track(_LazyBankSlice(banks, j), final_pose, ts, fid,
                               track_well=True, track=frame_track)
             results.append(pose_out)
             consumed += 1
-        if consumed < n_valid:
+            if is_kf:
+                break  # chunk cut at the keyframe; next chunk sees fresh state
+        weak = (
+            consumed < n_valid
+            and outs[consumed][0] >= 0
+            and (outs[consumed][0] < min_match or outs[consumed][1] < min_match)
+        )
+        if weak:
             # hand the weak frame's bank to the caller for the per-frame
             # retry (its extraction already ran on device)
             return results, consumed, _LazyBankSlice(banks, consumed)
