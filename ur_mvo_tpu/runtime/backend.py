@@ -226,12 +226,24 @@ class Backend:
             if sims[idx] < cfg.loop_min_similarity:
                 break
             cand = int(cands[idx])
+            # Verify against the candidate's INSERTION-TIME geometry
+            # snapshot (kf_snap_*): its pose and its tracked-point
+            # positions as a self-consistent pair. Using the LIVE map
+            # here is subtly wrong: window/full BA drags early points
+            # toward later drifted observers while gauge-fixed early
+            # poses stay put, so PnP against (live points, stored pose)
+            # lands in between — a biased edge (measured 0.26 m offset on
+            # a 3 m square whose true closure offset is 0).
+            snap_ok = st.kf_snap_ok[cand]
+            slots_c = np.nonzero(snap_ok)[0]
             mp = st.kf_track[cand]
-            ids = mp[mp >= 0]
-            ids = ids[st.mp_good[ids] & ~st.mp_bad[ids]]
+            ids = mp[slots_c]
+            alive = ids >= 0
+            alive[alive] &= ~st.mp_bad[ids[alive]]
+            slots_c, ids = slots_c[alive], ids[alive]
             if len(ids) < cfg.loop_min_inliers or st.mp_desc is None:
                 continue
-            ids = ids[:K]
+            slots_c, ids = slots_c[:K], ids[:K]
             desc_b = np.zeros((K, st.cfg.descriptor_dim), np.float32)
             valid_b = np.zeros(K, bool)
             desc_b[: len(ids)] = st.mp_desc[ids].astype(np.float32)
@@ -250,7 +262,7 @@ class Backend:
             X = np.zeros((K, 3), np.float32)
             uv3 = np.concatenate([bank_kpts.astype(np.float32), -np.ones((K, 1), np.float32)], 1)
             rows = np.nonzero(mvalid)[0]
-            X[rows] = st.mp_pos[ids[idx1[rows]]]
+            X[rows] = st.kf_snap_pos[cand, slots_c[idx1[rows]]]
             self._loop_key, sub = jax.random.split(self._loop_key)
             res = self._loop_verify(sub, jnp.asarray(X), jnp.asarray(uv3), jnp.asarray(mvalid))
             n_inl = int(res.n_inliers)
@@ -260,9 +272,10 @@ class Backend:
             t_cw = np.asarray(res.t_cw)
             R_wc_cur = R_cw.T
             t_wc_cur = -R_cw.T @ t_cw
-            # edge: T_ij = T_i^-1 T_j, i = candidate, j = this keyframe
-            R_i = st.kf_R[cand]
-            t_i = st.kf_t[cand]
+            # edge: T_ij = T_i^-1 T_j in the SNAPSHOT frame (a purely
+            # relative measurement; i = candidate, j = this keyframe)
+            R_i = st.kf_snap_R[cand]
+            t_i = st.kf_snap_t[cand]
             R_ij = R_i.T @ R_wc_cur
             t_ij = R_i.T @ (t_wc_cur - t_i)
             edge = (cand, int(slot), R_ij.astype(np.float32), t_ij.astype(np.float32),
@@ -340,6 +353,10 @@ class Backend:
         # Triangulate untriangulated points with > 2 observers
         # (mapping.cc:107-110 requires ObverserNum() > 2).
         self._triangulate_pending(track[obs_idx])
+
+        # insertion-time geometry snapshot for loop-closure verification
+        # (pose + tracked-point positions as a self-consistent pair)
+        st.snapshot_keyframe_geometry(slot)
 
         if st.num_keyframes() >= 2:
             self.local_bundle_adjustment(slot)

@@ -876,6 +876,7 @@ class Tracker:
         st.mp_pos[mp_ids] = Xw[tri]
         st.mp_good[mp_ids] = True
         st.add_observations(slot0, mp_ids, np.nonzero(tri)[0])
+        st.snapshot_keyframe_geometry(slot0)
 
         # second keyframe
         uvr2 = np.concatenate([kpts1, -np.ones((K, 1), np.float32)], axis=1)
@@ -884,6 +885,7 @@ class Tracker:
         # observed feature slots in frame2 are idx1 of the matched slots
         feat2 = idx1[np.nonzero(tri)[0]]
         st.add_observations(slot1, mp_ids, feat2)
+        st.snapshot_keyframe_geometry(slot1)
 
         # frame track table for the new frame
         frame_track = np.full(K, -1, np.int32)
@@ -931,6 +933,7 @@ class Tracker:
         st.mp_pos[mp_ids] = Xw[good]
         st.mp_good[mp_ids] = True
         st.add_observations(slot, mp_ids, np.nonzero(good)[0])
+        st.snapshot_keyframe_geometry(slot)
 
         frame_track = np.full(K, -1, np.int32)
         frame_track[np.nonzero(good)[0]] = mp_ids

@@ -76,6 +76,18 @@ class MapStore:
         # (slot_i, slot_j, R_ij (3,3), t_ij (3,), weight) with
         # T_ij = T_i^-1 T_j measured by geometric verification
         self.loop_edges: list = []
+        # Self-consistent geometry snapshot taken at insertion time:
+        # the keyframe's pose + the positions of its tracked Good
+        # mappoints AT THAT MOMENT. Loop-closure verification solves PnP
+        # in this frame (Backend.detect_loop): later BA can drag early
+        # points toward drifted observers while the gauge-fixed early
+        # POSES stay put, and PnP against that inconsistent pair lands
+        # in between — measured as a 0.26 m bias on a 3 m square whose
+        # true closure offset is 0.
+        self.kf_snap_pos = np.zeros((KF, K, 3), np.float32)
+        self.kf_snap_ok = np.zeros((KF, K), bool)
+        self.kf_snap_R = np.tile(np.eye(3, dtype=np.float32), (KF, 1, 1))
+        self.kf_snap_t = np.zeros((KF, 3), np.float32)
 
         self._next_kf = 0
         self._next_mp = 0
@@ -106,6 +118,18 @@ class MapStore:
             self.kf_gdesc[s] = np.asarray(desc)[valid_slots].astype(np.float32).mean(0)
         self.frame_id_to_slot[frame_id] = s
         return s
+
+    def snapshot_keyframe_geometry(self, slot: int) -> None:
+        """Record the keyframe's insertion-time (pose, tracked-point
+        positions) pair — call once after its observations/triangulations
+        are registered. See the kf_snap_* field comment."""
+        track = self.kf_track[slot]
+        safe = np.maximum(track, 0)
+        ok = (track >= 0) & self.mp_good[safe] & ~self.mp_bad[safe]
+        self.kf_snap_pos[slot] = np.where(ok[:, None], self.mp_pos[safe], 0.0)
+        self.kf_snap_ok[slot] = ok
+        self.kf_snap_R[slot] = self.kf_R[slot]
+        self.kf_snap_t[slot] = self.kf_t[slot]
 
     def alloc_mappoints(self, n: int) -> np.ndarray:
         if self._next_mp + n > self.cfg.max_mappoints:
@@ -297,6 +321,10 @@ class MapStore:
         self.covis[s, :] = 0
         self.covis[:, s] = 0
         self.kf_gdesc[s] = 0.0
+        self.kf_snap_pos[s] = 0.0
+        self.kf_snap_ok[s] = False
+        self.kf_snap_R[s] = np.eye(3, dtype=np.float32)
+        self.kf_snap_t[s] = 0.0
         self.loop_edges = [e for e in self.loop_edges if e[0] != s and e[1] != s]
 
     def _remove_mappoint(self, mp: int) -> None:
@@ -314,6 +342,7 @@ class MapStore:
         "kf_valid", "kf_frame_id", "kf_timestamp", "kf_R", "kf_t",
         "kf_kpts", "kf_track", "mp_alloc", "mp_good", "mp_bad", "mp_pos",
         "mp_obs_count", "obs_slot", "covis",
+        "kf_snap_pos", "kf_snap_ok", "kf_snap_R", "kf_snap_t",
     )  # mp_desc handled separately (optional)
 
     def save_snapshot(self, path: str) -> None:
@@ -339,6 +368,10 @@ class MapStore:
         data = np.load(path if path.endswith(".npz") else path + ".npz")
         store = cls(cfg)
         for f in cls._SNAPSHOT_FIELDS:
+            if f not in data:
+                if f.startswith("kf_snap_"):
+                    continue  # pre-round-3 snapshot: loop-geometry snaps rebuild lazily
+                raise ValueError(f"snapshot missing field {f}")
             saved = data[f]
             if getattr(store, f).shape != saved.shape:
                 raise ValueError(f"snapshot field {f} shape {saved.shape} != store {getattr(store, f).shape}")
