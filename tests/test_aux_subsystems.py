@@ -80,7 +80,9 @@ def test_map_snapshot_roundtrip(tmp_path):
     st = MapStore(cfg)
     kpts = np.random.default_rng(0).random((16, 3)).astype(np.float32)
     valid = np.ones(16, bool)
-    st.alloc_keyframe(0, 0.0, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), kpts, valid)
+    desc = np.random.default_rng(1).random((16, cfg.descriptor_dim)).astype(np.float16)
+    st.alloc_keyframe(0, 0.0, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), kpts, valid,
+                      desc=desc)
     mp = st.alloc_mappoints(5)
     st.mp_pos[mp] = 1.5
     st.mp_good[mp] = True
@@ -93,6 +95,8 @@ def test_map_snapshot_roundtrip(tmp_path):
     np.testing.assert_array_equal(st2.obs_slot, st.obs_slot)
     assert st2.frame_id_to_slot == {0: 0}
     assert st2._next_mp == 5
+    # observer-descriptor banks (exact-medoid inputs) survive the roundtrip
+    np.testing.assert_array_equal(st2.kf_desc[0], st.kf_desc[0])
 
 
 def test_batch_remove_observations_matches_sequential():
@@ -221,32 +225,54 @@ def test_neural_extractor_mask_filtering():
 
 
 def test_mappoint_descriptor_medoid_update():
-    """Running-mean representative update: after observing a noisy cluster
-    of descriptors, the stored descriptor is the observation closest to
-    the cluster mean — not the (outlier) first observation."""
+    """Exact-medoid parity with mapping.cc:207-258: the stored descriptor
+    is the observation minimizing the summed distance 2(1 - f·f') to all
+    other live observations (brute-force cross-check), and an observer
+    removed as an outlier drops out of the medoid on the next update."""
     D = 32
-    cfg = StoreConfig(max_keyframes=8, max_mappoints=16, keypoints_per_frame=4, descriptor_dim=D)
+    K = 4
+    cfg = StoreConfig(max_keyframes=8, max_mappoints=16, keypoints_per_frame=K, descriptor_dim=D)
     st = MapStore(cfg)
     mp = st.alloc_mappoints(1)
     rng = np.random.default_rng(0)
     center = rng.normal(size=D)
     center /= np.linalg.norm(center)
+
+    def observe(kf_idx, d):
+        bank = rng.normal(size=(K, D)).astype(np.float32)
+        bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+        bank[0] = d
+        slot = st.alloc_keyframe(kf_idx, float(kf_idx), np.eye(3, dtype=np.float32),
+                                 np.zeros(3, np.float32), np.zeros((K, 3), np.float32),
+                                 np.ones(K, bool), desc=bank)
+        st.add_observations(slot, mp, np.array([0]))
+        st.update_descriptors(mp)
+        return slot
+
     outlier = rng.normal(size=D)
     outlier /= np.linalg.norm(outlier)
-    # first observation: the outlier
-    st.mp_desc[mp] = outlier.astype(np.float16)
-    st.update_descriptors(mp, outlier[None])
-    # five near-center observations
-    near = []
-    for _ in range(5):
+    # f16 round-trip like the store's own banks
+    obs_descs = [outlier.astype(np.float16).astype(np.float32)]
+    slot_out = observe(0, outlier)
+    for i in range(5):
         d = center + 0.1 * rng.normal(size=D)
         d /= np.linalg.norm(d)
-        near.append(d)
-        st.update_descriptors(mp, d[None])
+        obs_descs.append(d.astype(np.float16).astype(np.float32))
+        observe(i + 1, d)
+
+    def brute_medoid(descs):
+        A = np.stack(descs)
+        dist = 2.0 * (1.0 - A @ A.T)
+        return A[np.argmin(dist.sum(1))]
+
     stored = st.mp_desc[mp[0]].astype(np.float32)
-    assert float(stored @ center) > 0.75  # converged to the cluster
-    assert float(stored @ outlier) < 0.5
-    # and the stored vector is one of the actual observations (a medoid,
-    # not a mean)
-    sims = [float(stored @ d) for d in near]
-    assert max(sims) > 0.999
+    np.testing.assert_allclose(stored, brute_medoid(obs_descs), atol=2e-3)
+    assert float(stored @ outlier) < 0.5  # outlier never the medoid here
+    # remove one near-center observer: the medoid recomputes over the
+    # survivors the next time the point is touched
+    st.remove_observation(2, int(mp[0]))
+    st.remove_observation(slot_out, int(mp[0]))
+    st.update_descriptors(mp)
+    survivors = [d for i, d in enumerate(obs_descs) if i not in (0, 2)]
+    stored = st.mp_desc[mp[0]].astype(np.float32)
+    np.testing.assert_allclose(stored, brute_medoid(survivors), atol=2e-3)

@@ -30,9 +30,9 @@ class StoreConfig:
     keypoints_per_frame: int = 1024
     # Per-mappoint descriptors (f16) enable projection-guided local-map
     # association (ops/local_map.py). The reference stores a medoid
-    # descriptor per mappoint (mappoint.h, mapping.cc:207-258); here the
-    # first observation's descriptor is kept (cheap, near-equivalent for
-    # SuperPoint descriptors which are view-stable).
+    # descriptor per mappoint (mappoint.h, mapping.cc:207-258); the
+    # store keeps per-keyframe descriptor banks and recomputes the exact
+    # medoid over live observers (update_descriptors).
     store_descriptors: bool = True
     descriptor_dim: int = 256
 
@@ -58,11 +58,10 @@ class MapStore:
         self.mp_desc = (
             np.zeros((MP, cfg.descriptor_dim), np.float16) if cfg.store_descriptors else None
         )
-        # running sum of observer descriptors for the medoid approximation
-        # (update_descriptors); f32 to avoid drift over many observers
-        self.mp_desc_sum = (
-            np.zeros((MP, cfg.descriptor_dim), np.float32) if cfg.store_descriptors else None
-        )
+        # per-keyframe feature-descriptor banks, (K, D) f16 each, filled
+        # lazily at insertion (~0.5 MB/keyframe) — the observer
+        # descriptors behind the exact medoid in update_descriptors
+        self.kf_desc: Dict[int, np.ndarray] = {}
         # observer relation: slot of mappoint in keyframe, -1 when absent
         self.obs_slot = np.full((MP, KF), -1, np.int16)
         # covisibility weights between keyframes
@@ -116,6 +115,8 @@ class MapStore:
         self.kf_kpts[s] = np.where(valid_slots[:, None], kpts, 0.0)
         if desc is not None and valid_slots.any():
             self.kf_gdesc[s] = np.asarray(desc)[valid_slots].astype(np.float32).mean(0)
+        if desc is not None and self.mp_desc is not None:
+            self.kf_desc[s] = np.asarray(desc).astype(np.float16)
         self.frame_id_to_slot[frame_id] = s
         return s
 
@@ -158,30 +159,52 @@ class MapStore:
         self.covis[kf_slot] += counts
         self.covis[:, kf_slot] += counts
 
-    def update_descriptors(self, mp_ids: np.ndarray, descs: np.ndarray) -> None:
-        """Representative-descriptor update on new observations.
+    def update_descriptors(self, mp_ids: np.ndarray, descs: np.ndarray = None) -> None:
+        """Exact per-mappoint medoid descriptor recompute.
 
-        The reference recomputes the medoid of all observer descriptors
-        after each keyframe (``Mapping::UpdateMappointDescriptor``,
-        ``mapping.cc:207-258`` — the observation minimizing summed
-        distance ``2(1 - f·f')`` to the others). Exact medoids need all
-        observer descriptors; here each mappoint keeps the observation
-        whose cosine to the *running mean* descriptor is highest — an
-        O(1)-per-observation approximation with the same intent (pick a
-        central, view-stable representative), batched over all points
-        touched by the keyframe.
+        Reference parity: ``Mapping::UpdateMappointDescriptor``
+        (``mapping.cc:207-258``) picks, among all observer descriptors,
+        the one minimizing the summed distance ``2(1 - f_i·f_j)`` to the
+        others. For L2-normalized descriptors that argmin is exactly
+        ``argmax_i f_i·S`` with ``S = Σ_j f_j`` (the ``f_i·f_i`` term is
+        the same for every candidate), so the medoid over ALL live
+        observers is one gather + one batched dot against the group sum —
+        no pairwise distance matrix. Because it reads only LIVE
+        observations (``obs_slot``), outlier removals drop out of the
+        medoid the next time the point is touched, matching the
+        reference's full recompute. ``descs`` is accepted for call-site
+        compatibility but unused: observer descriptors come from the
+        per-keyframe banks (``kf_desc``).
         """
         if self.mp_desc is None or len(mp_ids) == 0:
             return
-        mp_ids = np.asarray(mp_ids, np.int64)
-        d = descs.astype(np.float32)
-        self.mp_desc_sum[mp_ids] += d
-        mean = self.mp_desc_sum[mp_ids]
-        norm = np.linalg.norm(mean, axis=1, keepdims=True)
-        mean = mean / np.maximum(norm, 1e-8)
-        cur = self.mp_desc[mp_ids].astype(np.float32)
-        keep_new = np.sum(d * mean, axis=1) >= np.sum(cur * mean, axis=1)
-        self.mp_desc[mp_ids] = np.where(keep_new[:, None], d, cur).astype(np.float16)
+        umps = np.unique(np.asarray(mp_ids, np.int64))
+        obs = self.obs_slot[umps]  # (n, KF)
+        pi, pk = np.nonzero(obs >= 0)  # row-major: pi is non-decreasing
+        if len(pi) == 0:
+            return
+        slots = obs[pi, pk].astype(np.int64)
+        f = np.zeros((len(pi), self.cfg.descriptor_dim), np.float32)
+        have = np.zeros(len(pi), bool)
+        for k in np.unique(pk):
+            bank = self.kf_desc.get(int(k))
+            if bank is None:
+                continue  # keyframe inserted without descriptors
+            m = pk == k
+            f[m] = bank[slots[m]].astype(np.float32)
+            have[m] = True
+        new_group = np.r_[True, pi[1:] != pi[:-1]]
+        starts = np.nonzero(new_group)[0]
+        S = np.add.reduceat(f, starts, axis=0)  # per-mappoint Σ f_j
+        group_of = np.cumsum(new_group) - 1
+        score = np.einsum("od,od->o", f, S[group_of])
+        score[~have] = -np.inf
+        order = np.lexsort((score, pi))
+        pi_s, score_s = pi[order], score[order]
+        last = np.nonzero(np.r_[pi_s[1:] != pi_s[:-1], True])[0]
+        win = order[last]
+        upd = np.isfinite(score_s[last])  # groups with ≥1 real observer
+        self.mp_desc[umps[pi_s[last][upd]]] = f[win[upd]].astype(np.float16)
 
     def remove_observation(self, kf_slot: int, mp_id: int) -> None:
         """Detach one observation (outlier removal, ``mapping.cc:550-603``)."""
@@ -321,6 +344,7 @@ class MapStore:
         self.covis[s, :] = 0
         self.covis[:, s] = 0
         self.kf_gdesc[s] = 0.0
+        self.kf_desc.pop(s, None)
         self.kf_snap_pos[s] = 0.0
         self.kf_snap_ok[s] = False
         self.kf_snap_R[s] = np.eye(3, dtype=np.float32)
@@ -353,7 +377,11 @@ class MapStore:
         state["_frame_slots"] = np.asarray(list(self.frame_id_to_slot.values()), np.int64)
         if self.mp_desc is not None:
             state["mp_desc"] = self.mp_desc
-            state["mp_desc_sum"] = self.mp_desc_sum
+            if self.kf_desc:
+                state["kf_desc_slots"] = np.asarray(sorted(self.kf_desc), np.int64)
+                state["kf_desc_banks"] = np.stack(
+                    [self.kf_desc[int(s)] for s in sorted(self.kf_desc)]
+                )
         state["kf_gdesc"] = self.kf_gdesc
         if self.loop_edges:
             state["loop_i"] = np.asarray([e[0] for e in self.loop_edges], np.int32)
@@ -378,8 +406,11 @@ class MapStore:
             setattr(store, f, saved.copy())
         if store.mp_desc is not None and "mp_desc" in data:
             store.mp_desc = data["mp_desc"].copy()
-            if "mp_desc_sum" in data:
-                store.mp_desc_sum = data["mp_desc_sum"].copy()
+            if "kf_desc_slots" in data:
+                store.kf_desc = {
+                    int(s): bank.copy()
+                    for s, bank in zip(data["kf_desc_slots"], data["kf_desc_banks"])
+                }
         store._next_kf = int(data["_next_kf"])
         store._next_mp = int(data["_next_mp"])
         store.frame_id_to_slot = dict(zip(data["_frame_ids"].tolist(), data["_frame_slots"].tolist()))
