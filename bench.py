@@ -220,28 +220,15 @@ def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
     # the dev relay every sync costs a ~24 ms round trip ON THE CALLING
     # THREAD (the client spins, so process_time/thread_time include it);
     # locally the same sync is ~0.1-0.2 ms. The counts let us project.
-    import jax.numpy as jnp
+    from ur_mvo_tpu.utils.timing import count_d2h
 
-    arr_t = type(jnp.zeros(()))
     xfer = {"n": 0, "t": 0.0}
-    orig_array = arr_t.__array__
-
-    def counted_array(self, *a, **k):
-        t0 = time.perf_counter()
-        r = orig_array(self, *a, **k)
-        xfer["n"] += 1
-        xfer["t"] += time.perf_counter() - t0
-        return r
-
-    arr_t.__array__ = counted_array
-    try:
+    with count_d2h(xfer):
         t0 = time.perf_counter()
         th0 = time.thread_time()
         n_kf = run(vo)
         wall = time.perf_counter() - t0
         host_thread = time.thread_time() - th0
-    finally:
-        arr_t.__array__ = orig_array
     # main-thread CPU time minus the (relay-inflated) transfer waits =
     # true per-frame host bookkeeping, the number a locally-attached
     # deployment would pay (dispatch overheads stay, ~0.1 ms/program)
@@ -274,21 +261,10 @@ def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
     if vo2.tracker.initialized:
         vo2.reset()
         xfer2 = {"n": 0, "t": 0.0}
-
-        def counted2(self, *a, **k):
-            t0 = time.perf_counter()
-            r = orig_array(self, *a, **k)
-            xfer2["n"] += 1
-            xfer2["t"] += time.perf_counter() - t0
-            return r
-
-        arr_t.__array__ = counted2
-        try:
+        with count_d2h(xfer2):
             t0 = time.perf_counter()
             n_kf2 = run_chunked(vo2)
             wall2 = time.perf_counter() - t0
-        finally:
-            arr_t.__array__ = orig_array
         out["e2e_wall_fps_chunked"] = n_frames / wall2
         out["d2h_transfers_per_frame_chunked"] = xfer2["n"] / n_frames
         out["e2e_keyframes_chunked"] = n_kf2

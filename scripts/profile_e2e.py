@@ -72,20 +72,11 @@ def main():
     cfg.initializer.min_features_first = 80
 
     # --- instrument device->host transfers -----------------------------
-    import jax.numpy as jnp
+    from ur_mvo_tpu.utils.timing import count_d2h
 
-    A = type(jnp.zeros(()))
     stats = {"n": 0, "t": 0.0}
-    orig_array = A.__array__
-
-    def counted_array(self, *a, **k):
-        t0 = time.perf_counter()
-        r = orig_array(self, *a, **k)
-        stats["n"] += 1
-        stats["t"] += time.perf_counter() - t0
-        return r
-
-    A.__array__ = counted_array
+    ctx = count_d2h(stats)
+    ctx.__enter__()  # restored below after the timed pass
 
     vo = UR_MVO(cfg, SensorSetup.MONO, camera=cam)
     frames = [Frame(image=Image(images[i], i / 30.0)) for i in range(n)]
@@ -126,6 +117,7 @@ def main():
     wall = time.perf_counter() - w0
     cpu = time.process_time() - c0
     th = time.thread_time() - th0
+    ctx.__exit__(None, None, None)
 
     print(f"frames={n} keyframes={kf} init={vo.tracker.initialized}")
     print(f"wall/frame          : {wall/n*1e3:8.2f} ms  ({n/wall:.2f} fps)")

@@ -292,3 +292,32 @@ def test_e2e_async_ba():
     assert ate < 0.08, ate
     # trajectory reads flush pending results: nothing left in flight
     assert vo.tracker.backend._pending_ba is None
+
+
+def test_reset_reproduces_fresh_engine():
+    """State-only reset() must reproduce a fresh engine bit-for-bit: all
+    RNG streams (tracker PnP keys, extractor match keys, oracle
+    noise/dropout, backend loop keys) re-seed, matching the reference's
+    rebuild-everything reset (main_py.cpp:257-267)."""
+    cfg = small_config()
+    cam = make_camera()
+    n_frames = 16
+    T_wc, ts = make_trajectory(n_frames)
+    X = make_landmarks(300, along=n_frames * 0.05)
+    oracle = OracleExtractor(X, cam, capacity=cfg.superpoint.capacity,
+                             noise_px=0.3, dropout=0.1, seed=5)
+    vo = UR_MVO(cfg, SensorSetup.MONO, camera=cam, extractor=oracle)
+
+    def run():
+        for i in range(n_frames):
+            frame = Frame(image=Image(np.zeros((cam.height, cam.width), np.uint8), ts[i]))
+            frame.meta["T_wc"] = T_wc[i]
+            vo.process(frame)
+        assert vo.tracker.initialized
+        _, kpos, _ = vo.keyframe_trajectory()
+        return kpos
+
+    first = run()
+    vo.reset()
+    second = run()
+    np.testing.assert_array_equal(first, second)

@@ -235,7 +235,20 @@ class UR_MVO:
                     pending_bank = None
                     outs[i] = self._emit(ts, pose_mat)
                 else:
-                    nxt = frames[i + 1] if C <= 1 and i + 1 < len(frames) else None
+                    # Prefetch the next frame whenever IT will also take
+                    # the per-frame path (stereo/masked/uninitialized
+                    # stretches) — chunk mode used to disable the
+                    # lookahead wholesale, serializing extract after
+                    # track exactly where per-frame processing persists.
+                    # A prefetch wasted on a frame that ends up chunked
+                    # costs one extract dispatch; losing one costs a
+                    # serialized frame period.
+                    nxt = None
+                    if i + 1 < len(frames):
+                        nf = frames[i + 1]
+                        if (C <= 1 or not chunk_setup or nf.mask is not None
+                                or not self.tracker.chunk_available()):
+                            nxt = nf
                     outs[i] = self.process(f, next_data=nxt)
                 i += 1
                 continue

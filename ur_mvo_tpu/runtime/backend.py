@@ -129,6 +129,7 @@ class Backend:
         self.store = MapStore(self.store.cfg)
         self._pending_ba = None
         self._loop_cooldown = 0
+        self._loop_key = jax.random.PRNGKey(1234)
 
     # ------------------------------------------------------------------
     # Loop closure (beyond the reference — it has no place recognition;

@@ -201,6 +201,11 @@ class NeuralExtractor:
         self._key, sub = jax.random.split(self._key)
         return self._match_fn(self.sg_params, sub, bank0, bank1, outlier_rejection)
 
+    def reset_state(self) -> None:
+        """Re-seed the match-RANSAC key stream so an engine reset
+        reproduces a fresh engine run (Tracker.reset_state)."""
+        self._key = jax.random.PRNGKey(self.cfg.runtime.seed + 1)
+
 
 class OracleExtractor:
     """Ground-truth feature oracle over a synthetic scene.
@@ -232,6 +237,9 @@ class OracleExtractor:
         D = 256
         desc = self.rng.normal(size=(self.points.shape[0], D)).astype(np.float32)
         self.desc = desc / np.linalg.norm(desc, axis=1, keepdims=True)
+        # post-descriptor-draw generator state, restored by reset_state
+        # so reset runs reproduce a fresh oracle's noise/dropout stream
+        self._rng_state0 = self.rng.bit_generator.state
 
     def extract_with_pose(self, T_wc: np.ndarray, right: bool = False) -> FeatureBank:
         n = self.points.shape[0]
@@ -270,6 +278,11 @@ class OracleExtractor:
             desc=jnp.asarray(desc * valid[:, None]),
             valid=jnp.asarray(valid),
         )
+
+    def reset_state(self) -> None:
+        """Restore the noise/dropout stream to its fresh-oracle state
+        (Tracker.reset_state reproducibility)."""
+        self.rng.bit_generator.state = self._rng_state0
 
     def extract(self, image, mask=None, frame=None) -> FeatureBank:
         raise NotImplementedError("OracleExtractor requires extract_with_pose(T_wc)")

@@ -501,6 +501,11 @@ class Tracker:
         self._last_keyframe_frame_id = -1
         self._last_keyframe_time = 0.0
         self._rng = jax.random.PRNGKey(self.cfg.runtime.seed + 7)
+        # re-seed the extractor/backend RNG streams too, so a reset run
+        # reproduces a fresh engine (main_py.cpp's reset rebuilds
+        # everything, re-seeding implicitly)
+        if hasattr(self.extractor, "reset_state"):
+            self.extractor.reset_state()
 
     def _next_key(self):
         self._rng, sub = jax.random.split(self._rng)
@@ -660,10 +665,14 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def chunk_available(self) -> bool:
+        # local-map tracking is a host-side refinement stage the chunk
+        # kernel does not contain — chunking with it enabled would
+        # silently drop the refinement, so fall back to per-frame
         return (
             self._chunk_builder is not None
             and self._initialized
             and self._ref_bank is not None
+            and not self.cfg.local_map_tracking.enabled
         )
 
     def process_chunk(self, images, timestamps, depth_lookups=None, n_valid=None):
@@ -715,8 +724,11 @@ class Tracker:
             if num_match < 0:
                 break  # the device loop cut before this row
             n_inl = int(row[1])
-            if num_match < min_match or n_inl < min_match:
-                break  # weak event: caller re-feeds frame j per-frame
+            if (num_match < min_match or n_inl < min_match
+                    or not np.all(np.isfinite(row[2:14]))):
+                # weak or ill-conditioned (same non-finite guard as
+                # parse_fused_packed): caller re-feeds frame j per-frame
+                break
             is_kf = row[14 + K] > 0.5
             frame_track = row[14 : 14 + K].astype(np.int32)
             R_cw = row[2:11].reshape(3, 3)
@@ -743,7 +755,8 @@ class Tracker:
         weak = (
             consumed < n_valid
             and outs[consumed][0] >= 0
-            and (outs[consumed][0] < min_match or outs[consumed][1] < min_match)
+            and (outs[consumed][0] < min_match or outs[consumed][1] < min_match
+                 or not np.all(np.isfinite(outs[consumed][2:14])))
         )
         if weak:
             # hand the weak frame's bank to the caller for the per-frame

@@ -395,10 +395,15 @@ class MapStore:
     def load_snapshot(cls, path: str, cfg: "StoreConfig") -> "MapStore":
         data = np.load(path if path.endswith(".npz") else path + ".npz")
         store = cls(cfg)
+        rebuild_snaps = False
         for f in cls._SNAPSHOT_FIELDS:
             if f not in data:
                 if f.startswith("kf_snap_"):
-                    continue  # pre-round-3 snapshot: loop-geometry snaps rebuild lazily
+                    # pre-round-3 snapshot: rebuild from the loaded map
+                    # below (the loaded state IS self-consistent at load
+                    # time, which is all detect_loop needs)
+                    rebuild_snaps = True
+                    continue
                 raise ValueError(f"snapshot missing field {f}")
             saved = data[f]
             if getattr(store, f).shape != saved.shape:
@@ -423,4 +428,7 @@ class MapStore:
                     data["loop_i"], data["loop_j"], data["loop_R"], data["loop_t"], data["loop_w"]
                 )
             ]
+        if rebuild_snaps:
+            for s in store.keyframe_slots():
+                store.snapshot_keyframe_geometry(int(s))
         return store

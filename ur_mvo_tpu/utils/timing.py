@@ -55,3 +55,33 @@ class StageTimer:
 
     def reset(self) -> None:
         self._stats.clear()
+
+
+@contextlib.contextmanager
+def count_d2h(stats: dict):
+    """Count device->host materializations (``jax.Array.__array__``) and
+    the wall spent inside them into ``stats`` keys ``"n"``/``"t"`` while
+    active. Through the dev relay each sync costs a ~24 ms round trip on
+    the calling thread; locally the same sync is ~0.1-0.2 ms — the
+    counts let a relay-attached measurement project locally-attached
+    throughput (bench.py, scripts/profile_e2e.py). Reentrant use on the
+    same dict accumulates; reset by zeroing the keys."""
+    import jax.numpy as jnp
+
+    arr_t = type(jnp.zeros(()))
+    orig = arr_t.__array__
+    stats.setdefault("n", 0)
+    stats.setdefault("t", 0.0)
+
+    def counted(self, *a, **k):
+        t0 = time.perf_counter()
+        r = orig(self, *a, **k)
+        stats["n"] += 1
+        stats["t"] += time.perf_counter() - t0
+        return r
+
+    arr_t.__array__ = counted
+    try:
+        yield stats
+    finally:
+        arr_t.__array__ = orig
