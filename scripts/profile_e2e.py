@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--sites", action="store_true",
+                    help="tally the in-repo call site of every d2h transfer")
     args = ap.parse_args()
 
     import jax
@@ -75,7 +77,8 @@ def main():
     from ur_mvo_tpu.utils.timing import count_d2h
 
     stats = {"n": 0, "t": 0.0}
-    ctx = count_d2h(stats)
+    sites = {} if args.sites else None
+    ctx = count_d2h(stats, sites=sites)
     ctx.__enter__()  # restored below after the timed pass
 
     vo = UR_MVO(cfg, SensorSetup.MONO, camera=cam)
@@ -97,6 +100,8 @@ def main():
     vo.tracker.timer.reset()
     stats["n"] = 0
     stats["t"] = 0.0
+    if sites is not None:
+        sites.clear()  # drop warm/compile-pass attributions
 
     # per-frame extract span
     extract_t = [0.0]
@@ -128,6 +133,10 @@ def main():
     print("tracker spans:")
     for name, d in vo.tracker.timer.summary().items():
         print(f"  {name:14s} count={d['count']:4d} mean={d['mean_ms']:8.2f} ms total={d['total_s']*1e3:9.1f} ms")
+    if sites:
+        print("d2h call sites (timed pass):")
+        for key, c in sorted(sites.items(), key=lambda kv: -kv[1]):
+            print(f"  {c:5d}  {key}")
 
 
 if __name__ == "__main__":

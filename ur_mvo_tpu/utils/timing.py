@@ -58,14 +58,16 @@ class StageTimer:
 
 
 @contextlib.contextmanager
-def count_d2h(stats: dict):
+def count_d2h(stats: dict, sites: dict = None):
     """Count device->host materializations (``jax.Array.__array__``) and
     the wall spent inside them into ``stats`` keys ``"n"``/``"t"`` while
     active. Through the dev relay each sync costs a ~24 ms round trip on
     the calling thread; locally the same sync is ~0.1-0.2 ms — the
     counts let a relay-attached measurement project locally-attached
     throughput (bench.py, scripts/profile_e2e.py). Reentrant use on the
-    same dict accumulates; reset by zeroing the keys."""
+    same dict accumulates; reset by zeroing the keys. ``sites`` (a dict)
+    additionally tallies the innermost in-repo call site of each
+    transfer as ``"file:line fn" -> count``."""
     import jax.numpy as jnp
 
     arr_t = type(jnp.zeros(()))
@@ -78,6 +80,18 @@ def count_d2h(stats: dict):
         r = orig(self, *a, **k)
         stats["n"] += 1
         stats["t"] += time.perf_counter() - t0
+        if sites is not None:
+            import traceback
+
+            for fr in reversed(traceback.extract_stack(limit=25)):
+                f = fr.filename
+                if f.endswith("utils/timing.py"):
+                    continue  # this wrapper's own frame
+                if ("/ur_mvo_tpu/" in f or "/scripts/" in f
+                        or f.endswith(("bench.py", "__graft_entry__.py"))):
+                    key = f"{f.rsplit('/', 1)[-1]}:{fr.lineno} {fr.name}"
+                    sites[key] = sites.get(key, 0) + 1
+                    break
         return r
 
     arr_t.__array__ = counted
