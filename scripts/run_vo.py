@@ -62,6 +62,9 @@ def main():
     ap.add_argument("--global-ba", action="store_true",
                     help="run global pose-graph optimization + full BA over all "
                          "keyframes after the sequence (Backend.global_optimize)")
+    ap.add_argument("--reloc", action="store_true",
+                    help="relocalize after tracking loss: re-anchor into the "
+                         "existing map via retrieval + PnP (Backend.relocalize)")
     args = ap.parse_args()
 
     import jax
@@ -135,6 +138,8 @@ def main():
         cfg.camera_config_path = seq_cam
     if args.loop_closure:
         cfg.backend.loop_closure = True
+    if args.reloc:
+        cfg.backend.relocalization = True
     if args.chunk and args.chunk > 1:
         cfg.runtime.chunk_frames = args.chunk
     vo = UR_MVO(cfg, setup)

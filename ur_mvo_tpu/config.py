@@ -170,6 +170,14 @@ class BackendConfig:
     loop_min_inliers: int = 25  # PnP inliers to accept an edge
     loop_edge_weight: float = 3.0  # pose-graph weight vs 1.0 odometry edges
     loop_cooldown_keyframes: int = 5  # skip detection right after an accept
+    # Relocalization after tracking loss (beyond the reference, whose
+    # only recovery is a fresh-map reseed, tracking.cc:500-513): after
+    # `reloc_after_failures` consecutive lost frames, retrieve candidate
+    # keyframes by centered global-descriptor cosine and PnP-verify
+    # against LIVE mappoints; on success the frame re-enters the
+    # EXISTING map as a keyframe (shares the loop_* retrieval gates).
+    relocalization: bool = False
+    reloc_after_failures: int = 3
 
 
 @dataclasses.dataclass

@@ -286,6 +286,97 @@ class Backend:
             return edge
         return None
 
+    def relocalize(self, bank_desc: np.ndarray, bank_kpts: np.ndarray,
+                   bank_valid: np.ndarray):
+        """Re-anchor a lost camera into the LIVE map.
+
+        Beyond the reference, whose only loss recovery is the
+        promote-last-keyframe retry and (pre-init) a fresh-map reseed
+        (``tracking.cc:254-276, 500-513``). Retrieval + verification
+        reuse the loop-closure machinery with two deliberate
+        differences: every keyframe is a candidate (no gap/covisibility
+        constraint — the most recently seen place is the most likely),
+        and PnP runs against LIVE mappoint positions, because the
+        recovered pose must land in the CURRENT world frame for
+        tracking and BA to continue (``detect_loop`` instead uses
+        insertion-time snapshots because a loop EDGE is a relative
+        measurement against the candidate's own frame).
+
+        Returns ``(T_wc (4,4), frame_track (K,), n_inliers)`` mapping
+        verified bank slots to existing mappoint ids, or None.
+        """
+        cfg = self.cfg
+        st = self.store
+        slots = st.keyframe_slots()
+        if len(slots) == 0 or st.mp_desc is None or not bank_valid.any():
+            return None
+        if self._loop_verify is None:
+            self._build_loop_kernels()
+        from ur_mvo_tpu.ops.keypoints import FeatureBank
+
+        K = st.cfg.keypoints_per_frame
+        q = bank_desc[bank_valid].astype(np.float32).mean(0)
+        mu = st.kf_gdesc[slots].mean(0)
+
+        def centered(x):
+            c = x - mu
+            return c / np.maximum(np.linalg.norm(c, axis=-1, keepdims=True), 1e-8)
+
+        sims = centered(st.kf_gdesc[slots]) @ centered(q[None])[0]
+        bank_a = FeatureBank(
+            scores=jnp.asarray(bank_valid.astype(np.float32)),
+            kpts=jnp.asarray(bank_kpts.astype(np.float32)),
+            desc=jnp.asarray(bank_desc.astype(np.float32)),
+            valid=jnp.asarray(bank_valid),
+        )
+        for idx in np.argsort(-sims)[: cfg.loop_top_k]:
+            if sims[idx] < cfg.loop_min_similarity:
+                break
+            cand = int(slots[idx])
+            mp = st.kf_track[cand]
+            sl = np.nonzero(mp >= 0)[0]
+            ids = mp[sl]
+            keep = st.mp_good[ids] & ~st.mp_bad[ids]
+            ids = ids[keep]
+            if len(ids) < cfg.loop_min_inliers:
+                continue
+            ids = ids[:K]
+            desc_b = np.zeros((K, st.cfg.descriptor_dim), np.float32)
+            valid_b = np.zeros(K, bool)
+            desc_b[: len(ids)] = st.mp_desc[ids].astype(np.float32)
+            valid_b[: len(ids)] = True
+            bank_b = FeatureBank(
+                scores=jnp.asarray(valid_b.astype(np.float32)),
+                kpts=jnp.zeros((K, 2), jnp.float32),
+                desc=jnp.asarray(desc_b),
+                valid=jnp.asarray(valid_b),
+            )
+            m = self._loop_match(bank_a, bank_b)
+            idx1 = np.asarray(m.idx1)
+            mvalid = np.asarray(m.valid) & bank_valid & (idx1 >= 0) & (idx1 < len(ids))
+            if mvalid.sum() < cfg.loop_min_inliers:
+                continue
+            X = np.zeros((K, 3), np.float32)
+            uv3 = np.concatenate([bank_kpts.astype(np.float32), -np.ones((K, 1), np.float32)], 1)
+            rows = np.nonzero(mvalid)[0]
+            X[rows] = st.mp_pos[ids[idx1[rows]]]
+            self._loop_key, sub = jax.random.split(self._loop_key)
+            res = self._loop_verify(sub, jnp.asarray(X), jnp.asarray(uv3), jnp.asarray(mvalid))
+            n_inl = int(res.n_inliers)
+            if n_inl < cfg.loop_min_inliers:
+                continue
+            inl = np.asarray(res.inliers).astype(bool) & mvalid
+            frame_track = np.full(K, -1, np.int32)
+            rows_in = np.nonzero(inl)[0]
+            frame_track[rows_in] = ids[idx1[rows_in]]
+            R_cw = np.asarray(res.R_cw)
+            t_cw = np.asarray(res.t_cw)
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = R_cw.T
+            pose[:3, 3] = -R_cw.T @ t_cw
+            return pose, frame_track, n_inl
+        return None
+
     # ------------------------------------------------------------------
     # Keyframe insertion (Mapping::InsertKeyframe, mapping.cc:41-130)
     # ------------------------------------------------------------------

@@ -182,6 +182,7 @@ class Tracker:
         self._last_frame_id = -1
         self._last_track_well = False
         self._num_since_last_keyframe = 0
+        self._lost_count = 0  # consecutive lost frames (relocalization)
 
         # reference keyframe state
         self._ref_slot = None
@@ -494,6 +495,7 @@ class Tracker:
         self._last_frame_id = -1
         self._last_track_well = False
         self._num_since_last_keyframe = 0
+        self._lost_count = 0
         self._ref_slot = None
         self._ref_bank = None
         self._ref_frame_id = -1
@@ -576,8 +578,7 @@ class Tracker:
             if num_match < min_match:
                 promoted = self._promote_last_frame(timestamp)
                 if promoted is None:
-                    self._after_track(bank, None, timestamp, frame_id, track_well=False, uvr=uvr)
-                    return None
+                    return self._handle_lost(bank, timestamp, frame_id, depth_lookup, uvr=uvr)
                 num_match, num_inliers, pose, frame_track, uvr = self._track_frame_fused(bank, bank_right)
             elif num_inliers < min_match:
                 promoted = self._promote_last_frame(timestamp)
@@ -598,8 +599,7 @@ class Tracker:
             if num_match < min_match:
                 promoted = self._promote_last_frame(timestamp)
                 if promoted is None:
-                    self._after_track(bank, None, timestamp, frame_id, track_well=False, uvr=uvr)
-                    return None
+                    return self._handle_lost(bank, timestamp, frame_id, depth_lookup, uvr=uvr)
                 ref_track = self.backend.store.kf_track[self._ref_slot]
                 ref_frame_id = self._ref_frame_id
                 matches = self.extractor.match(self._ref_bank, bank)
@@ -616,8 +616,7 @@ class Tracker:
 
         track_well = num_inliers >= self.cfg.keyframe.min_num_match
         if not track_well:
-            self._after_track(bank, None, timestamp, frame_id, track_well=False, uvr=uvr)
-            return None
+            return self._handle_lost(bank, timestamp, frame_id, depth_lookup, uvr=uvr)
 
         if self.cfg.local_map_tracking.enabled:
             pose, frame_track, num_inliers = self._track_local_map(bank, pose, frame_track, num_inliers)
@@ -1246,6 +1245,43 @@ class Tracker:
         self._last_frame_id = frame_id
         self._last_track_well = track_well
         self._num_since_last_keyframe += 1
+        self._lost_count = 0 if track_well else self._lost_count
+
+    def _handle_lost(self, bank, timestamp, frame_id, depth_lookup=None, uvr=None):
+        """Shared tail of a frame that could not be tracked: after
+        ``reloc_after_failures`` consecutive losses, attempt to re-anchor
+        into the existing map (config ``backend.relocalization``)."""
+        self._lost_count += 1
+        bcfg = self.cfg.backend
+        if (bcfg.relocalization and self._initialized
+                and self._lost_count >= bcfg.reloc_after_failures):
+            out = self._relocalize(bank, timestamp, frame_id, depth_lookup, uvr=uvr)
+            if out is not None:
+                self._lost_count = 0
+                return out
+        self._after_track(bank, None, timestamp, frame_id, track_well=False, uvr=uvr)
+        return None
+
+    def _relocalize(self, bank, timestamp, frame_id, depth_lookup=None, uvr=None):
+        """Recover from tracking loss by re-anchoring into the existing
+        map (Backend.relocalize): the current frame enters as a keyframe
+        observing the PnP-verified mappoints and becomes the new
+        reference — trajectory and map stay in ONE world frame, where
+        the reference's only recovery is the promote-keyframe retry
+        (``tracking.cc:254-276``)."""
+        with self.timer.span("relocalize"):
+            kpts, valid, desc_h = self._materialize_bank(bank)
+            res = self.backend.relocalize(desc_h, kpts, valid)
+        if res is None:
+            return None
+        pose, frame_track, _n_inl = res
+        pose_out = self._insert_keyframe(
+            bank, uvr, pose, frame_track, timestamp, frame_id, depth_lookup, set_ref=True)
+        final = pose_out if pose_out is not None else pose
+        self._publish_tracked(final, timestamp, pose_out is not None)
+        self._after_track(bank, final, timestamp, frame_id, track_well=True,
+                          track=frame_track, uvr=uvr)
+        return pose_out
 
     # ------------------------------------------------------------------
 
