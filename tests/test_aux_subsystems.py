@@ -165,7 +165,13 @@ def test_keyframe_culling():
     # oldest removed, newest kept
     remaining = sorted(st.kf_frame_id[st.keyframe_slots()].tolist())
     assert remaining == [5, 6, 7, 8, 9]
-    assert int((st.mp_alloc & ~st.mp_bad).sum()) == 12
+    # soft cap: the 20 orphans (points of the 5 removed keyframes, zero
+    # live observations) are reaped and recycled; the 20 points still
+    # observed by live keyframes are NEVER destroyed under them
+    assert int((st.mp_alloc & ~st.mp_bad).sum()) == 20
+    assert len(st._free_mp) == 20
+    obs_counts = (st.obs_slot[st.mp_alloc & ~st.mp_bad] >= 0).sum(axis=1)
+    assert (obs_counts > 0).all()
     # covisibility rows of removed slots are zeroed
     removed = np.nonzero(~st.kf_valid[:10])[0]
     assert st.covis[removed].sum() == 0
@@ -276,3 +282,48 @@ def test_mappoint_descriptor_medoid_update():
     survivors = [d for i, d in enumerate(obs_descs) if i not in (0, 2)]
     stored = st.mp_desc[mp[0]].astype(np.float32)
     np.testing.assert_allclose(stored, brute_medoid(survivors), atol=2e-3)
+
+
+def test_cull_recycles_slots_and_orphan_mappoints():
+    """Bounded-capacity store under culling: freed keyframe slots are
+    reused, and over-cap orphan mappoints (zero live observations) are
+    reaped onto the free list and recycled with scrubbed state."""
+    K = 8
+    cfg = StoreConfig(max_keyframes=4, max_mappoints=12, keypoints_per_frame=K,
+                      descriptor_dim=16)
+    st = MapStore(cfg)
+    kpts = np.zeros((K, 3), np.float32)
+    valid = np.ones(K, bool)
+
+    def add_kf(fid, mps):
+        desc = np.full((K, 16), 0.25, np.float16)
+        s = st.alloc_keyframe(fid, float(fid), np.eye(3, dtype=np.float32),
+                              np.zeros(3, np.float32), kpts, valid, desc=desc)
+        st.add_observations(s, mps, np.arange(len(mps)))
+        return s
+
+    m0 = st.alloc_mappoints(6)
+    st.mp_good[m0] = True
+    st.mp_pos[m0] = 7.0
+    add_kf(0, m0)
+    add_kf(1, m0)
+    # cull to 1 keyframe: kf 0 removed, its slot freed; m0 loses an
+    # observer each but stays observed by kf 1 -> NOT reaped
+    st.cull(max_keyframes=1, max_mappoints=100)
+    assert len(st._free_kf) == 1
+    assert st.num_keyframes() == 1
+    assert (st.mp_alloc[m0]).all()
+    # new keyframe reuses the freed slot; capacity 4 never grows
+    s2 = add_kf(2, m0)
+    assert st._free_kf == [] and s2 < 4
+    # drop kf1+kf2 observations of m0 -> orphans; over-cap cull reaps them
+    st.remove_observations(np.array([1, 1, 1, s2, s2, s2]), np.array([m0[0], m0[1], m0[2]] * 2))
+    st.cull(max_keyframes=4, max_mappoints=3)
+    assert len(st._free_mp) == 3
+    assert not st.mp_alloc[m0[:3]].any()
+    # recycled ids come back scrubbed
+    m1 = st.alloc_mappoints(3)
+    assert set(m1.tolist()) == set(m0[:3].tolist())
+    assert not st.mp_good[m1].any() and not st.mp_bad[m1].any()
+    assert (st.mp_pos[m1] == 0).all() and (st.mp_obs_count[m1] == 0).all()
+    assert (st.mp_desc[m1] == 0).all()

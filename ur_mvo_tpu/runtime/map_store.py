@@ -90,6 +90,16 @@ class MapStore:
 
         self._next_kf = 0
         self._next_mp = 0
+        # Culling returns slots/ids for reuse so a bounded-capacity store
+        # sustains unbounded-length runs (without reuse, a 512-capacity
+        # store exhausts after ~85 s of 30 fps video even when culling
+        # keeps only 30 keyframes live). Mappoint ids are recycled ONLY
+        # when they had zero live observations at cull time — any id the
+        # tracker still carries has a live observation in a live
+        # keyframe (see cull()), so recycling cannot relink stale
+        # references.
+        self._free_kf: list = []
+        self._free_mp: list = []
         self.frame_id_to_slot: Dict[int, int] = {}
 
     # -- allocation ---------------------------------------------------------
@@ -103,10 +113,13 @@ class MapStore:
         """Insert a keyframe; returns its store slot. ``kpts``: (K, 3).
         ``desc`` (K, D) fills the place-recognition global descriptor
         (mean of valid feature descriptors; see Backend.detect_loop)."""
-        if self._next_kf >= self.cfg.max_keyframes:
-            raise RuntimeError("keyframe capacity exceeded; culling not yet enabled")
-        s = self._next_kf
-        self._next_kf += 1
+        if self._free_kf:
+            s = self._free_kf.pop()
+        elif self._next_kf < self.cfg.max_keyframes:
+            s = self._next_kf
+            self._next_kf += 1
+        else:
+            raise RuntimeError("keyframe capacity exceeded; enable culling for unbounded runs")
         self.kf_valid[s] = True
         self.kf_frame_id[s] = frame_id
         self.kf_timestamp[s] = timestamp
@@ -133,10 +146,23 @@ class MapStore:
         self.kf_snap_t[slot] = self.kf_t[slot]
 
     def alloc_mappoints(self, n: int) -> np.ndarray:
-        if self._next_mp + n > self.cfg.max_mappoints:
-            raise RuntimeError("mappoint capacity exceeded")
-        ids = np.arange(self._next_mp, self._next_mp + n, dtype=np.int32)
-        self._next_mp += n
+        n_reuse = min(len(self._free_mp), n)
+        reused = np.asarray(self._free_mp[len(self._free_mp) - n_reuse:], np.int32)
+        del self._free_mp[len(self._free_mp) - n_reuse:]
+        n_fresh = n - n_reuse
+        if self._next_mp + n_fresh > self.cfg.max_mappoints:
+            raise RuntimeError("mappoint capacity exceeded; enable culling for unbounded runs")
+        fresh = np.arange(self._next_mp, self._next_mp + n_fresh, dtype=np.int32)
+        self._next_mp += n_fresh
+        ids = np.concatenate([reused, fresh]) if n_reuse else fresh
+        if n_reuse:
+            # recycled rows carry a dead point's state — scrub it
+            self.mp_good[reused] = False
+            self.mp_bad[reused] = False
+            self.mp_pos[reused] = 0.0
+            self.mp_obs_count[reused] = 0
+            if self.mp_desc is not None:
+                self.mp_desc[reused] = 0.0
         self.mp_alloc[ids] = True
         return ids
 
@@ -321,17 +347,36 @@ class MapStore:
     def cull(self, max_keyframes: int, max_mappoints: int) -> None:
         """Oldest-first culling (``Mapping::KeyFrameCulling``,
         ``mapping.cc:26-39`` — caps 30 keyframes / 10k points; the
-        reference ships it disabled, ``tracking.cc:317``). Slots are
-        released and covisibility/observer state cleaned up."""
+        reference ships it disabled, ``tracking.cc:317``). Removed
+        keyframe slots go to the free list for reuse.
+
+        Mappoints: only points with ZERO live observations are reaped
+        (orphans from outlier removal and points whose observers were
+        all culled). This makes id recycling safe — every id the
+        tracker still references (frame track tables, candidate
+        snapshots, untriangulated carries) is registered as an
+        observation in a live keyframe, so a zero-observation point is
+        unreachable from any live state. It also makes the cap soft:
+        points the live keyframes still observe are never destroyed
+        under them, matching the spirit of the reference's cap (which
+        deletes whole keyframes, taking their exclusive points along)."""
         slots = self.keyframe_slots()
         if len(slots) > max_keyframes:
             order = slots[np.argsort(self.kf_frame_id[slots])]
             for s in order[: len(slots) - max_keyframes]:
                 self._remove_keyframe(int(s))
-        alive = np.nonzero(self.mp_alloc & ~self.mp_bad)[0]
-        if len(alive) > max_mappoints:
-            for mp in alive[: len(alive) - max_mappoints]:
-                self._remove_mappoint(int(mp))
+        alive = self.mp_alloc & ~self.mp_bad
+        if int(alive.sum()) > max_mappoints:
+            orphan = np.nonzero(alive & ~(self.obs_slot >= 0).any(axis=1))[0]
+            n_over = int(alive.sum()) - max_mappoints
+            for mp in orphan[:n_over]:
+                self.mp_bad[int(mp)] = True
+                self.mp_good[int(mp)] = False
+        # reap dead zero-observation points onto the free list
+        dead = np.nonzero(self.mp_alloc & self.mp_bad & ~(self.obs_slot >= 0).any(axis=1))[0]
+        if len(dead):
+            self.mp_alloc[dead] = False
+            self._free_mp.extend(int(m) for m in dead)
 
     def _remove_keyframe(self, s: int) -> None:
         mps = np.nonzero(self.obs_slot[:, s] >= 0)[0]
@@ -350,6 +395,7 @@ class MapStore:
         self.kf_snap_R[s] = np.eye(3, dtype=np.float32)
         self.kf_snap_t[s] = 0.0
         self.loop_edges = [e for e in self.loop_edges if e[0] != s and e[1] != s]
+        self._free_kf.append(s)
 
     def _remove_mappoint(self, mp: int) -> None:
         kfs = np.nonzero(self.obs_slot[mp] >= 0)[0]
@@ -373,6 +419,8 @@ class MapStore:
         state = {f: getattr(self, f) for f in self._SNAPSHOT_FIELDS}
         state["_next_kf"] = np.asarray(self._next_kf)
         state["_next_mp"] = np.asarray(self._next_mp)
+        state["_free_kf"] = np.asarray(self._free_kf, np.int64)
+        state["_free_mp"] = np.asarray(self._free_mp, np.int64)
         state["_frame_ids"] = np.asarray(list(self.frame_id_to_slot.keys()), np.int64)
         state["_frame_slots"] = np.asarray(list(self.frame_id_to_slot.values()), np.int64)
         if self.mp_desc is not None:
@@ -418,6 +466,9 @@ class MapStore:
                 }
         store._next_kf = int(data["_next_kf"])
         store._next_mp = int(data["_next_mp"])
+        if "_free_kf" in data:
+            store._free_kf = data["_free_kf"].astype(int).tolist()
+            store._free_mp = data["_free_mp"].astype(int).tolist()
         store.frame_id_to_slot = dict(zip(data["_frame_ids"].tolist(), data["_frame_slots"].tolist()))
         if "kf_gdesc" in data and data["kf_gdesc"].shape == store.kf_gdesc.shape:
             store.kf_gdesc = data["kf_gdesc"].copy()
