@@ -40,6 +40,11 @@ def main():
                     help="save a top-down trajectory + map plot (matplotlib)")
     ap.add_argument("--save-map", default=None, metavar="PLY",
                     help="dump the triangulated map cloud as ASCII PLY")
+    ap.add_argument("--save-snapshot", default=None, metavar="NPZ",
+                    help="persist the full map state after the run (resume/localization)")
+    ap.add_argument("--load-snapshot", default=None, metavar="NPZ",
+                    help="load a saved map and start in localization mode "
+                         "(relocalize into it instead of initializing a fresh map)")
     ap.add_argument("--weights", default=None,
                     help="SuperPoint checkpoint (.npz/.pth); overrides the config's superpoint.weights_path")
     ap.add_argument("--matcher", default=None, choices=["auto", "superglue", "nn"],
@@ -143,6 +148,10 @@ def main():
     if args.chunk and args.chunk > 1:
         cfg.runtime.chunk_frames = args.chunk
     vo = UR_MVO(cfg, setup)
+    if args.load_snapshot:
+        vo.load_map_snapshot(args.load_snapshot)
+        print(f"localization mode: loaded map snapshot {args.load_snapshot} "
+              f"({vo.tracker.backend.store.num_keyframes()} keyframes)", file=sys.stderr)
     ds = Dataset(args.images, use_right=(setup == Setup.STEREO), use_depth=(setup == Setup.RGBD),
                  use_mask=args.masks)
     os.makedirs(args.results, exist_ok=True)
@@ -242,6 +251,9 @@ def main():
     if args.save_map:
         vo.save_map_ply(args.save_map)
         print(f"map cloud -> {args.save_map}", file=sys.stderr)
+    if args.save_snapshot:
+        vo.save_map_snapshot(args.save_snapshot)
+        print(f"map snapshot -> {args.save_snapshot}", file=sys.stderr)
     print(f"processed {len(ds)} frames in {elapsed:.1f}s ({fps:.1f} fps); "
           f"{len(all_ts)} poses -> {pose_path}", file=sys.stderr)
 

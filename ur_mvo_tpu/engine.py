@@ -309,6 +309,32 @@ class UR_MVO:
         ts, t, q = self.keyframe_trajectory()
         write_tum(path, list(ts), t, q)
 
+    def save_map_snapshot(self, path: str) -> None:
+        """Persist the full map state (keyframes, mappoints, observer
+        matrix, covisibility, descriptor banks, loop edges) as npz for
+        resume or localization-mode reuse. The reference has no map
+        persistence at all (SURVEY §5: TRT engine caches + trajectory
+        text only)."""
+        self.tracker.backend.flush_pending_ba()
+        self.tracker.backend.store.save_snapshot(path)
+
+    def load_map_snapshot(self, path: str) -> None:
+        """Load a saved map and enter LOCALIZATION mode: the tracker
+        starts initialized against the stored map (newest keyframe as
+        reference, relocalization pre-armed and force-enabled), so the
+        next frames either resume tracking or re-anchor anywhere in the
+        map (Tracker.adopt_map)."""
+        from ur_mvo_tpu.runtime.map_store import MapStore
+
+        backend = self.tracker.backend
+        backend.flush_pending_ba()
+        backend.store = MapStore.load_snapshot(path, backend.store.cfg)
+        self.config.backend.relocalization = True
+        self.tracker.adopt_map()
+        self.last_pose = None
+        self.accumulated_samples = 0
+        self._trajectory = []
+
     def save_map_ply(self, path: str) -> None:
         """Dump the triangulated map cloud as PLY (the reference streams
         it to rviz, ``ros2_publisher.cc:132-164``; here it is a file)."""

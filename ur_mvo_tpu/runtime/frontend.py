@@ -1247,6 +1247,51 @@ class Tracker:
         self._num_since_last_keyframe += 1
         self._lost_count = 0 if track_well else self._lost_count
 
+    def adopt_map(self) -> None:
+        """Enter LOCALIZATION mode against the backend's current map
+        (typically one loaded from a snapshot): the tracker starts
+        initialized with the newest stored keyframe as its reference —
+        its feature bank reconstructed from the store's per-keyframe
+        descriptor banks — and relocalization pre-armed, so the first
+        frame either tracks against that keyframe directly (resume) or
+        re-anchors anywhere in the map via Backend.relocalize
+        (kidnapped-robot start). No reference analog: the reference has
+        no map persistence at all (SURVEY §5)."""
+        st = self.backend.store
+        slots = st.keyframe_slots()
+        if len(slots) == 0:
+            raise ValueError("adopt_map: the map has no keyframes")
+        newest = int(slots[np.argmax(st.kf_frame_id[slots])])
+        bank_np = st.kf_desc.get(newest)
+        if bank_np is None:
+            raise ValueError("adopt_map: map was stored without descriptor banks")
+        from ur_mvo_tpu.ops.keypoints import FeatureBank
+
+        desc = bank_np.astype(np.float32)
+        valid = np.linalg.norm(desc, axis=1) > 0.5  # unit rows = real features
+        self._ref_bank = FeatureBank(
+            scores=jnp.asarray(valid.astype(np.float32)),
+            kpts=jnp.asarray(st.kf_kpts[newest, :, :2].astype(np.float32)),
+            desc=jnp.asarray(desc),
+            valid=jnp.asarray(valid),
+        )
+        self._ref_slot = newest
+        self._ref_frame_id = int(st.kf_frame_id[newest])
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = st.kf_R[newest]
+        pose[:3, 3] = st.kf_t[newest]
+        self._last_keyframe_pose = pose
+        self._last_keyframe_frame_id = self._ref_frame_id
+        self._last_keyframe_time = float(st.kf_timestamp[newest])
+        self._last_pose = pose.copy()
+        self._last_track_well = False
+        # new frame ids must not collide with the stored sessions'
+        self._frame_counter = int(st.kf_frame_id[slots].max()) + 1
+        # pre-arm relocalization: a view that cannot be tracked against
+        # the newest keyframe re-anchors on the FIRST lost frame
+        self._lost_count = max(0, self.cfg.backend.reloc_after_failures - 1)
+        self._initialized = True
+
     def _handle_lost(self, bank, timestamp, frame_id, depth_lookup=None, uvr=None):
         """Shared tail of a frame that could not be tracked: after
         ``reloc_after_failures`` consecutive losses, attempt to re-anchor
