@@ -89,3 +89,44 @@ def test_chunk_pads_and_tail(scene):
     assert len(outs) == N_FRAMES
     assert vo.tracker.initialized
     assert vo.tracker._frame_counter == N_FRAMES
+
+
+@pytest.mark.slow
+def test_stereo_chunk_matches_per_frame_path():
+    """Stereo chunk kernel: right extraction + left-right match +
+    disparity gate fold into the device loop (frame.cc:95-126 as in the
+    per-frame stereo fused step), and the cut keyframe keeps its gated
+    u_right column so stereo depth seeding survives the replay. A/B vs
+    the per-frame stereo path: both must produce METRIC trajectories
+    (ATE asserted WITHOUT scale correction — a lost u_right column
+    degrades to mono-style seeding and fails the metric gate)."""
+    baseline = 0.12
+    images, T_wc, _, images_r = render_sequence(
+        N_FRAMES, H, W, FX, seed=5, n_planes=3, baseline=baseline)
+    cam = make_pinhole(W, H, FX, FX, W / 2, H / 2, bf=FX * baseline)
+
+    def run(chunk):
+        vo = UR_MVO(_cfg(chunk), SensorSetup.STEREO, camera=cam)
+        frames = [
+            Frame(image=Image(images[i], i / 30.0), right_image=Image(images_r[i], i / 30.0))
+            for i in range(N_FRAMES)
+        ]
+        outs = vo.process_sequence(frames)
+        kf_at = [i for i, o in enumerate(outs) if o is not None]
+        kts, kpos, _ = vo.keyframe_trajectory()
+        idx = np.clip((np.asarray(kts) * 30.0).round().astype(int), 0, N_FRAMES - 1)
+        gt = T_wc[idx][:, :3, 3]
+        ate = ate_rmse(kpos, gt, align=True, correct_scale=False)
+        return vo, kf_at, ate
+
+    vo_pf, kf_pf, ate_pf = run(0)
+    vo_ch, kf_ch, ate_ch = run(6)
+    assert vo_pf.tracker.initialized and vo_ch.tracker.initialized
+    # the chunk makes EXACTLY the per-frame keyframe decisions
+    # (measured [4, 14] on this scene for both paths)
+    assert kf_ch == kf_pf and len(kf_ch) >= 2, (kf_ch, kf_pf)
+    # metric-scale gates (no scale correction): stereo seeding worked in
+    # both paths — a lost u_right column degrades to mono seeding and
+    # blows the unscaled ATE
+    assert ate_pf < 0.35, ate_pf
+    assert ate_ch < 0.35, ate_ch

@@ -212,9 +212,11 @@ class UR_MVO:
         path. Per-frame return values match process()."""
         C = int(self.config.runtime.chunk_frames or 0)
         outs: List[Optional[List[Pose]]] = [None] * len(frames)
-        chunk_setup = self.setup in (Setup.MONO, Setup.RGBD)
+        stereo = self.setup == Setup.STEREO
+        chunk_setup = self.setup in (Setup.MONO, Setup.RGBD, Setup.STEREO)
         i = 0
         pending_bank = None  # weak-event bank handed back by the chunk
+        skip_chunk_once = False  # stereo weak retry: re-extract per-frame
         while i < len(frames):
             f = frames[i]
             n = min(C, len(frames) - i) if C > 1 else 0
@@ -223,9 +225,12 @@ class UR_MVO:
                 n > 1
                 and chunk_setup
                 and pending_bank is None
+                and not skip_chunk_once
                 and self.tracker.chunk_available()
                 and all(fr.mask is None for fr in batch)
+                and (not stereo or all(fr.right_image is not None for fr in batch))
             )
+            skip_chunk_once = False
             if not chunkable:
                 ts = f.image.get_timestamp()
                 if pending_bank is not None:
@@ -253,15 +258,27 @@ class UR_MVO:
                 i += 1
                 continue
             imgs = np.stack([fr.image.get_image() for fr in batch])
+            imgs_r = (
+                np.stack([fr.right_image.get_image() for fr in batch]) if stereo else None
+            )
             if n < C:  # pad so every chunk compiles the same program
                 imgs = np.concatenate([imgs, np.repeat(imgs[-1:], C - n, axis=0)])
+                if imgs_r is not None:
+                    imgs_r = np.concatenate([imgs_r, np.repeat(imgs_r[-1:], C - n, axis=0)])
             ts_list = [fr.image.get_timestamp() for fr in batch]
             dls = [self._make_depth_lookup(fr) for fr in batch] if self.setup == Setup.RGBD else None
             results, consumed, weak_bank = self.tracker.process_chunk(
-                imgs, ts_list, depth_lookups=dls, n_valid=n)
+                imgs, ts_list, depth_lookups=dls, n_valid=n, images_right=imgs_r)
             for j, pose_mat in enumerate(results):
                 outs[i + j] = self._emit(ts_list[j], pose_mat)
             i += consumed
+            if stereo and weak_bank is not None:
+                # the per-frame retry needs the RIGHT bank too (promote
+                # path may insert a keyframe and must keep its stereo
+                # seeds) — drop the handed-back left bank and let the
+                # per-frame path re-extract both
+                weak_bank = None
+                skip_chunk_once = True
             pending_bank = weak_bank
         return outs
 

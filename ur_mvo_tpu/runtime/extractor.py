@@ -182,8 +182,16 @@ class NeuralExtractor:
         self.match_traceable = _match_impl
         # Traceable extractor (left camera, no mask) for the multi-frame
         # chunk scan, which fuses extract+match+track for C frames into
-        # one program: (sp_params, image_u8) -> FeatureBank.
+        # one program: (sp_params, image_u8) -> FeatureBank. The right
+        # variant rectifies with the right-camera map (camera.cc:117-127)
+        # for the stereo chunk kernel.
         self.extract_traceable = _extract_impl
+        if undistort_map_right is undistort_map:
+            self.extract_right_traceable = _extract_impl
+        else:
+            self.extract_right_traceable = (
+                lambda sp_params, image_u8: _extract_impl(
+                    sp_params, image_u8, rect_map=undistort_map_right))
         self._key = jax.random.PRNGKey(cfg.runtime.seed + 1)
 
     def extract(self, image: np.ndarray, mask: Optional[np.ndarray] = None, right: bool = False) -> FeatureBank:

@@ -386,23 +386,31 @@ class Tracker:
             ext_traceable = getattr(extractor, "extract_traceable", None)
             topt_c, rt_c, kf_c, cam_c = topt, rt, kf, cam
 
-            def _build_chunk(C):
+            ext_right_traceable = getattr(extractor, "extract_right_traceable", None)
+
+            def _build_chunk(C, stereo=False):
                 K = cfg.superpoint.capacity
 
                 @jax.jit
-                def _chunk(sp_params, sg_params, key, ref_bank, snap, pose_pack, passed0, n_valid, images):
+                def _chunk(sp_params, sg_params, key, ref_bank, snap, pose_pack, passed0, n_valid, images,
+                           images_right=None):
                     """``snap``: the (K, 6) fused_snapshot (col 5 is
                     overwritten per frame with the carried last pose);
                     ``pose_pack``: (24,) [R_last_cw(9) t_last_cw(3)
                     kf_R_wc(9) kf_t_wc(3)]; ``images``: (C, H, W) u8;
                     ``n_valid``: leading real frames (tail = padding).
                     Returns (next_key, outs (C, 15+K), banks stacked);
-                    rows the loop never reached have num_match = -1."""
+                    rows the loop never reached have num_match = -1.
+                    The stereo variant also extracts ``images_right``,
+                    folds the left-right match + disparity gate into the
+                    loop (frame.cc:95-126, as in _fused_impl), and
+                    appends the gated u_right column per row
+                    (outs (C, 15+2K))."""
                     H, W = images.shape[1], images.shape[2]
                     bank0 = ext_traceable(sp_params, jnp.zeros((H, W), images.dtype))
                     banks0 = jax.tree.map(
                         lambda a: jnp.zeros((C,) + a.shape, a.dtype), bank0)
-                    outs0 = jnp.full((C, 15 + K), -1.0, jnp.float32)
+                    outs0 = jnp.full((C, (15 + 2 * K) if stereo else (15 + K)), -1.0, jnp.float32)
                     R_last0 = pose_pack[0:9].reshape(3, 3)
                     t_last0 = pose_pack[9:12]
                     kfR = pose_pack[12:21].reshape(3, 3)
@@ -414,10 +422,22 @@ class Tracker:
 
                     def body(state):
                         key, i, stop, R_last, t_last, outs, banks = state
-                        key, k_m, k_pnp = jax.random.split(key, 3)
+                        key, k_m, k_pnp, k_lr = jax.random.split(key, 4)
                         img = jax.lax.dynamic_index_in_dim(images, i, keepdims=False)
                         bank = ext_traceable(sp_params, img)
-                        uvr = jnp.concatenate([bank.kpts, -jnp.ones((K, 1), jnp.float32)], axis=1)
+                        if stereo:
+                            img_r = jax.lax.dynamic_index_in_dim(images_right, i, keepdims=False)
+                            bank_r = ext_right_traceable(sp_params, img_r)
+                            m_lr = match_impl(sg_params, k_lr, bank, bank_r, True)
+                            ridx = jnp.maximum(m_lr.idx1, 0)
+                            rx = bank_r.kpts[ridx, 0]
+                            dx = bank.kpts[:, 0] - rx
+                            dy = jnp.abs(bank.kpts[:, 1] - bank_r.kpts[ridx, 1])
+                            ok_lr = m_lr.valid & (dx > st_min_dx) & (dx < st_max_dx) & (dy <= st_max_dy)
+                            u_right = jnp.where(ok_lr, rx, -1.0)
+                            uvr = jnp.concatenate([bank.kpts, u_right[:, None]], axis=1)
+                        else:
+                            uvr = jnp.concatenate([bank.kpts, -jnp.ones((K, 1), jnp.float32)], axis=1)
                         m = match_impl(sg_params, k_m, ref_bank, bank, True)
                         posecol = (
                             jnp.zeros((K,), jnp.float32)
@@ -449,9 +469,15 @@ class Tracker:
                             | (dist > kf_c.max_distance)
                             | (passed0 + i.astype(jnp.float32) >= kf_c.max_num_passed_frame)
                         )
-                        out = jnp.concatenate([
-                            packed[: 14 + K], is_kf.astype(jnp.float32)[None],
-                        ])
+                        if stereo:
+                            out = jnp.concatenate([
+                                packed[: 14 + K], u_right,
+                                is_kf.astype(jnp.float32)[None],
+                            ])
+                        else:
+                            out = jnp.concatenate([
+                                packed[: 14 + K], is_kf.astype(jnp.float32)[None],
+                            ])
                         outs = jax.lax.dynamic_update_slice(outs, out[None], (i, 0))
                         banks = jax.tree.map(
                             lambda buf, a: jax.lax.dynamic_update_slice(
@@ -674,25 +700,29 @@ class Tracker:
             and not self.cfg.local_map_tracking.enabled
         )
 
-    def process_chunk(self, images, timestamps, depth_lookups=None, n_valid=None):
+    def process_chunk(self, images, timestamps, depth_lookups=None, n_valid=None,
+                      images_right=None):
         """Track up to C frames in ONE device program.
 
         ``images``: (C, H, W) u8 stack; ``n_valid``: how many leading
         frames are real (the tail may be padding so every chunk length
-        compiles the same program). Returns ``(results, consumed)``:
-        per-frame keyframe poses (None for tracked non-keyframes) for the
-        first ``consumed`` frames. ``consumed < n_valid`` means frame
-        ``consumed`` hit a weak-tracking event — its bank was NOT
-        processed; the caller re-feeds it through the per-frame path
-        (whose promote-keyframe recovery is host logic, tracking.cc:
-        254-276)."""
+        compiles the same program); ``images_right``: optional (C, H, W)
+        right-camera stack — the chunk then also runs right extraction +
+        left-right matching + disparity gating per frame (stereo).
+        Returns ``(results, consumed)``: per-frame keyframe poses (None
+        for tracked non-keyframes) for the first ``consumed`` frames.
+        ``consumed < n_valid`` means frame ``consumed`` hit a
+        weak-tracking event — its bank was NOT processed; the caller
+        re-feeds it through the per-frame path (whose promote-keyframe
+        recovery is host logic, tracking.cc:254-276)."""
         C = int(images.shape[0])
         n_valid = C if n_valid is None else int(n_valid)
         assert self.chunk_available()
-        kern = self._chunk_kernels.get(C)
+        stereo = images_right is not None
+        kern = self._chunk_kernels.get((C, stereo))
         if kern is None:
-            kern = self._chunk_builder(C)
-            self._chunk_kernels[C] = kern
+            kern = self._chunk_builder(C, stereo)
+            self._chunk_kernels[(C, stereo)] = kern
 
         snap6 = self.fused_snapshot()
         R_last_cw = self._last_pose[:3, :3].T
@@ -705,12 +735,15 @@ class Tracker:
         passed0 = np.float32(self._frame_counter - self._last_keyframe_frame_id)
         ref_bank = _resolve_bank(self._ref_bank)
         with self.timer.span("track"):
-            self._rng, outs_d, banks = kern(
+            args = (
                 self.extractor.sp_params, self.extractor.sg_params, self._rng,
                 ref_bank, jnp.asarray(snap6), jnp.asarray(pose_pack),
                 jnp.asarray(passed0), jnp.asarray(np.int32(n_valid)),
                 jnp.asarray(images),
             )
+            if stereo:
+                args = args + (jnp.asarray(images_right),)
+            self._rng, outs_d, banks = kern(*args)
             outs = np.asarray(outs_d)  # ONE readback for the whole chunk
 
         K = self.cfg.superpoint.capacity
@@ -728,7 +761,8 @@ class Tracker:
                 # weak or ill-conditioned (same non-finite guard as
                 # parse_fused_packed): caller re-feeds frame j per-frame
                 break
-            is_kf = row[14 + K] > 0.5
+            is_kf = row[(14 + 2 * K) if stereo else (14 + K)] > 0.5
+            u_right = row[14 + K : 14 + 2 * K].astype(np.float32) if stereo else None
             frame_track = row[14 : 14 + K].astype(np.int32)
             R_cw = row[2:11].reshape(3, 3)
             pose = np.eye(4, dtype=np.float32)
@@ -742,7 +776,8 @@ class Tracker:
                 bank_j = _LazyBankSlice(banks, j).resolve()
                 dl = depth_lookups[j] if depth_lookups is not None else None
                 pose_out = self._insert_keyframe(
-                    bank_j, None, pose, frame_track, ts, fid, dl, set_ref=True)
+                    bank_j, None, pose, frame_track, ts, fid, dl, set_ref=True,
+                    u_right=u_right)
             final_pose = pose_out if pose_out is not None else pose
             self._publish_tracked(final_pose, ts, pose_out is not None)
             self._after_track(_LazyBankSlice(banks, j), final_pose, ts, fid,
@@ -1200,13 +1235,18 @@ class Tracker:
             return kpts, valid, desc
         return (np.asarray(bank.kpts), np.asarray(bank.valid), np.asarray(bank.desc))
 
-    def _insert_keyframe(self, bank, uvr, pose, frame_track, timestamp, frame_id, depth_lookup, set_ref=True):
-        """InsertKeyframe (tracking.cc:962-995 + Mapping::InsertKeyframe)."""
+    def _insert_keyframe(self, bank, uvr, pose, frame_track, timestamp, frame_id, depth_lookup, set_ref=True,
+                         u_right=None):
+        """InsertKeyframe (tracking.cc:962-995 + Mapping::InsertKeyframe).
+        ``u_right``: optional (K,) gated right-x column (stereo chunk
+        rows carry it instead of a full uvr)."""
         st = self.backend.store
         if frame_id in st.frame_id_to_slot:
             return None
         K = bank.capacity
         kpts, valid, desc_h = self._materialize_bank(bank)
+        if uvr is None and u_right is not None:
+            uvr = np.concatenate([kpts, u_right[:, None]], axis=1)
         if uvr is None:
             uvr = np.concatenate([kpts, -np.ones((K, 1), np.float32)], axis=1)
         depth = depth_lookup(kpts) if depth_lookup is not None else None
