@@ -165,12 +165,15 @@ def test_keyframe_culling():
     # oldest removed, newest kept
     remaining = sorted(st.kf_frame_id[st.keyframe_slots()].tolist())
     assert remaining == [5, 6, 7, 8, 9]
-    # soft cap: the 20 orphans (points of the 5 removed keyframes, zero
-    # live observations) are reaped and recycled; the 20 points still
-    # observed by live keyframes are NEVER destroyed under them
-    assert int((st.mp_alloc & ~st.mp_bad).sum()) == 20
-    assert len(st._free_mp) == 20
-    obs_counts = (st.obs_slot[st.mp_alloc & ~st.mp_bad] >= 0).sum(axis=1)
+    # cap enforced: the 20 orphans (points of the removed keyframes) are
+    # reaped first, then least-observed points detach down to the cap —
+    # protecting the newest keyframe's points; all reaped ids recycle
+    assert int((st.mp_alloc & ~st.mp_bad).sum()) == 12
+    assert len(st._free_mp) == 28
+    alive = st.mp_alloc & ~st.mp_bad
+    newest_pts = st.kf_track[st.frame_id_to_slot[9]]
+    assert alive[newest_pts[newest_pts >= 0]].all()
+    obs_counts = (st.obs_slot[alive] >= 0).sum(axis=1)
     assert (obs_counts > 0).all()
     # covisibility rows of removed slots are zeroed
     removed = np.nonzero(~st.kf_valid[:10])[0]
@@ -327,3 +330,36 @@ def test_cull_recycles_slots_and_orphan_mappoints():
     assert not st.mp_good[m1].any() and not st.mp_bad[m1].any()
     assert (st.mp_pos[m1] == 0).all() and (st.mp_obs_count[m1] == 0).all()
     assert (st.mp_desc[m1] == 0).all()
+
+
+def test_cull_cap_pressure_detaches_least_observed_but_protects_newest():
+    """When orphans alone can't meet the mappoint cap, cull detaches the
+    least-observed points — but NEVER points observed by the newest
+    keyframe (the tracker's live reference horizon), keeping id
+    recycling safe under cap pressure."""
+    K = 8
+    cfg = StoreConfig(max_keyframes=8, max_mappoints=32, keypoints_per_frame=K,
+                      descriptor_dim=16)
+    st = MapStore(cfg)
+    kpts = np.zeros((K, 3), np.float32)
+
+    def add_kf(fid, mps, slots):
+        s = st.alloc_keyframe(fid, float(fid), np.eye(3, dtype=np.float32),
+                              np.zeros(3, np.float32), kpts, np.ones(K, bool),
+                              desc=np.full((K, 16), 0.25, np.float16))
+        st.add_observations(s, mps, slots)
+        return s
+
+    # 16 points, ALL observed: 8 old (1 observer each, an old keyframe)
+    # + 8 new (observed by the newest keyframe)
+    old = st.alloc_mappoints(8)
+    new = st.alloc_mappoints(8)
+    st.mp_good[np.concatenate([old, new])] = True
+    add_kf(0, old, np.arange(8))
+    add_kf(1, new, np.arange(8))
+    # no orphans exist; cap 10 forces detaching 6 of the old points
+    st.cull(max_keyframes=8, max_mappoints=10)
+    alive = st.mp_alloc & ~st.mp_bad
+    assert int(alive.sum()) == 10
+    assert alive[new].all(), "newest keyframe's points must survive"
+    assert len(st._free_mp) == 6  # detached points reaped for reuse

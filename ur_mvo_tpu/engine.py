@@ -205,11 +205,12 @@ class UR_MVO:
 
     def process_sequence(self, frames: List[Frame]) -> List[Optional[List[Pose]]]:
         """Chunked sequence driver: with ``runtime.chunk_frames = C > 1``
-        and an initialized mono/RGB-D neural tracker, frames go through
-        the multi-frame chunk program (ONE dispatch + ONE packed readback
-        per C frames — Tracker.process_chunk); initialization, masks,
-        stereo, and weak-tracking recoveries fall back to the per-frame
-        path. Per-frame return values match process()."""
+        and an initialized mono/stereo/RGB-D neural tracker, frames go
+        through the multi-frame chunk program (ONE dispatch + ONE packed
+        readback per C frames — Tracker.process_chunk; the stereo
+        variant folds right extraction + disparity gating in too);
+        initialization, masks, and weak-tracking recoveries fall back to
+        the per-frame path. Per-frame return values match process()."""
         C = int(self.config.runtime.chunk_frames or 0)
         outs: List[Optional[List[Pose]]] = [None] * len(frames)
         stereo = self.setup == Setup.STEREO

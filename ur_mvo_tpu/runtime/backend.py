@@ -174,6 +174,44 @@ class Backend:
         self._loop_verify = verify
         self._loop_match = matcher
 
+    def _match_and_verify(self, bank_a, bank_kpts, bank_valid, ids, X_of_ids):
+        """Shared geometric verification for place-recognition hits
+        (detect_loop and relocalize): descriptor-NN match of the query
+        bank against the candidate's mappoint descriptors, then
+        PnP-RANSAC + pose refinement against ``X_of_ids`` (insertion-time
+        snapshot positions for loop EDGES, live positions for
+        relocalization — see the two call sites for why they differ).
+        Returns ``(res, idx1, mvalid)`` or None below the inlier gates."""
+        st = self.store
+        cfg = self.cfg
+        from ur_mvo_tpu.ops.keypoints import FeatureBank
+
+        K = st.cfg.keypoints_per_frame
+        desc_b = np.zeros((K, st.cfg.descriptor_dim), np.float32)
+        valid_b = np.zeros(K, bool)
+        desc_b[: len(ids)] = st.mp_desc[ids].astype(np.float32)
+        valid_b[: len(ids)] = True
+        bank_b = FeatureBank(
+            scores=jnp.asarray(valid_b.astype(np.float32)),
+            kpts=jnp.zeros((K, 2), jnp.float32),
+            desc=jnp.asarray(desc_b),
+            valid=jnp.asarray(valid_b),
+        )
+        m = self._loop_match(bank_a, bank_b)
+        idx1 = np.asarray(m.idx1)
+        mvalid = np.asarray(m.valid) & bank_valid & (idx1 >= 0) & (idx1 < len(ids))
+        if mvalid.sum() < cfg.loop_min_inliers:
+            return None
+        X = np.zeros((K, 3), np.float32)
+        uv3 = np.concatenate([bank_kpts.astype(np.float32), -np.ones((K, 1), np.float32)], 1)
+        rows = np.nonzero(mvalid)[0]
+        X[rows] = X_of_ids[idx1[rows]]
+        self._loop_key, sub = jax.random.split(self._loop_key)
+        res = self._loop_verify(sub, jnp.asarray(X), jnp.asarray(uv3), jnp.asarray(mvalid))
+        if int(res.n_inliers) < cfg.loop_min_inliers:
+            return None
+        return res, idx1, mvalid
+
     def detect_loop(self, slot: int, bank_desc: np.ndarray, bank_kpts: np.ndarray,
                     bank_valid: np.ndarray):
         """Place recognition for the just-inserted keyframe ``slot``.
@@ -245,30 +283,12 @@ class Backend:
             if len(ids) < cfg.loop_min_inliers or st.mp_desc is None:
                 continue
             slots_c, ids = slots_c[:K], ids[:K]
-            desc_b = np.zeros((K, st.cfg.descriptor_dim), np.float32)
-            valid_b = np.zeros(K, bool)
-            desc_b[: len(ids)] = st.mp_desc[ids].astype(np.float32)
-            valid_b[: len(ids)] = True
-            bank_b = FeatureBank(
-                scores=jnp.asarray(valid_b.astype(np.float32)),
-                kpts=jnp.zeros((K, 2), jnp.float32),
-                desc=jnp.asarray(desc_b),
-                valid=jnp.asarray(valid_b),
-            )
-            m = self._loop_match(bank_a, bank_b)
-            idx1 = np.asarray(m.idx1)
-            mvalid = np.asarray(m.valid) & bank_valid & (idx1 >= 0) & (idx1 < len(ids))
-            if mvalid.sum() < cfg.loop_min_inliers:
+            out = self._match_and_verify(
+                bank_a, bank_kpts, bank_valid, ids, st.kf_snap_pos[cand, slots_c])
+            if out is None:
                 continue
-            X = np.zeros((K, 3), np.float32)
-            uv3 = np.concatenate([bank_kpts.astype(np.float32), -np.ones((K, 1), np.float32)], 1)
-            rows = np.nonzero(mvalid)[0]
-            X[rows] = st.kf_snap_pos[cand, slots_c[idx1[rows]]]
-            self._loop_key, sub = jax.random.split(self._loop_key)
-            res = self._loop_verify(sub, jnp.asarray(X), jnp.asarray(uv3), jnp.asarray(mvalid))
+            res, idx1, mvalid = out
             n_inl = int(res.n_inliers)
-            if n_inl < cfg.loop_min_inliers:
-                continue
             R_cw = np.asarray(res.R_cw)
             t_cw = np.asarray(res.t_cw)
             R_wc_cur = R_cw.T
@@ -334,37 +354,17 @@ class Backend:
                 break
             cand = int(slots[idx])
             mp = st.kf_track[cand]
-            sl = np.nonzero(mp >= 0)[0]
-            ids = mp[sl]
-            keep = st.mp_good[ids] & ~st.mp_bad[ids]
-            ids = ids[keep]
+            ids = mp[mp >= 0]
+            ids = ids[st.mp_good[ids] & ~st.mp_bad[ids]]
             if len(ids) < cfg.loop_min_inliers:
                 continue
             ids = ids[:K]
-            desc_b = np.zeros((K, st.cfg.descriptor_dim), np.float32)
-            valid_b = np.zeros(K, bool)
-            desc_b[: len(ids)] = st.mp_desc[ids].astype(np.float32)
-            valid_b[: len(ids)] = True
-            bank_b = FeatureBank(
-                scores=jnp.asarray(valid_b.astype(np.float32)),
-                kpts=jnp.zeros((K, 2), jnp.float32),
-                desc=jnp.asarray(desc_b),
-                valid=jnp.asarray(valid_b),
-            )
-            m = self._loop_match(bank_a, bank_b)
-            idx1 = np.asarray(m.idx1)
-            mvalid = np.asarray(m.valid) & bank_valid & (idx1 >= 0) & (idx1 < len(ids))
-            if mvalid.sum() < cfg.loop_min_inliers:
+            out = self._match_and_verify(
+                bank_a, bank_kpts, bank_valid, ids, st.mp_pos[ids])
+            if out is None:
                 continue
-            X = np.zeros((K, 3), np.float32)
-            uv3 = np.concatenate([bank_kpts.astype(np.float32), -np.ones((K, 1), np.float32)], 1)
-            rows = np.nonzero(mvalid)[0]
-            X[rows] = st.mp_pos[ids[idx1[rows]]]
-            self._loop_key, sub = jax.random.split(self._loop_key)
-            res = self._loop_verify(sub, jnp.asarray(X), jnp.asarray(uv3), jnp.asarray(mvalid))
+            res, idx1, mvalid = out
             n_inl = int(res.n_inliers)
-            if n_inl < cfg.loop_min_inliers:
-                continue
             inl = np.asarray(res.inliers).astype(bool) & mvalid
             frame_track = np.full(K, -1, np.int32)
             rows_in = np.nonzero(inl)[0]
@@ -392,13 +392,15 @@ class Backend:
         track_mp: np.ndarray,  # (K,) int32 existing mappoint ids or -1
         depth: Optional[np.ndarray] = None,  # (K,) metric depth or None
         desc: Optional[np.ndarray] = None,  # (K, D) feature descriptors
+        scores: Optional[np.ndarray] = None,  # (K,) detection scores
     ) -> tuple:
         """Insert a keyframe, create/triangulate mappoints, run local BA.
 
         Returns (kf_slot, optimized (R_wc, t_wc)).
         """
         st = self.store
-        slot = st.alloc_keyframe(frame_id, timestamp, R_wc, t_wc, kpts_uvr, valid_slots, desc=desc)
+        slot = st.alloc_keyframe(frame_id, timestamp, R_wc, t_wc, kpts_uvr, valid_slots, desc=desc,
+                                 scores=scores)
         track = np.asarray(track_mp)
 
         # New mappoints for features without a track.

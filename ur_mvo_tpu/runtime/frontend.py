@@ -178,6 +178,7 @@ class Tracker:
         self._last_bank = None
         self._last_track = None  # (K,) mappoint ids of last frame
         self._last_uvr = None  # lazily materialized (see _after_track)
+        self._last_u_right = None  # stereo-chunk gated right-x column
         self._last_time = 0.0
         self._last_frame_id = -1
         self._last_track_well = False
@@ -355,11 +356,12 @@ class Tracker:
             @jax.jit
             def _bank_pack(bank):
                 """Keyframe-path bank materialization as ONE transfer
-                (kpts + valid + desc were three separate readbacks)."""
+                (kpts + valid + desc + scores were separate readbacks)."""
                 return jnp.concatenate([
                     bank.kpts.reshape(-1),
                     bank.valid.astype(jnp.float32),
                     bank.desc.reshape(-1),
+                    bank.scores.astype(jnp.float32),
                 ])
 
             self._bank_pack = _bank_pack
@@ -517,6 +519,7 @@ class Tracker:
         self._last_bank = None
         self._last_track = None
         self._last_uvr = None
+        self._last_u_right = None
         self._last_time = 0.0
         self._last_frame_id = -1
         self._last_track_well = False
@@ -781,7 +784,7 @@ class Tracker:
             final_pose = pose_out if pose_out is not None else pose
             self._publish_tracked(final_pose, ts, pose_out is not None)
             self._after_track(_LazyBankSlice(banks, j), final_pose, ts, fid,
-                              track_well=True, track=frame_track)
+                              track_well=True, track=frame_track, u_right=u_right)
             results.append(pose_out)
             consumed += 1
             if is_kf:
@@ -918,7 +921,8 @@ class Tracker:
         uvr1 = np.concatenate([p1, -np.ones((K, 1), np.float32)], axis=1)
         valid1 = np.asarray(self._init_bank.valid)
         slot0 = st.alloc_keyframe(self._init_frame_id, self._init_time, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), uvr1, valid1,
-                                  desc=np.asarray(self._init_bank.desc))
+                                  desc=np.asarray(self._init_bank.desc),
+                                  scores=np.asarray(self._init_bank.scores))
         mp_ids = st.alloc_mappoints(int(tri.sum()))
         st.mp_pos[mp_ids] = Xw[tri]
         st.mp_good[mp_ids] = True
@@ -928,7 +932,8 @@ class Tracker:
         # second keyframe
         uvr2 = np.concatenate([kpts1, -np.ones((K, 1), np.float32)], axis=1)
         slot1 = st.alloc_keyframe(frame_id, timestamp, R_wc2.astype(np.float32), t_wc2.astype(np.float32), uvr2,
-                                  np.asarray(bank.valid), desc=np.asarray(bank.desc))
+                                  np.asarray(bank.valid), desc=np.asarray(bank.desc),
+                                  scores=np.asarray(bank.scores))
         # observed feature slots in frame2 are idx1 of the matched slots
         feat2 = idx1[np.nonzero(tri)[0]]
         st.add_observations(slot1, mp_ids, feat2)
@@ -966,7 +971,8 @@ class Tracker:
         st = self.backend.store
         uvr = np.concatenate([kpts, -np.ones((K, 1), np.float32)], axis=1)
         slot = st.alloc_keyframe(frame_id, timestamp, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), uvr, valid,
-                                 desc=np.asarray(bank.desc))
+                                 desc=np.asarray(bank.desc),
+                                 scores=np.asarray(bank.scores))
         rays = np.stack(
             [
                 (kpts[:, 0] - self.camera.cx) / self.camera.fx,
@@ -1201,6 +1207,7 @@ class Tracker:
         slot = self._insert_keyframe(
             _resolve_bank(self._last_bank), self._last_uvr, self._last_pose, self._last_track,
             self._last_time, self._last_frame_id, None, set_ref=True,
+            u_right=self._last_u_right,
         )
         return slot
 
@@ -1222,18 +1229,23 @@ class Tracker:
         )
 
     def _materialize_bank(self, bank):
-        """(kpts, valid, desc) as host arrays — ONE device transfer via
-        the packer on the neural path (three separate readbacks cost
-        three round trips); plain asarray for host-side banks."""
+        """(kpts, valid, desc, scores) as host arrays — ONE device
+        transfer via the packer on the neural path (separate readbacks
+        cost one round trip each); plain asarray for host-side banks.
+        Scores ride along so keyframes persist them (adopt_map needs
+        real detection scores to reconstruct a reference bank the
+        SuperGlue keypoint encoder was trained on)."""
         K = bank.capacity
         D = bank.desc.shape[-1]
         if self._bank_pack is not None and not isinstance(bank.kpts, np.ndarray):
             arr = np.asarray(self._bank_pack(bank))
             kpts = arr[: 2 * K].reshape(K, 2).astype(np.float32)
             valid = arr[2 * K : 3 * K] > 0.5
-            desc = arr[3 * K :].reshape(K, D).astype(np.float32)
-            return kpts, valid, desc
-        return (np.asarray(bank.kpts), np.asarray(bank.valid), np.asarray(bank.desc))
+            desc = arr[3 * K : 3 * K + K * D].reshape(K, D).astype(np.float32)
+            scores = arr[3 * K + K * D :].astype(np.float32)
+            return kpts, valid, desc, scores
+        return (np.asarray(bank.kpts), np.asarray(bank.valid), np.asarray(bank.desc),
+                np.asarray(bank.scores))
 
     def _insert_keyframe(self, bank, uvr, pose, frame_track, timestamp, frame_id, depth_lookup, set_ref=True,
                          u_right=None):
@@ -1244,7 +1256,7 @@ class Tracker:
         if frame_id in st.frame_id_to_slot:
             return None
         K = bank.capacity
-        kpts, valid, desc_h = self._materialize_bank(bank)
+        kpts, valid, desc_h, scores_h = self._materialize_bank(bank)
         if uvr is None and u_right is not None:
             uvr = np.concatenate([kpts, u_right[:, None]], axis=1)
         if uvr is None:
@@ -1254,7 +1266,7 @@ class Tracker:
         with self.timer.span("keyframe_ba"):
             slot, (R_opt, t_opt) = self.backend.insert_keyframe(
                 frame_id, timestamp, pose[:3, :3], pose[:3, 3], uvr, valid, track, depth,
-                desc=desc_h,
+                desc=desc_h, scores=scores_h,
             )
         if self.cfg.backend.loop_closure:
             with self.timer.span("loop_detect"):
@@ -1272,7 +1284,8 @@ class Tracker:
             self._num_since_last_keyframe = 0
         return opt_pose
 
-    def _after_track(self, bank, pose, timestamp, frame_id, track_well, track=None, uvr=None):
+    def _after_track(self, bank, pose, timestamp, frame_id, track_well, track=None, uvr=None,
+                     u_right=None):
         if pose is not None:
             self._last_pose = pose
         self._last_bank = bank
@@ -1280,7 +1293,11 @@ class Tracker:
         # uvr stays lazy (None) on the fused path: materializing it here
         # is a per-frame device readback, and only the promote-fallback /
         # keyframe paths consume it (they build it from the bank then).
+        # The stereo chunk instead records the gated u_right column from
+        # its packed row (host data, no readback) so a later
+        # promote-last-frame keyframe keeps its stereo depth seeds.
         self._last_uvr = uvr
+        self._last_u_right = u_right if uvr is None else None
         self._last_time = timestamp
         self._last_frame_id = frame_id
         self._last_track_well = track_well
@@ -1309,8 +1326,13 @@ class Tracker:
 
         desc = bank_np.astype(np.float32)
         valid = np.linalg.norm(desc, axis=1) > 0.5  # unit rows = real features
+        # real detection scores when persisted: the SuperGlue keypoint
+        # encoder consumes scores and saw small probabilities in
+        # training, so all-ones would be out-of-distribution
+        sc = st.kf_scores.get(newest)
+        scores = (sc.astype(np.float32) * valid) if sc is not None else valid.astype(np.float32)
         self._ref_bank = FeatureBank(
-            scores=jnp.asarray(valid.astype(np.float32)),
+            scores=jnp.asarray(scores),
             kpts=jnp.asarray(st.kf_kpts[newest, :, :2].astype(np.float32)),
             desc=jnp.asarray(desc),
             valid=jnp.asarray(valid),
@@ -1355,7 +1377,7 @@ class Tracker:
         the reference's only recovery is the promote-keyframe retry
         (``tracking.cc:254-276``)."""
         with self.timer.span("relocalize"):
-            kpts, valid, desc_h = self._materialize_bank(bank)
+            kpts, valid, desc_h, _scores = self._materialize_bank(bank)
             res = self.backend.relocalize(desc_h, kpts, valid)
         if res is None:
             return None

@@ -62,6 +62,10 @@ class MapStore:
         # lazily at insertion (~0.5 MB/keyframe) — the observer
         # descriptors behind the exact medoid in update_descriptors
         self.kf_desc: Dict[int, np.ndarray] = {}
+        # per-keyframe detection scores (K,) f16: adopt_map rebuilds a
+        # reference bank whose scores the SuperGlue keypoint encoder
+        # actually saw in training (all-ones is out-of-distribution)
+        self.kf_scores: Dict[int, np.ndarray] = {}
         # observer relation: slot of mappoint in keyframe, -1 when absent
         self.obs_slot = np.full((MP, KF), -1, np.int16)
         # covisibility weights between keyframes
@@ -109,10 +113,12 @@ class MapStore:
 
     def alloc_keyframe(self, frame_id: int, timestamp: float, R_wc: np.ndarray, t_wc: np.ndarray,
                        kpts: np.ndarray, valid_slots: np.ndarray,
-                       desc: np.ndarray = None) -> int:
+                       desc: np.ndarray = None, scores: np.ndarray = None) -> int:
         """Insert a keyframe; returns its store slot. ``kpts``: (K, 3).
         ``desc`` (K, D) fills the place-recognition global descriptor
-        (mean of valid feature descriptors; see Backend.detect_loop)."""
+        (mean of valid feature descriptors; see Backend.detect_loop);
+        ``scores`` (K,) detection scores persist for reference-bank
+        reconstruction (Tracker.adopt_map)."""
         if self._free_kf:
             s = self._free_kf.pop()
         elif self._next_kf < self.cfg.max_keyframes:
@@ -130,6 +136,8 @@ class MapStore:
             self.kf_gdesc[s] = np.asarray(desc)[valid_slots].astype(np.float32).mean(0)
         if desc is not None and self.mp_desc is not None:
             self.kf_desc[s] = np.asarray(desc).astype(np.float16)
+        if scores is not None:
+            self.kf_scores[s] = np.asarray(scores).astype(np.float16)
         self.frame_id_to_slot[frame_id] = s
         return s
 
@@ -350,28 +358,40 @@ class MapStore:
         reference ships it disabled, ``tracking.cc:317``). Removed
         keyframe slots go to the free list for reuse.
 
-        Mappoints: only points with ZERO live observations are reaped
-        (orphans from outlier removal and points whose observers were
-        all culled). This makes id recycling safe — every id the
-        tracker still references (frame track tables, candidate
-        snapshots, untriangulated carries) is registered as an
-        observation in a live keyframe, so a zero-observation point is
-        unreachable from any live state. It also makes the cap soft:
-        points the live keyframes still observe are never destroyed
-        under them, matching the spirit of the reference's cap (which
-        deletes whole keyframes, taking their exclusive points along)."""
+        Mappoints: zero-live-observation orphans are reaped first
+        (outlier-removal leftovers and points whose observers were all
+        culled); if the cap is still exceeded, the LEAST-OBSERVED older
+        points are detached (observations removed, then reaped) — but
+        never points observed by the NEWEST keyframe. That exclusion is
+        what makes id recycling safe: every id the tracker still
+        references (frame track tables, candidate snapshots,
+        untriangulated carries) is registered as an observation in the
+        newest keyframe, so a reaped id is unreachable from any live
+        state."""
         slots = self.keyframe_slots()
         if len(slots) > max_keyframes:
             order = slots[np.argsort(self.kf_frame_id[slots])]
             for s in order[: len(slots) - max_keyframes]:
                 self._remove_keyframe(int(s))
         alive = self.mp_alloc & ~self.mp_bad
-        if int(alive.sum()) > max_mappoints:
+        n_over = int(alive.sum()) - max_mappoints
+        if n_over > 0:
             orphan = np.nonzero(alive & ~(self.obs_slot >= 0).any(axis=1))[0]
-            n_over = int(alive.sum()) - max_mappoints
-            for mp in orphan[:n_over]:
-                self.mp_bad[int(mp)] = True
-                self.mp_good[int(mp)] = False
+            kill = orphan[:n_over]
+            self.mp_bad[kill] = True
+            self.mp_good[kill] = False
+            n_over -= len(kill)
+        if n_over > 0:
+            # orphans were not enough: detach least-observed points,
+            # protecting the newest keyframe's tracks (see docstring)
+            slots = self.keyframe_slots()
+            cand = np.nonzero(self.mp_alloc & ~self.mp_bad)[0]
+            if len(slots):
+                newest = int(slots[np.argmax(self.kf_frame_id[slots])])
+                cand = cand[self.obs_slot[cand, newest] < 0]
+            obs_n = (self.obs_slot[cand] >= 0).sum(axis=1)
+            for mp in cand[np.argsort(obs_n, kind="stable")][:n_over]:
+                self._remove_mappoint(int(mp))
         # reap dead zero-observation points onto the free list
         dead = np.nonzero(self.mp_alloc & self.mp_bad & ~(self.obs_slot >= 0).any(axis=1))[0]
         if len(dead):
@@ -390,6 +410,7 @@ class MapStore:
         self.covis[:, s] = 0
         self.kf_gdesc[s] = 0.0
         self.kf_desc.pop(s, None)
+        self.kf_scores.pop(s, None)
         self.kf_snap_pos[s] = 0.0
         self.kf_snap_ok[s] = False
         self.kf_snap_R[s] = np.eye(3, dtype=np.float32)
@@ -430,6 +451,11 @@ class MapStore:
                 state["kf_desc_banks"] = np.stack(
                     [self.kf_desc[int(s)] for s in sorted(self.kf_desc)]
                 )
+            if self.kf_scores:
+                state["kf_score_slots"] = np.asarray(sorted(self.kf_scores), np.int64)
+                state["kf_score_banks"] = np.stack(
+                    [self.kf_scores[int(s)] for s in sorted(self.kf_scores)]
+                )
         state["kf_gdesc"] = self.kf_gdesc
         if self.loop_edges:
             state["loop_i"] = np.asarray([e[0] for e in self.loop_edges], np.int32)
@@ -463,6 +489,11 @@ class MapStore:
                 store.kf_desc = {
                     int(s): bank.copy()
                     for s, bank in zip(data["kf_desc_slots"], data["kf_desc_banks"])
+                }
+            if "kf_score_slots" in data:
+                store.kf_scores = {
+                    int(s): bank.copy()
+                    for s, bank in zip(data["kf_score_slots"], data["kf_score_banks"])
                 }
         store._next_kf = int(data["_next_kf"])
         store._next_mp = int(data["_next_mp"])
