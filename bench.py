@@ -125,6 +125,86 @@ def sustained_ms(kernel, args, n1=2, n2=12, reps=6):
     return max((t2 - t1) / (n2 - n1), 1e-6) * 1e3
 
 
+# chip peaks for the roofline audit. TPU v5e (v5 lite): 197 TFLOP/s
+# bf16 on the MXU, ~819 GB/s HBM (jax-ml.github.io/scaling-book, ch. 2
+# "TPUs"; same numbers as the public v5e spec sheet). f32 matmuls at
+# precision=HIGHEST run as 3-6 bf16 passes, so geometry stages are held
+# to the same bf16 ceiling (their reported MFU is therefore an
+# UNDER-estimate of how close they sit to their true f32 bound).
+_PEAKS = {
+    "tpu": {"flops": 197e12, "bw": 819e9},
+}
+
+
+def _stage_cost(fn, args, loop_mult: float = 1.0) -> tuple:
+    """(flops, bytes_ub) of one stage per XLA's HloCostAnalysis on a
+    FRESH pre-compile lowering (``lower().cost_analysis()`` traces but
+    does not compile — free even over the TPU relay).
+
+    Two documented accuracy caveats, both handled here:
+    - Pallas custom calls are opaque to the cost model, so the twin is
+      traced with ``URMVO_PALLAS=0``: the XLA formulation computes the
+      same math with every flop visible.
+    - ``lax.scan``/``while_loop`` bodies are counted ONCE regardless of
+      trip count (verified empirically); ``loop_mult`` scales the total
+      by the known static schedule where a loop dominates the stage
+      (sinkhorn scan, BA's LM while_loop). Prologue/epilogue get scaled
+      along — acceptable because the bodies dominate those stages.
+
+    ``bytes_ub`` comes from the UNOPTIMIZED HLO: every instruction's
+    operands/outputs counted, i.e. pre-fusion — a strict UPPER bound on
+    HBM traffic (XLA fuses most elementwise chains; Pallas twins keep
+    working sets in VMEM). Flops are fusion-invariant and exact."""
+    import os
+
+    old = os.environ.get("URMVO_PALLAS")
+    os.environ["URMVO_PALLAS"] = "0"
+    try:
+        import jax
+
+        c = jax.jit(fn).lower(*args).cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return (
+            float(c.get("flops", 0.0) or 0.0) * loop_mult,
+            float(c.get("bytes accessed", 0.0) or 0.0) * loop_mult,
+        )
+    except Exception:
+        return 0.0, 0.0
+    finally:
+        if old is None:
+            os.environ.pop("URMVO_PALLAS", None)
+        else:
+            os.environ["URMVO_PALLAS"] = old
+
+
+def _mfu_table(stages, platform: str) -> dict:
+    """Per-stage roofline audit: measured time vs the speed-of-light
+    time max(flops/peak_flops, bytes/peak_bw). ``mfu`` is the classic
+    FLOP utilization (exact flops / measured time / peak); since
+    ``bytes`` is a pre-fusion UPPER bound (see _stage_cost), the
+    bandwidth leg of the roofline is generous — ``sol_frac`` (fraction
+    of the speed-of-light bound achieved, 1.0 = at the bound) can read
+    HIGH for bandwidth-labeled stages and is exact for flops-bound
+    ones. ``bound`` names the dominating resource under that model."""
+    peaks = _PEAKS.get(platform)
+    table = {}
+    for name, flops, byts, t_ms in stages:
+        row = {"gflops": round(flops / 1e9, 3), "mbytes_ub": round(byts / 1e6, 3),
+               "ms": round(t_ms, 4)}
+        if peaks and t_ms > 0:
+            t_s = t_ms * 1e-3
+            t_flops = flops / peaks["flops"]
+            t_bw = byts / peaks["bw"]
+            sol = max(t_flops, t_bw)
+            row["mfu"] = round(flops / t_s / peaks["flops"], 4)
+            row["sol_ms"] = round(sol * 1e3, 4)
+            row["sol_frac"] = round(sol / t_s, 4) if sol > 0 else 0.0
+            row["bound"] = "flops" if t_flops >= t_bw else "hbm"
+        table[name] = row
+    return table
+
+
 def _measure_sync_floor(reps: int = 15) -> float:
     """Median host-observed latency (ms) of one trivial device sync: on a
     locally-attached host this is ~0.1 ms; through the dev relay ~24 ms.
@@ -194,12 +274,24 @@ def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
     cfg.initializer.min_matches = 40
     cfg.initializer.min_features_first = 80
 
-    def run(vo):
+    def run(vo, xfer=None, per_frame=None):
+        """``per_frame`` (list) collects (is_keyframe, host_ms_excl_sync)
+        per frame: thread CPU time of the process() call minus the
+        thread CPU time spent inside d2h transfers DURING that call —
+        same clock, so the relay client's busy-poll inside transfers
+        (~0.5 s/frame of fake "host work") drops out exactly."""
         n_kf = 0
         frames = [Frame(image=Image(images[i], i / 30.0)) for i in range(n_frames)]
         for i in range(n_frames):
             nxt = frames[i + 1] if i + 1 < n_frames else None
-            if vo.process(frames[i], next_data=nxt) is not None:
+            if per_frame is not None:
+                th0, tt0 = time.thread_time(), xfer["tt"]
+                out = vo.process(frames[i], next_data=nxt)
+                host_ms = (time.thread_time() - th0 - (xfer["tt"] - tt0)) * 1e3
+                per_frame.append((out is not None, host_ms))
+            else:
+                out = vo.process(frames[i], next_data=nxt)
+            if out is not None:
                 n_kf += 1
         return n_kf
 
@@ -222,21 +314,27 @@ def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
     # locally the same sync is ~0.1-0.2 ms. The counts let us project.
     from ur_mvo_tpu.utils.timing import count_d2h
 
-    xfer = {"n": 0, "t": 0.0}
+    xfer = {"n": 0, "t": 0.0, "tt": 0.0}
+    per_frame = []
     with count_d2h(xfer):
         t0 = time.perf_counter()
         th0 = time.thread_time()
-        n_kf = run(vo)
+        n_kf = run(vo, xfer, per_frame)
         wall = time.perf_counter() - t0
         host_thread = time.thread_time() - th0
-    # main-thread CPU time minus the (relay-inflated) transfer waits =
-    # true per-frame host bookkeeping, the number a locally-attached
-    # deployment would pay (dispatch overheads stay, ~0.1 ms/program)
-    host_excl = max(host_thread - xfer["t"], 0.0)
+    # main-thread CPU time minus the thread CPU time INSIDE d2h
+    # transfers (same clock — the relay client busy-polls, so wall-based
+    # subtraction saturates the metric at 0) = true per-frame host
+    # bookkeeping, the number a locally-attached deployment pays
+    host_excl = max(host_thread - xfer["tt"], 0.0)
+    kf_ms = [m for is_kf, m in per_frame if is_kf]
+    steady_ms = [m for is_kf, m in per_frame if not is_kf]
     out = {
         "e2e_wall_fps": n_frames / wall,
         "host_thread_ms_per_frame": host_thread / n_frames * 1e3,
         "host_ms_per_frame_excl_sync": host_excl / n_frames * 1e3,
+        "host_ms_steady": float(np.mean(steady_ms)) if steady_ms else 0.0,
+        "host_ms_keyframe": float(np.mean(kf_ms)) if kf_ms else 0.0,
         "d2h_transfers_per_frame": xfer["n"] / n_frames,
         "d2h_wall_ms_per_frame": xfer["t"] / n_frames * 1e3,
         "e2e_frames": n_frames,
@@ -260,7 +358,7 @@ def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
     run_chunked(vo2)  # warm/compile
     if vo2.tracker.initialized:
         vo2.reset()
-        xfer2 = {"n": 0, "t": 0.0}
+        xfer2 = {"n": 0, "t": 0.0, "tt": 0.0}
         with count_d2h(xfer2):
             t0 = time.perf_counter()
             th0 = time.thread_time()
@@ -270,7 +368,7 @@ def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
         out["e2e_wall_fps_chunked"] = n_frames / wall2
         out["d2h_transfers_per_frame_chunked"] = xfer2["n"] / n_frames
         out["host_ms_per_frame_excl_sync_chunked"] = (
-            max(host2 - xfer2["t"], 0.0) / n_frames * 1e3
+            max(host2 - xfer2["tt"], 0.0) / n_frames * 1e3
         )
         out["e2e_keyframes_chunked"] = n_kf2
         out["e2e_chunk_frames"] = CHUNK
@@ -330,10 +428,11 @@ def main():
     # --- stage 1: extract ---------------------------------------------
     # networks run in bf16, mirroring the engine's runtime.compute_dtype
     # default (geometry stages stay f32-HIGHEST like production)
-    @jax.jit
-    def extract(img):
+    def extract_raw(img):
         scores, desc = superpoint.forward(sp, img[None, :, :, None], compute_dtype=jnp.bfloat16)
         return select_keypoints(scores[0], desc[0], capacity=CAP, threshold=5e-4, max_keypoints=MAXK)
+
+    extract = jax.jit(extract_raw)
 
     img = jax.random.uniform(ks[2], (H, W))
     bank0 = extract(img)
@@ -343,8 +442,7 @@ def main():
     # --- stage 2: match (GNN + sinkhorn + decode + F-RANSAC) ----------
     from ur_mvo_tpu.ops.pallas_kernels import attention_pallas_enabled, sinkhorn_pallas_enabled
 
-    @jax.jit
-    def match(k, b0, b1):
+    def match_raw(k, b0, b1):
         Z = superglue.match_scores(
             sg, b0, b1, W, H, sinkhorn_iterations=20,
             compute_dtype=jnp.bfloat16,
@@ -356,6 +454,8 @@ def main():
         res = ransac_fundamental(k, p0, p1, valid, iterations=200)
         return m.idx1, res.inliers
 
+    match = jax.jit(match_raw)
+
     t_match = sustained_ms(lambda k, b0, b1: match(k, b0, b1), (ks[3], bank0, bank1), n2=_n2())
 
     # --- stage 3: track (PnP RANSAC + pose-only 4x10 GN) --------------
@@ -363,11 +463,12 @@ def main():
     uv = jax.random.uniform(ks[5], (CAP, 2)) * jnp.array([W - 1.0, H - 1.0])
     valid = jnp.ones((CAP,), bool)
 
-    @jax.jit
-    def track(k, X, uv, valid):
+    def track_raw(k, X, uv, valid):
         pnp = ransac_pnp(k, X, uv, valid, K_mat, iterations=100, threshold_px=20.0)
         obs = PoseObs(X=X, uv=jnp.concatenate([uv, -jnp.ones_like(uv[:, :1])], 1), valid=valid)
         return optimize_pose(pnp.R_cw, pnp.t_cw, obs, fx, fy, cx, cy)
+
+    track = jax.jit(track_raw)
 
     t_track = sustained_ms(lambda k, X, uv, v: track(k, X, uv, v), (ks[6], X, uv, valid), n2=_n2())
 
@@ -452,6 +553,52 @@ def main():
     ba = jax.jit(lambda p: bundle_adjust(p, fx, fy, cx, cy, 0.0, BAConfig()))
     t_ba = sustained_ms(lambda p: ba(p), (prob,), n1=1, n2=9 if _n2() > 12 else 5, reps=3)
 
+    # --- MFU / speed-of-light audit -------------------------------------
+    # Exact-schedule BA (tol=0 disables the convergence early exit): the
+    # LM while_loop then runs its full 10+5 budget, matching the x15
+    # loop multiplier on the body-counted-once cost analysis.
+    ba_exact_raw = lambda p: bundle_adjust(p, fx, fy, cx, cy, 0.0, BAConfig(tol=0.0))
+    ba_exact = jax.jit(ba_exact_raw)
+    t_ba_exact = sustained_ms(lambda p: ba_exact(p), (prob,), n1=1, n2=9 if _n2() > 12 else 5, reps=3)
+
+    from ur_mvo_tpu.ops.sinkhorn import log_optimal_transport
+
+    def sinkhorn_raw(sc):
+        return log_optimal_transport(sc, bank0.valid, bank1.valid, jnp.asarray(2.3457, jnp.float32), 20)
+
+    sink = jax.jit(sinkhorn_raw)
+    sc0 = jax.random.normal(ks[5], (CAP, CAP), jnp.float32)
+    t_sink = sustained_ms(lambda s: sink(s), (sc0,), n2=_n2())
+
+    fused_raw = getattr(trk_f._fused_kernel, "__wrapped__", None)
+    audit = [
+        # (name, raw fn, args, measured ms, loop multiplier)
+        ("extract", extract_raw, (img,), t_extract, 1.0),
+        ("match", match_raw, (ks[3], bank0, bank1), t_match, 1.0),
+        # sinkhorn: lax.scan(20, unroll=5) => cost model sees 5 of 20
+        # iterations (body counted once)
+        ("sinkhorn", sinkhorn_raw, (sc0,), t_sink, 4.0),
+        ("track", track_raw, (ks[6], X, uv, valid), t_track, 1.0),
+        ("ba_iter15", ba_exact_raw, (prob,), t_ba_exact, 15.0),
+    ]
+    if fused_raw is not None:
+        audit.insert(3, ("fused", fused_raw,
+                         (ext_f.sg_params, ks[7], bank0, bank1, snap_d), t_fused, 1.0))
+    mfu_stages = []
+    for name, fn, fargs, t_ms, mult in audit:
+        flops, byts = _stage_cost(fn, fargs, loop_mult=mult)
+        mfu_stages.append((name, flops, byts, t_ms))
+    mfu = _mfu_table(mfu_stages, dev.platform)
+    for name, row in mfu.items():
+        if "mfu" in row:
+            print(f"# mfu {name}: {row['gflops']:.2f} GFLOP / {row['ms']:.3f} ms => "
+                  f"MFU {row['mfu']*100:.1f}% | SoL {row['sol_ms']:.3f} ms "
+                  f"({row['bound']}-bound, {row['sol_frac']*100:.0f}% of bound)",
+                  file=sys.stderr)
+        else:
+            print(f"# mfu {name}: {row['gflops']:.2f} GFLOP / {row['ms']:.3f} ms "
+                  f"(no peak model for this platform)", file=sys.stderr)
+
     # multi-sequence batched front end (S=4): per-sequence sustained cost
     S = 2 if args.tiny else 4
     ext_b = jax.jit(jax.vmap(lambda im: extract(im)))
@@ -518,6 +665,7 @@ def main():
         "vs_baseline": round(fps / REFERENCE_FPS, 3),
         "fused_step_ms": round(t_fused, 4),
         "relay_sync_floor_ms": round(relay_floor_ms, 3),
+        "mfu": mfu,
     }
     if e2e:
         # projected locally-attached e2e: the raw wall number pays the
@@ -532,6 +680,8 @@ def main():
         out["e2e_wall_fps"] = round(e2e["e2e_wall_fps"], 3)
         out["host_thread_ms_per_frame"] = round(e2e["host_thread_ms_per_frame"], 3)
         out["host_ms_per_frame_excl_sync"] = round(host_ms, 3)
+        out["host_ms_steady"] = round(e2e["host_ms_steady"], 3)
+        out["host_ms_keyframe"] = round(e2e["host_ms_keyframe"], 3)
         out["d2h_transfers_per_frame"] = round(e2e["d2h_transfers_per_frame"], 2)
         out["d2h_wall_ms_per_frame"] = round(e2e["d2h_wall_ms_per_frame"], 3)
         out["e2e_fps_projected_local"] = round(proj, 3)
@@ -541,7 +691,8 @@ def main():
         print(
             f"# e2e: wall {e2e['e2e_wall_fps']:.1f} fps over {e2e['e2e_frames']} frames "
             f"({e2e['e2e_keyframes']} keyframes) | host excl-sync {host_ms:.2f} ms/frame "
-            f"(thread {e2e['host_thread_ms_per_frame']:.1f} ms) | "
+            f"(steady {e2e['host_ms_steady']:.2f} / keyframe {e2e['host_ms_keyframe']:.2f}; "
+            f"thread {e2e['host_thread_ms_per_frame']:.1f} ms) | "
             f"{e2e['d2h_transfers_per_frame']:.1f} d2h/frame @ floor {relay_floor_ms:.1f} ms | "
             f"projected local {proj:.1f} fps",
             file=sys.stderr,

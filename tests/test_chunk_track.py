@@ -1,14 +1,16 @@
-"""Chunked multi-frame tracking (Tracker.process_chunk + the chunk scan
-kernel): C frames of extract+match+track as ONE device program with
-on-device keyframe rollover and provisional-id minting.
+"""Chunked multi-frame tracking (Tracker.process_chunk + the chunk
+while_loop kernel): up to C frames of extract+match+track as ONE device
+program that CUTS at the first keyframe decision or weak-tracking event
+(exact-cut design — a scan variant with on-device keyframe rollover was
+measured and rejected, see the kernel comment in Tracker.__init__; the
+shipped kernel mints no provisional ids and the host replays only rows
+the loop actually reached).
 
 TPU-first design with no reference analog (the reference overlaps its
 frame loop with 2 host threads, ``tracking.cc:57-59``; here the loop
 itself is compiled control flow). These tests pin behavioral
 equivalence with the per-frame fused path on a rendered scene: same
-initialization, comparable keyframe cadence / map growth / trajectory,
-and correct translation of provisional mappoint ids (a translation bug
-would leave orphan ids and starve the map — asserted via growth).
+initialization, comparable keyframe cadence / map growth / trajectory.
 """
 
 import numpy as np
@@ -65,17 +67,15 @@ def test_chunked_matches_per_frame_path(scene):
     vo0, kf0, ate0, good0 = _run(images, T_wc, cam, chunk=0)
     vo1, kf1, ate1, good1 = _run(images, T_wc, cam, chunk=3)
     assert vo0.tracker.initialized and vo1.tracker.initialized
-    # same init path => same first keyframes; cadence may differ by a
-    # frame or two afterwards (different PnP RNG streams)
+    # same init path => same first keyframes; since the chunk body now
+    # consumes the same RNG subkey stream as the per-frame fused step
+    # cadence should agree closely (kept loose: host float round trips
+    # through the packed readback differ at the ulp level)
     assert abs(kf1 - kf0) <= 3, (kf0, kf1)
     assert ate0 < 0.5 and ate1 < 0.5, (ate0, ate1)
-    # provisional-id translation feeds the same map lifecycle: growth
-    # beyond the init set on both paths, comparable magnitude
+    # chunk replay feeds the same map lifecycle: growth beyond the init
+    # set on both paths, comparable magnitude
     assert good1 > 0.5 * good0, (good0, good1)
-    # keyframe track tables must never leak provisional codes (< -1)
-    st = vo1.tracker.backend.store
-    slots = st.keyframe_slots()
-    assert (st.kf_track[slots] >= -1).all()
 
 
 def test_chunk_pads_and_tail(scene):

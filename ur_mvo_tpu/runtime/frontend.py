@@ -424,7 +424,11 @@ class Tracker:
 
                     def body(state):
                         key, i, stop, R_last, t_last, outs, banks = state
-                        key, k_m, k_pnp, k_lr = jax.random.split(key, 4)
+                        # same split order + subkey assignment as
+                        # _fused_impl, so a chunked run consumes the
+                        # exact RNG stream the per-frame path would given
+                        # identical host state (bit-comparable A/B)
+                        key, k_lr, k_m, k_pnp = jax.random.split(key, 4)
                         img = jax.lax.dynamic_index_in_dim(images, i, keepdims=False)
                         bank = ext_traceable(sp_params, img)
                         if stereo:
@@ -1248,15 +1252,19 @@ class Tracker:
                 np.asarray(bank.scores))
 
     def _insert_keyframe(self, bank, uvr, pose, frame_track, timestamp, frame_id, depth_lookup, set_ref=True,
-                         u_right=None):
+                         u_right=None, materialized=None):
         """InsertKeyframe (tracking.cc:962-995 + Mapping::InsertKeyframe).
         ``u_right``: optional (K,) gated right-x column (stereo chunk
-        rows carry it instead of a full uvr)."""
+        rows carry it instead of a full uvr). ``materialized``: optional
+        pre-fetched ``(kpts, valid, desc, scores)`` tuple — callers that
+        already paid the packed readback (relocalization's retrieval
+        stage) pass it through instead of a second ~24 ms transfer."""
         st = self.backend.store
         if frame_id in st.frame_id_to_slot:
             return None
         K = bank.capacity
-        kpts, valid, desc_h, scores_h = self._materialize_bank(bank)
+        kpts, valid, desc_h, scores_h = (
+            materialized if materialized is not None else self._materialize_bank(bank))
         if uvr is None and u_right is not None:
             uvr = np.concatenate([kpts, u_right[:, None]], axis=1)
         if uvr is None:
@@ -1377,13 +1385,15 @@ class Tracker:
         the reference's only recovery is the promote-keyframe retry
         (``tracking.cc:254-276``)."""
         with self.timer.span("relocalize"):
-            kpts, valid, desc_h, _scores = self._materialize_bank(bank)
+            mat = self._materialize_bank(bank)
+            kpts, valid, desc_h, _scores = mat
             res = self.backend.relocalize(desc_h, kpts, valid)
         if res is None:
             return None
         pose, frame_track, _n_inl = res
         pose_out = self._insert_keyframe(
-            bank, uvr, pose, frame_track, timestamp, frame_id, depth_lookup, set_ref=True)
+            bank, uvr, pose, frame_track, timestamp, frame_id, depth_lookup, set_ref=True,
+            materialized=mat)
         final = pose_out if pose_out is not None else pose
         self._publish_tracked(final, timestamp, pose_out is not None)
         self._after_track(bank, final, timestamp, frame_id, track_well=True,

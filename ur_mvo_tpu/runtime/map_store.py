@@ -194,16 +194,24 @@ class MapStore:
         self.covis[:, kf_slot] += counts
 
     def update_descriptors(self, mp_ids: np.ndarray, descs: np.ndarray = None) -> None:
-        """Exact per-mappoint medoid descriptor recompute.
+        """Per-mappoint *sum*-medoid descriptor recompute.
 
-        Reference parity: ``Mapping::UpdateMappointDescriptor``
-        (``mapping.cc:207-258``) picks, among all observer descriptors,
-        the one minimizing the summed distance ``2(1 - f_i·f_j)`` to the
-        others. For L2-normalized descriptors that argmin is exactly
-        ``argmax_i f_i·S`` with ``S = Σ_j f_j`` (the ``f_i·f_i`` term is
-        the same for every candidate), so the medoid over ALL live
-        observers is one gather + one batched dot against the group sum —
-        no pairwise distance matrix. Because it reads only LIVE
+        Deliberate divergence from ``Mapping::UpdateMappointDescriptor``
+        (``mapping.cc:207-258``): the reference picks the observer with
+        the least MEDIAN distance to the others (integer-truncated
+        median index, ``mapping.cc:244-256``) and simply keeps the FIRST
+        observation when there are ≤2 observers. We instead minimize the
+        SUMMED distance ``Σ_j 2(1 - f_i·f_j)`` — for L2-normalized
+        descriptors that argmin is exactly ``argmax_i f_i·S`` with
+        ``S = Σ_j f_j`` (the ``f_i·f_i`` term is constant across
+        candidates), so the medoid over ALL live observers is one gather
+        + one batched dot against the group sum, no pairwise distance
+        matrix. The two rules can pick different representatives under
+        multimodal viewpoint distributions (the sum-medoid favors the
+        densest mode overall, the median-medoid is insensitive to the
+        far tail); the sum-medoid is better-behaved on TPU-shaped data
+        and at ≤2 observers degenerates to the higher-scoring of the two
+        rather than an arbitrary first pick. Because it reads only LIVE
         observations (``obs_slot``), outlier removals drop out of the
         medoid the next time the point is touched, matching the
         reference's full recompute. ``descs`` is accepted for call-site

@@ -61,8 +61,13 @@ class StageTimer:
 def count_d2h(stats: dict, sites: dict = None):
     """Count device->host materializations (``jax.Array.__array__``) and
     the wall spent inside them into ``stats`` keys ``"n"``/``"t"`` while
-    active. Through the dev relay each sync costs a ~24 ms round trip on
-    the calling thread; locally the same sync is ~0.1-0.2 ms — the
+    active, plus the CALLING-THREAD CPU time inside them as ``"tt"``.
+    Through the dev relay each sync costs a ~24 ms round trip on the
+    calling thread — and the relay client busy-polls, so the wait shows
+    up as thread CPU time too; ``"tt"`` lets a measurement subtract the
+    in-transfer spin from a ``time.thread_time()`` total ON THE SAME
+    CLOCK (wall-minus-thread mixes clocks and clamps to zero — the
+    round-3 bench defect). Locally the same sync is ~0.1-0.2 ms — the
     counts let a relay-attached measurement project locally-attached
     throughput (bench.py, scripts/profile_e2e.py). Reentrant use on the
     same dict accumulates; reset by zeroing the keys. ``sites`` (a dict)
@@ -74,12 +79,15 @@ def count_d2h(stats: dict, sites: dict = None):
     orig = arr_t.__array__
     stats.setdefault("n", 0)
     stats.setdefault("t", 0.0)
+    stats.setdefault("tt", 0.0)
 
     def counted(self, *a, **k):
         t0 = time.perf_counter()
+        tt0 = time.thread_time()
         r = orig(self, *a, **k)
         stats["n"] += 1
         stats["t"] += time.perf_counter() - t0
+        stats["tt"] += time.thread_time() - tt0
         if sites is not None:
             import traceback
 
