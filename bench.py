@@ -722,6 +722,25 @@ def main():
                 f"{e2e['e2e_keyframes_chunked']} keyframes",
                 file=sys.stderr,
             )
+    # standing multi-seed accuracy table (scripts/bench_accuracy.py —
+    # platform-independent, computed where CPU time is cheap and
+    # committed as ACCURACY.json; merged here so BENCH_r{N}.json carries
+    # the ate evidence next to the throughput numbers)
+    import os
+
+    acc_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ACCURACY.json")
+    if os.path.exists(acc_path):
+        try:
+            with open(acc_path) as f:
+                acc = json.load(f)
+            out["ate"] = {
+                cell: {m: {"mean": r.get("mean"), "spread": r.get("spread"),
+                           "failed": r.get("failed", 0)} for m, r in row.items()}
+                for cell, row in acc.get("cells", {}).items()
+            }
+            out["ate_protocol"] = acc.get("protocol", {})
+        except Exception as e:
+            print(f"# ACCURACY.json unreadable: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 

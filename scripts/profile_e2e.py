@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--sites", action="store_true",
                     help="tally the in-repo call site of every d2h transfer")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="profile the chunked path (process_sequence with "
+                         "runtime.chunk_frames=N) instead of per-frame")
     args = ap.parse_args()
 
     import jax
@@ -81,10 +84,15 @@ def main():
     ctx = count_d2h(stats, sites=sites)
     ctx.__enter__()  # restored below after the timed pass
 
+    if args.chunk > 1:
+        cfg.runtime.chunk_frames = args.chunk
     vo = UR_MVO(cfg, SensorSetup.MONO, camera=cam)
     frames = [Frame(image=Image(images[i], i / 30.0)) for i in range(n)]
 
     def run():
+        if args.chunk > 1:
+            outs = vo.process_sequence(frames)
+            return sum(1 for o in outs if o is not None)
         kf = 0
         for i in range(n):
             nxt = frames[i + 1] if i + 1 < n else None

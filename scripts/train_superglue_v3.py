@@ -61,9 +61,11 @@ def _make_extractor(cap=CAP, max_kpts=400, H=H, W=W, fx=FX):
     return NeuralExtractor(cfg, cam)
 
 
-def _render_scene(seed: int, frames: int, rng, H=H, W=W, fx=FX):
+def _render_scene(seed: int, frames: int, rng, H=H, W=W, fx=FX, baseline=0.0):
     """One scene: plane-only (1/3 of the time) or 3D multi-plane with
-    random brightness decay — the two e2e benchmark families."""
+    random brightness decay — the two e2e benchmark families. With
+    ``baseline`` also renders right views + right depths (stereo
+    supervision)."""
     from ur_mvo_tpu.utils.synthscene import render_sequence
 
     n_planes = 0 if seed % 3 == 0 else int(rng.integers(2, 5))
@@ -74,7 +76,42 @@ def _render_scene(seed: int, frames: int, rng, H=H, W=W, fx=FX):
     # generator's whole parameter family.
     z_bg = float(rng.uniform(4.0, 8.0))
     return render_sequence(frames, H, W, fx, seed=seed, n_planes=n_planes,
-                           brightness_decay=decay, z_background=z_bg)
+                           brightness_decay=decay, z_background=z_bg,
+                           baseline=baseline, with_right_depth=baseline > 0)
+
+
+def _rectify_roundtrip(img: "np.ndarray", k1: float, fx: float) -> "np.ndarray":
+    """Simulate the resampling footprint of right-camera rectification.
+
+    A production right image is ``remap(distorted_capture)`` — one
+    bilinear resample whose sub-pixel phase varies radially. Matching
+    measurably degrades on that domain (the round-3 stereo
+    distorted-right plane failed to init under the shipped matcher).
+    A radial warp + its inverse (double bilinear) reproduces the blur
+    while the geometry round-trips to O(k1^2) (< 0.2 px at |k1| <=
+    0.06), so depth-transfer GT labels stay valid."""
+    import numpy as np
+
+    Hh, Ww = img.shape
+    cx, cy = Ww / 2.0, Hh / 2.0
+    yy, xx = np.mgrid[0:Hh, 0:Ww].astype(np.float64)
+    x = (xx - cx) / fx
+    y = (yy - cy) / fx
+    r2 = x * x + y * y
+
+    def sample(im, u, v):
+        u0 = np.clip(np.floor(u).astype(int), 0, Ww - 2)
+        v0 = np.clip(np.floor(v).astype(int), 0, Hh - 2)
+        du = np.clip(u - u0, 0, 1)
+        dv = np.clip(v - v0, 0, 1)
+        return (im[v0, u0] * (1 - du) * (1 - dv) + im[v0, u0 + 1] * du * (1 - dv)
+                + im[v0 + 1, u0] * (1 - du) * dv + im[v0 + 1, u0 + 1] * du * dv)
+
+    f = 1.0 + k1 * r2
+    im1 = sample(img.astype(np.float64), x * f * fx + cx, y * f * fx + cy)
+    g = 1.0 - k1 * r2
+    out = sample(im1, x * g * fx + cx, y * g * fx + cy)
+    return np.clip(out, 0, 255).astype(np.uint8)
 
 
 def gen_data(args):
@@ -108,18 +145,57 @@ def gen_data(args):
                 cap=args.capacity, max_kpts=args.max_kpts, H=Hs, W=Ws, fx=fxs
             )
         ext = exts[(Hs, Ws)]
-        imgs, T, depths = _render_scene(seed, args.frames, rng, H=Hs, W=Ws, fx=fxs)
+        baseline = float(rng.uniform(0.05, 0.2)) if args.stereo else 0.0
+        out_r = _render_scene(seed, args.frames, rng, H=Hs, W=Ws, fx=fxs,
+                              baseline=baseline)
+        imgs, T, depths = out_r[0], out_r[1], out_r[2]
+        imgs_r = out_r[3] if args.stereo else None
+        depths_r = out_r[4] if args.stereo else None
         base = n_frames_total
-        kpts_scene = []  # scene-resolution coords, for gt reprojection
-        for i in range(args.frames):
-            b = ext.extract(imgs[i])
+
+        def add_bank(img):
+            b = ext.extract(img)
             k_scene = np.asarray(b.kpts, np.float32)
             kpts_scene.append(k_scene)
             scores.append(np.asarray(b.scores, np.float32))
             kpts.append(k_scene * np.array([W / Ws, H / Hs], np.float32))
             desc.append(np.asarray(b.desc, np.float16))
             valid.append(np.asarray(b.valid))
+
+        kpts_scene = []  # scene-resolution coords, for gt reprojection
+        for i in range(args.frames):
+            add_bank(imgs[i])
         n_frames_total += args.frames
+        if args.stereo:
+            # right banks appended after the left ones; half of them
+            # through the rectification-resampling blur (the production
+            # right image is remap(distorted_capture) — see
+            # _rectify_roundtrip; the shipped matcher failed to init the
+            # distorted-right stereo scene without this domain)
+            base_r = n_frames_total
+            T_r = T.copy()
+            for i in range(args.frames):
+                T_r[i, :3, 3] = T[i, :3, 3] + T[i, :3, :3] @ np.array([baseline, 0.0, 0.0])
+                img_r = imgs_r[i]
+                if s % 2 == 0:
+                    img_r = _rectify_roundtrip(img_r, float(rng.uniform(-0.06, 0.06)), fxs)
+                add_bank(img_r)
+            n_frames_total += args.frames
+            # left-right pairs at the SAME timestamp (the stereo
+            # disparity-gate matching domain, frame.cc:95-126)
+            for i in range(args.frames):
+                t_0, t_1 = gt_assignment(
+                    kpts_scene[i], valid[base + i],
+                    kpts_scene[args.frames + i], valid[base_r + i],
+                    depths[i], T[i], T_r[i], fxs, Ws / 2, Hs / 2,
+                    depth1=depths_r[i], tol_px=args.tol_px * (Ws / W),
+                )
+                if (t_0 < args.capacity).sum() < 30:
+                    continue
+                pair_fi.append(base + i)
+                pair_fj.append(base_r + i)
+                tgt0s.append(t_0)
+                tgt1s.append(t_1)
         for i in range(args.frames):
             # VO matches the CURRENT frame against its reference KEYFRAME,
             # which trails by up to max_num_passed_frame (10) frames —
@@ -188,6 +264,27 @@ def train(args):
         "tgt1": jnp.asarray(data["tgt1"]),
     }
 
+    # Gap-balanced pair sampling: pairs per temporal gap g scale as
+    # (frames - g), so uniform sampling is dominated by small-gap
+    # (small-flow) pairs — measured to teach the matcher a positional
+    # shortcut ("match the nearest keypoint") that produces CONFIDENT
+    # texture-aliased assignments at keyframe-scale gaps: 233/241 fake
+    # inliers and a 0.46x-scale RGB-D trajectory on the 3d benchmark.
+    # Balancing gives each gap class (and the stereo LR class) equal
+    # sampling mass. Gap classes derive from fj - fi: the generator
+    # emits temporal gaps {1,2,3,5,7,9} and LR pairs at exactly
+    # fj - fi == frames-per-scene (right banks appended after the
+    # scene's left banks).
+    pair_w = None
+    if args.balance_gaps:
+        gaps = (data["pair_fj"] - data["pair_fi"]).astype(np.int64)
+        classes, counts = np.unique(gaps, return_counts=True)
+        w = np.zeros(S, np.float64)
+        for c, cnt in zip(classes, counts):
+            w[gaps == c] = 1.0 / (len(classes) * cnt)
+        pair_w = jnp.asarray((w / w.sum()).astype(np.float32))
+        print(f"gap balance: classes {dict(zip(classes.tolist(), counts.tolist()))}")
+
     params = superglue.init_params(jax.random.PRNGKey(args.seed), args.layers, args.heads)
     if args.init_from:
         params = superglue.load_weights(args.init_from, args.layers, args.heads)
@@ -225,13 +322,22 @@ def train(args):
           training on wild relative warps makes the task gratuitously
           harder than deployment, measured as a higher loss plateau and
           worse held-out precision; "mild" is the default."""
-        kx, ky, k0, k1, kd0, kd1 = jax.random.split(key, 6)
+        kx, ky, k0, k1, kd0, kd1, ksh = jax.random.split(key, 7)
         fx_ = jax.random.bernoulli(kx)
         fy = jax.random.bernoulli(ky)
         c = jnp.array([W / 2.0, H / 2.0])
         strong = args.aug == "strong"
+        # vo-hard: mild + a random GLOBAL translation applied to bank 1
+        # only. Correspondence labels are unchanged (a rigid shift of
+        # every keypoint), but "match the nearest position" stops
+        # working — the positional-shortcut breaker for the aliasing
+        # failure described at --balance-gaps. Descriptor noise is also
+        # halved so descriptor evidence stays crisp.
+        vo_hard = args.aug == "vo-hard"
+        shift = jax.random.uniform(ksh, (2,), minval=-40.0, maxval=40.0)
+        d_noise = 0.02 if vo_hard else 0.05
 
-        def warp(b, k, kd):
+        def warp(b, k, kd, extra_shift=None):
             ks_ = jax.random.split(k, 4)
             x = jnp.where(fx_, W - 1.0 - b.kpts[..., 0], b.kpts[..., 0])
             y = jnp.where(fy, H - 1.0 - b.kpts[..., 1], b.kpts[..., 1])
@@ -242,18 +348,23 @@ def train(args):
                 t = jax.random.uniform(ks_[2], (2,), minval=-15.0, maxval=15.0)
                 R = jnp.array([[jnp.cos(th), -jnp.sin(th)], [jnp.sin(th), jnp.cos(th)]])
                 p = (p - c) @ (sc * R).T + c + t
+            if extra_shift is not None:
+                p = p + extra_shift
             p = p + 0.3 * jax.random.normal(ks_[3], p.shape)
-            d = b.desc + 0.05 * jax.random.normal(kd, b.desc.shape)
+            d = b.desc + d_noise * jax.random.normal(kd, b.desc.shape)
             d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
             m = b.valid[..., None]
             return b._replace(kpts=p * m, desc=d * m)
 
-        return warp(b0, k0, kd0), warp(b1, k1, kd1)
+        return warp(b0, k0, kd0), warp(b1, k1, kd1, extra_shift=shift if vo_hard else None)
 
     def one_step(d, carry, key):
         p, s = carry
         ki, ka = jax.random.split(key)
-        idx = jax.random.randint(ki, (args.batch,), 0, S)
+        if pair_w is not None:
+            idx = jax.random.choice(ki, S, (args.batch,), p=pair_w)
+        else:
+            idx = jax.random.randint(ki, (args.batch,), 0, S)
         b0, b1, t0, t1 = jax.vmap(lambda i: gather_banks(d, i))(idx)
         b0, b1 = jax.vmap(augment)(jax.random.split(ka, args.batch), b0, b1)
         loss, grads = jax.value_and_grad(batch_loss)(
@@ -384,6 +495,10 @@ def main():
     d.add_argument("--multires", action="store_true",
                    help="cycle scenes through 120x160..480x640 (kpts stored "
                         "rescaled to the 240x320 reference frame)")
+    d.add_argument("--stereo", action="store_true",
+                   help="also render right views (baseline U(0.05,0.2) m, half "
+                        "through rectification-resampling blur) and label "
+                        "left-right pairs — the stereo matching domain")
 
     t = sub.add_parser("train")
     t.add_argument("--data", default="/tmp/sg_data.npz")
@@ -397,7 +512,11 @@ def main():
     t.add_argument("--lr", type=float, default=1e-4)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--init-from", default=None)
-    t.add_argument("--aug", default="mild", choices=["mild", "strong"])
+    t.add_argument("--aug", default="mild", choices=["mild", "strong", "vo-hard"])
+    t.add_argument("--balance-gaps", action="store_true",
+                   help="equalize sampling mass across temporal-gap / LR pair "
+                        "classes (uniform sampling is dominated by small-flow "
+                        "pairs and teaches a positional shortcut)")
     t.add_argument("--rec-threshold", type=float, default=0.5,
                    help="recommended decode threshold embedded in the checkpoint")
     # validated operating point embedded in the checkpoint (defaults =

@@ -36,9 +36,12 @@ def square_trajectory(side=3.0, per_side=15):
     return np.asarray(T)
 
 
-def _run_square(loop_closure: bool, optimize="full"):
+def _run_square(loop_closure: bool, optimize="full", production_ba=False):
     """``optimize``: "none" (raw odometry), "pgo" (pose graph only), or
-    "full" (pose graph + full BA)."""
+    "full" (pose graph + full BA). ``production_ba`` keeps the default
+    (10+5) window-BA budget instead of the reduced 4+2 used to keep the
+    closure tests fast — the init-map quality (and with it the loop-edge
+    accuracy floor) depends on it."""
     T_wc = square_trajectory()
     n = len(T_wc)
     rng = np.random.default_rng(2)
@@ -51,12 +54,13 @@ def _run_square(loop_closure: bool, optimize="full"):
     cfg.superpoint.max_keypoints = 1024
     cfg.initializer.min_features_first = 80
     cfg.initializer.min_matches = 50
-    cfg.backend.window_opt_frames = 6
-    cfg.backend.window_fixed_frames = 4
-    cfg.backend.ba_max_points = 1024
-    cfg.backend.ba_max_observations = 4096
-    cfg.backend.ba_iterations_phase1 = 4
-    cfg.backend.ba_iterations_phase2 = 2
+    if not production_ba:
+        cfg.backend.window_opt_frames = 6
+        cfg.backend.window_fixed_frames = 4
+        cfg.backend.ba_max_points = 1024
+        cfg.backend.ba_max_observations = 4096
+        cfg.backend.ba_iterations_phase1 = 4
+        cfg.backend.ba_iterations_phase2 = 2
     cfg.backend.loop_closure = loop_closure
     cfg.backend.loop_min_gap_frames = 25
     oracle = OracleExtractor(X, cam, capacity=1024, noise_px=0.8, dropout=0.05, seed=7)
@@ -82,18 +86,41 @@ def _run_square(loop_closure: bool, optimize="full"):
     return st, err
 
 
+def _edge_errors_map_units(st, T_wc):
+    """Per detected edge: |t_ij_est − t_ij_gt| in MAP units (t_ij_gt
+    converted through the run's mono scale so non-zero-offset revisits
+    measure correctly)."""
+    kf = st.keyframe_slots()
+    # map scale from keyframe odometry (same estimator as _run_square)
+    order = np.argsort(st.kf_timestamp[kf])
+    kpos = st.kf_t[kf[order]]
+    idx = np.clip(st.kf_frame_id[kf[order]], 0, len(T_wc) - 1)
+    gt = T_wc[idx, :3, 3]
+    s = np.linalg.norm(gt[1:] - gt[:-1], axis=1).sum() / max(
+        np.linalg.norm(kpos[1:] - kpos[:-1], axis=1).sum(), 1e-9
+    )
+    errs = []
+    for (i, j, R_ij, t_ij, w) in st.loop_edges:
+        fi, fj = int(st.kf_frame_id[i]), int(st.kf_frame_id[j])
+        T_rel = np.linalg.inv(T_wc[fi]) @ T_wc[fj]
+        errs.append(float(np.linalg.norm(t_ij - T_rel[:3, 3] / s)))
+    return errs
+
+
 @pytest.mark.slow
 def test_square_loop_closed_by_detected_edge():
-    """Capability gate, calibrated post-track-id-propagation: the raw
-    odometry drifts ~0.53 at closure; the detected loop edge is good to
-    ~0.15 (in map units — bounded by init-map triangulation noise, the
-    mono single-view-PnP accuracy limit); PGO with the edge pulls the
-    closure error to ~0.26 where PGO WITHOUT an edge (residual-zero
-    odometry springs) cannot move it at all. The no-edge full-BA run
-    also self-closes somewhat (~0.29) since propagated track ids chain
-    points across the square's corners — so the decisive comparison is
-    edge-PGO vs no-edge-PGO on the raw drift, plus a not-worse sanity vs
-    the strongest no-edge pipeline."""
+    """Capability gate, recalibrated round 4 (multi-view structure-aware
+    edge refinement, backend._refine_pose_ba): the raw odometry drifts
+    ~0.53 at closure; the detected loop edge is good to ~0.13 map units
+    at THIS test's reduced 4+2 window-BA budget (the floor is the
+    init-map distortion that budget leaves behind — see
+    test_loop_edge_accuracy_production_budget for the production-budget
+    bound and the decisive 0.7x with-vs-without comparison); PGO with
+    the edge pulls the closure error to ~0.24. The no-edge full-BA
+    number is environment-sensitive (0.29 under the conftest's 8
+    virtual devices, where async keyframe BA writes back one keyframe
+    stale; 0.53 single-device), so only a loose not-worse bound lives
+    here."""
     st_raw, err_raw = _run_square(loop_closure=True, optimize="none")
     st_lc, err_lc = _run_square(loop_closure=True, optimize="pgo")
     st_no, err_no = _run_square(loop_closure=False, optimize="full")
@@ -102,11 +129,36 @@ def test_square_loop_closed_by_detected_edge():
     assert len(st_lc.loop_edges) >= 1, "no loop edge detected"
     i, j, R_ij, t_ij, w = st_lc.loop_edges[0]
     assert st_lc.kf_frame_id[j] - st_lc.kf_frame_id[i] > 25
+    # direct edge accuracy (measured 0.132 map units at this budget)
+    T_wc = square_trajectory()
+    errs = _edge_errors_map_units(st_raw, T_wc)
+    assert min(errs) < 0.16, errs
     assert err_raw[-1] > 0.2, err_raw[-1]  # real drift to close
     # the edge halves the raw closure drift via PGO alone...
     assert err_lc[-1] < 0.55 * err_raw[-1], (err_lc[-1], err_raw[-1])
     # ...and the LC pipeline is not worse than the best no-edge pipeline
-    assert err_lc[-1] < 1.1 * err_no[-1], (err_lc[-1], err_no[-1])
+    # even at this reduced budget (the decisive <= 0.7x comparison lives
+    # in test_loop_edge_accuracy_production_budget: 0.082 vs 0.156)
+    assert err_lc[-1] < 0.9 * err_no[-1], (err_lc[-1], err_no[-1])
+
+
+@pytest.mark.slow
+def test_loop_edge_accuracy_production_budget():
+    """Loop-edge accuracy bound at the PRODUCTION window-BA budget
+    (10+5 default schedule): the structure-aware multi-view refinement
+    brings the edge to <= 0.07 map units (measured 0.045 on a 0.8-offset
+    revisit; verdict r3 item 5's target), and PGO with that edge clearly
+    beats the best no-edge pipeline (measured closure 0.082 vs 0.156 =
+    0.52x; gate 0.7x). At the reduced test budget the init map itself
+    carries ~0.13 of internal distortion that no edge refinement can see
+    past — the bound there is budget-limited, not refinement-limited."""
+    st, err_lc = _run_square(loop_closure=True, optimize="pgo", production_ba=True)
+    assert len(st.loop_edges) >= 1, "no loop edge detected"
+    errs = _edge_errors_map_units(st, square_trajectory())
+    assert min(errs) <= 0.07, errs
+    st_no, err_no = _run_square(loop_closure=False, optimize="full", production_ba=True)
+    assert len(st_no.loop_edges) == 0
+    assert err_lc[-1] < 0.7 * err_no[-1], (err_lc[-1], err_no[-1])
 
 
 def _collapsed_descriptor_views(rng, K=64, D=256, a=0.27, noise=3.0):

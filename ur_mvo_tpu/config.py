@@ -50,6 +50,17 @@ class SuperPointConfig:
     # Padded keypoint capacity of the fixed-shape feature bank. Must be a
     # multiple of 128 for MXU-aligned downstream matmuls and >= max_keypoints.
     capacity: int = 1024
+    # Resolution bucket ladder, e.g. [(240, 320), (480, 640)]. The
+    # reference's TRT engine accepts any H x W in 100^2-1500^2 in ONE
+    # engine (super_point.cpp:55-61); XLA compiles per exact shape, so
+    # the TPU-native equivalent is pad-to-bucket: an input is
+    # edge-padded (bottom/right) to the smallest bucket that fits and
+    # runs through that bucket's ONE compiled program, with the pad
+    # region masked out of keypoint selection. Inputs are treated as
+    # top-left crops of the calibrated sensor (intrinsics stay exact;
+    # rectify maps stay valid over the cropped region). None = off
+    # (single-shape compile, the default).
+    resolution_buckets: Optional[list] = None
 
 
 @dataclasses.dataclass
@@ -257,7 +268,7 @@ class Configs:
             return p if (p is None or os.path.isabs(p)) else os.path.join(base_dir, p)
 
         sp = raw.get("superpoint", {})
-        for k in ("max_keypoints", "keypoint_threshold", "remove_borders", "nms_radius", "weights_path", "capacity", "descriptor_source"):
+        for k in ("max_keypoints", "keypoint_threshold", "remove_borders", "nms_radius", "weights_path", "capacity", "descriptor_source", "resolution_buckets"):
             if k in sp:
                 setattr(cfg.superpoint, k, _rel(sp[k]) if k == "weights_path" else sp[k])
         sg = raw.get("superglue", {})

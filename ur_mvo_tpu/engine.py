@@ -217,7 +217,7 @@ class UR_MVO:
         chunk_setup = self.setup in (Setup.MONO, Setup.RGBD, Setup.STEREO)
         i = 0
         pending_bank = None  # weak-event bank handed back by the chunk
-        skip_chunk_once = False  # stereo weak retry: re-extract per-frame
+        pf_count = 0  # forced per-frame frames (weak-event hysteresis)
         while i < len(frames):
             f = frames[i]
             n = min(C, len(frames) - i) if C > 1 else 0
@@ -226,12 +226,13 @@ class UR_MVO:
                 n > 1
                 and chunk_setup
                 and pending_bank is None
-                and not skip_chunk_once
+                and pf_count == 0
                 and self.tracker.chunk_available()
                 and all(fr.mask is None for fr in batch)
                 and (not stereo or all(fr.right_image is not None for fr in batch))
             )
-            skip_chunk_once = False
+            if pf_count > 0:
+                pf_count -= 1
             if not chunkable:
                 ts = f.image.get_timestamp()
                 if pending_bank is not None:
@@ -273,13 +274,22 @@ class UR_MVO:
             for j, pose_mat in enumerate(results):
                 outs[i + j] = self._emit(ts_list[j], pose_mat)
             i += consumed
+            if weak_bank is not None:
+                # weak-event hysteresis: the frame after a weak retry is
+                # statistically likely to be weak again (measured: the
+                # bench scene shows back-to-back weak cuts, and a chunk
+                # dispatch that consumes 0-1 frames costs full relay
+                # round trips to discover what the per-frame path finds
+                # in one) — force the next frame per-frame as well
+                # (2 = the pending weak frame itself + one more)
+                pf_count = 2
             if stereo and weak_bank is not None:
                 # the per-frame retry needs the RIGHT bank too (promote
                 # path may insert a keyframe and must keep its stereo
                 # seeds) — drop the handed-back left bank and let the
                 # per-frame path re-extract both
                 weak_bank = None
-                skip_chunk_once = True
+                pf_count = 2
             pending_bank = weak_bank
         return outs
 

@@ -115,6 +115,7 @@ class Backend:
         # loop closure (detect_loop): kernels built lazily on first use
         self._loop_verify = None
         self._loop_match = None
+        self._loop_refine_ba = None
         self._loop_cooldown = 0
         self._loop_key = jax.random.PRNGKey(1234)
 
@@ -174,6 +175,47 @@ class Backend:
         self._loop_verify = verify
         self._loop_match = matcher
 
+        # Dedicated refinement BA at the window padding but with the
+        # FULL reference schedule (10+5) and no convergence early exit:
+        # the windowed program's budget/tol are tuned for per-keyframe
+        # throughput (and tests shrink them further), which measured as
+        # a near-no-op when reused for loop/reloc refinement — the
+        # cost improvement from moving one pose is relatively tiny next
+        # to the summed point residuals, so tol=1e-4 exits immediately.
+        F_pad, P_pad, O_pad = self._ba_dims
+        opt = self.opt_cfg
+        cam = self.camera
+        ref_cfg = BAConfig(
+            chi2_mono=opt.mono_point, chi2_stereo=opt.stereo_point,
+            iters_phase1=10, iters_phase2=5, tol=0.0,
+            max_free_frames=8,
+        )
+
+        @jax.jit
+        def _refine_ba(flat):
+            fpack = flat[: 14 * F_pad].reshape(F_pad, 14)
+            ppack = flat[14 * F_pad : 14 * F_pad + 4 * P_pad].reshape(P_pad, 4)
+            opack = flat[14 * F_pad + 4 * P_pad :].reshape(O_pad, 6)
+            prob = BAProblem(
+                R_wc=fpack[:, 0:9].reshape(-1, 3, 3),
+                t_wc=fpack[:, 9:12],
+                frame_valid=fpack[:, 12] > 0.5,
+                frame_fixed=fpack[:, 13] > 0.5,
+                X=ppack[:, 0:3],
+                point_valid=ppack[:, 3] > 0.5,
+                obs_frame=opack[:, 0].astype(jnp.int32),
+                obs_point=opack[:, 1].astype(jnp.int32),
+                obs_uv=opack[:, 2:5],
+                obs_valid=opack[:, 5] > 0.5,
+            )
+            res = bundle_adjust(prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, ref_cfg)
+            return jnp.concatenate([
+                res.R_wc.reshape(-1), res.t_wc.reshape(-1), res.X.reshape(-1),
+                res.obs_inlier.astype(jnp.float32),
+            ])
+
+        self._loop_refine_ba = _refine_ba
+
     def _match_and_verify(self, bank_a, bank_kpts, bank_valid, ids, X_of_ids):
         """Shared geometric verification for place-recognition hits
         (detect_loop and relocalize): descriptor-NN match of the query
@@ -211,6 +253,68 @@ class Backend:
         if int(res.n_inliers) < cfg.loop_min_inliers:
             return None
         return res, idx1, mvalid
+
+    def _refine_pose_ba(self, poses_wc, fixed, X0, obs, free_idx=1):
+        """Structure-aware refinement of a verified loop / relocalization
+        pose (round-4 fix for the single-view-PnP bias: the matched
+        points carry correlated triangulation error, and PnP minimizing
+        reprojection in ONE view lets it leak into the pose — measured
+        0.145 map-unit edge bias on a zero-offset square revisit).
+
+        Joint solve over (the query pose, the matched points) against
+        observations from the query PLUS one or more FIXED reference
+        views. A single candidate view is NOT enough when the revisit
+        has little parallax to it (the exact loop-closure situation):
+        depth error is then unobservable from the pair and the solve is
+        a no-op — callers add the candidate's covisible snapshot
+        keyframes as extra fixed views to restore the parallax baseline
+        that triangulated the points in the first place.
+
+        Reuses the compiled windowed-BA program (``self._ba``) at its
+        padded shapes — no new compile, one extra BA solve per accepted
+        edge. ``poses_wc``: list of (R_wc, t_wc); ``fixed``: per-frame
+        bool (the query at ``free_idx`` is the one free frame); ``obs``:
+        parallel arrays ``(obs_frame, obs_point, obs_uvr)`` where row k
+        is frame ``obs_frame[k]`` observing point ``obs_point[k]`` at
+        pixel row ``obs_uvr[k]`` = (u, v, right-x or -1).
+        Returns ``(R_wc, t_wc, n_inl_free)`` or None."""
+        F, P, O = self._ba_dims
+        obs_frame, obs_point, obs_uvr = obs
+        n_f = len(poses_wc)
+        n_p = min(len(X0), P)
+        keep = (obs_point < n_p)
+        obs_frame, obs_point, obs_uvr = obs_frame[keep], obs_point[keep], obs_uvr[keep]
+        n_o = min(len(obs_frame), O)
+        if n_f > F:
+            return None
+        fpack = np.zeros((F, 14), np.float32)
+        fpack[:, 0:9] = np.eye(3, dtype=np.float32).reshape(1, 9)
+        for i, (R, t) in enumerate(poses_wc):
+            fpack[i, 0:9] = np.asarray(R, np.float32).reshape(-1)
+            fpack[i, 9:12] = t
+        fpack[:n_f, 12] = 1.0
+        fpack[:n_f, 13] = np.asarray(fixed, np.float32)
+        ppack = np.zeros((P, 4), np.float32)
+        ppack[:n_p, 0:3] = X0[:n_p]
+        ppack[:n_p, 3] = 1.0
+        opack = np.zeros((O, 6), np.float32)
+        opack[:n_o, 0] = obs_frame[:n_o]
+        opack[:n_o, 1] = obs_point[:n_o]
+        opack[:n_o, 2:5] = obs_uvr[:n_o]
+        opack[:n_o, 5] = 1.0
+        flat = jnp.asarray(
+            np.concatenate([fpack.reshape(-1), ppack.reshape(-1), opack.reshape(-1)])
+        )
+        if self._loop_verify is None:
+            self._build_loop_kernels()
+        arr = np.asarray(self._loop_refine_ba(flat))
+        R1 = arr[: 9 * F].reshape(F, 3, 3)[free_idx]
+        t1 = arr[9 * F : 12 * F].reshape(F, 3)[free_idx]
+        inl = arr[12 * F + 3 * P :][: n_o] > 0.5
+        n_inl_free = int((inl & (obs_frame[:n_o] == free_idx)).sum())
+        if not (np.all(np.isfinite(R1)) and np.all(np.isfinite(t1))):
+            return None
+        return R1, t1, n_inl_free
 
     def detect_loop(self, slot: int, bank_desc: np.ndarray, bank_kpts: np.ndarray,
                     bank_valid: np.ndarray):
@@ -288,15 +392,77 @@ class Backend:
             if out is None:
                 continue
             res, idx1, mvalid = out
-            n_inl = int(res.n_inliers)
             R_cw = np.asarray(res.R_cw)
             t_cw = np.asarray(res.t_cw)
             R_wc_cur = R_cw.T
             t_wc_cur = -R_cw.T @ t_cw
-            # edge: T_ij = T_i^-1 T_j in the SNAPSHOT frame (a purely
-            # relative measurement; i = candidate, j = this keyframe)
             R_i = st.kf_snap_R[cand]
             t_i = st.kf_snap_t[cand]
+            # structure-aware refinement of the accepted hypothesis:
+            # joint (query pose, matched points) solve observed from the
+            # candidate, the query, AND the candidate's covisible
+            # snapshot keyframes. The extra views matter: a loop revisit
+            # has near-zero parallax to the candidate itself, so the
+            # candidate+query pair alone cannot observe the correlated
+            # triangulation error in the snapshot points (measured: the
+            # 2-view refinement was an exact no-op on the square test) —
+            # the covisible neighbors restore the parallax baseline that
+            # triangulated those points (see _refine_pose_ba).
+            # refinement support: ALL descriptor matches (mvalid), not
+            # just the PnP inliers — the full-schedule BA's Huber phase
+            # + chi2 re-gate handles the outliers, and a wider support
+            # set shrinks the noise-driven component of the edge error
+            rows = np.nonzero(mvalid)[0]
+            ci = idx1[rows]
+            n_m = len(rows)
+            X0 = st.kf_snap_pos[cand, slots_c[ci]]
+            poses = [(R_i, t_i), (R_wc_cur, t_wc_cur)]
+            fixed = [True, False]
+            obs_f = [np.zeros(n_m), np.ones(n_m)]
+            obs_p = [np.arange(n_m), np.arange(n_m)]
+            uv_q = np.concatenate(
+                [bank_kpts[rows].astype(np.float32), -np.ones((n_m, 1), np.float32)], 1)
+            obs_uv = [st.kf_kpts[cand, slots_c[ci]], uv_q]
+            # extra fixed views: same-visit snapshot keyframes (temporal
+            # window around the candidate keeps all fixed poses in one
+            # consistent gauge — a LATER keyframe's snapshot carries the
+            # accumulated drift and would re-introduce the bias)
+            fid_c = int(st.kf_frame_id[cand])
+            sl_all = st.keyframe_slots()
+            ids_m = ids[ci]
+            near = sl_all[
+                (np.abs(st.kf_frame_id[sl_all] - fid_c) <= 2 * self.cfg.fix_older_than)
+                & (sl_all != cand) & (sl_all != slot)
+            ]
+            if len(near):
+                sub = st.obs_slot[ids_m][:, near]  # (n_m, B)
+                has = sub >= 0
+                counts = has.sum(0)
+                for bi in np.argsort(-counts)[:4]:
+                    if counts[bi] < 8:
+                        break
+                    B = int(near[bi])
+                    rows_b = np.nonzero(has[:, bi])[0]
+                    feat_b = sub[rows_b, bi].astype(np.int64)
+                    ok_b = st.kf_snap_ok[B, feat_b]
+                    rows_b, feat_b = rows_b[ok_b], feat_b[ok_b]
+                    if len(rows_b) < 8:
+                        continue
+                    obs_f.append(np.full(len(rows_b), len(poses)))
+                    obs_p.append(rows_b)
+                    obs_uv.append(st.kf_kpts[B, feat_b])
+                    poses.append((st.kf_snap_R[B], st.kf_snap_t[B]))
+                    fixed.append(True)
+            ref = self._refine_pose_ba(
+                poses, fixed, X0,
+                (np.concatenate(obs_f).astype(np.float32),
+                 np.concatenate(obs_p).astype(np.int64),
+                 np.concatenate(obs_uv).astype(np.float32)),
+            )
+            if ref is not None and ref[2] >= cfg.loop_min_inliers:
+                R_wc_cur, t_wc_cur = ref[0], ref[1]
+            # edge: T_ij = T_i^-1 T_j in the SNAPSHOT frame (a purely
+            # relative measurement; i = candidate, j = this keyframe)
             R_ij = R_i.T @ R_wc_cur
             t_ij = R_i.T @ (t_wc_cur - t_i)
             edge = (cand, int(slot), R_ij.astype(np.float32), t_ij.astype(np.float32),
@@ -354,11 +520,13 @@ class Backend:
                 break
             cand = int(slots[idx])
             mp = st.kf_track[cand]
-            ids = mp[mp >= 0]
-            ids = ids[st.mp_good[ids] & ~st.mp_bad[ids]]
+            slots_c = np.nonzero(mp >= 0)[0]
+            ids = mp[slots_c]
+            keep = st.mp_good[ids] & ~st.mp_bad[ids]
+            slots_c, ids = slots_c[keep], ids[keep]
             if len(ids) < cfg.loop_min_inliers:
                 continue
-            ids = ids[:K]
+            slots_c, ids = slots_c[:K], ids[:K]
             out = self._match_and_verify(
                 bank_a, bank_kpts, bank_valid, ids, st.mp_pos[ids])
             if out is None:
@@ -371,9 +539,49 @@ class Backend:
             frame_track[rows_in] = ids[idx1[rows_in]]
             R_cw = np.asarray(res.R_cw)
             t_cw = np.asarray(res.t_cw)
+            R_wc = R_cw.T
+            t_wc = -R_cw.T @ t_cw
+            # structure-aware refinement against the candidate's LIVE
+            # pose + its live covisible observers (all one gauge — no
+            # temporal window needed, unlike the loop-edge snapshot
+            # case). Pose only: the refit points are NOT written back.
+            ci = idx1[rows_in]
+            ids_m = ids[ci]
+            n_m = len(rows_in)
+            poses = [(st.kf_R[cand], st.kf_t[cand]), (R_wc, t_wc)]
+            fixed = [True, False]
+            obs_f = [np.zeros(n_m), np.ones(n_m)]
+            obs_p = [np.arange(n_m), np.arange(n_m)]
+            uv_q = np.concatenate(
+                [bank_kpts[rows_in].astype(np.float32), -np.ones((n_m, 1), np.float32)], 1)
+            obs_uv = [st.kf_kpts[cand, slots_c[ci]], uv_q]
+            others = slots[slots != cand]
+            if len(others):
+                sub = st.obs_slot[ids_m][:, others]
+                has = sub >= 0
+                counts = has.sum(0)
+                for bi in np.argsort(-counts)[:4]:
+                    if counts[bi] < 8:
+                        break
+                    B = int(others[bi])
+                    rows_b = np.nonzero(has[:, bi])[0]
+                    feat_b = sub[rows_b, bi].astype(np.int64)
+                    obs_f.append(np.full(len(rows_b), len(poses)))
+                    obs_p.append(rows_b)
+                    obs_uv.append(st.kf_kpts[B, feat_b])
+                    poses.append((st.kf_R[B], st.kf_t[B]))
+                    fixed.append(True)
+            ref = self._refine_pose_ba(
+                poses, fixed, st.mp_pos[ids_m],
+                (np.concatenate(obs_f).astype(np.float32),
+                 np.concatenate(obs_p).astype(np.int64),
+                 np.concatenate(obs_uv).astype(np.float32)),
+            )
+            if ref is not None and ref[2] >= cfg.loop_min_inliers:
+                R_wc, t_wc = ref[0], ref[1]
             pose = np.eye(4, dtype=np.float32)
-            pose[:3, :3] = R_cw.T
-            pose[:3, 3] = -R_cw.T @ t_cw
+            pose[:3, :3] = R_wc
+            pose[:3, 3] = t_wc
             return pose, frame_track, n_inl
         return None
 

@@ -173,6 +173,18 @@ class NeuralExtractor:
         self._extract_nomask_fn = _extract_nomask
         self._extract_right_fn = _extract_right
         self._extract_right_nomask_fn = _extract_right_nomask
+        # Resolution buckets (super_point.cpp:55-61 parity — the TRT
+        # engine takes any 100^2-1500^2 H x W in one engine; XLA compiles
+        # per shape, so inputs are edge-padded to a small ladder of
+        # bucket shapes and each bucket compiles ONCE). Bucket programs
+        # are built lazily per (bucket, side) with the rectify map
+        # extended by identity coordinates over the pad region.
+        self._buckets = None
+        if sp_cfg.resolution_buckets:
+            self._buckets = sorted((int(h), int(w)) for h, w in sp_cfg.resolution_buckets)
+        self._bucket_progs = {}
+        self._extract_impl = _extract_impl
+        self._undistort_maps = {False: undistort_map, True: undistort_map_right}
         self._match_fn = partial(jax.jit, static_argnames=("outlier_rejection",))(_match_impl)
         # Traceable (un-jitted) matcher for callers that fuse matching
         # into a larger device program (the tracker's fused frame step):
@@ -194,9 +206,60 @@ class NeuralExtractor:
                     sp_params, image_u8, rect_map=undistort_map_right))
         self._key = jax.random.PRNGKey(cfg.runtime.seed + 1)
 
+    def _bucket_program(self, bh: int, bw: int, right: bool):
+        key = (bh, bw, right)
+        prog = self._bucket_progs.get(key)
+        if prog is None:
+            base = self._undistort_maps[right]
+            if base is not None:
+                m = np.asarray(base)
+                H0, W0 = m.shape[:2]
+                # identity (x, y) source coords over the pad region; the
+                # calibrated map covers its top-left crop (bucketed
+                # inputs are top-left crops of the calibrated sensor, so
+                # absolute source coordinates stay valid)
+                mp = np.stack(
+                    np.meshgrid(np.arange(bw, dtype=np.float32),
+                                np.arange(bh, dtype=np.float32)), -1)
+                mp[: min(H0, bh), : min(W0, bw)] = m[:bh, :bw]
+                rect = jnp.asarray(mp)
+            else:
+                rect = None
+            impl = self._extract_impl
+            prog = jax.jit(lambda sp, img, msk: impl(sp, img, msk, rect_map=rect))
+            self._bucket_progs[key] = prog
+        return prog
+
+    def _extract_bucketed(self, image: np.ndarray, mask, right: bool) -> FeatureBank:
+        """Pad-to-bucket path: edge-pad bottom/right to the smallest
+        bucket that fits, mask the pad region (plus the true bottom/right
+        border margin, reproducing remove_borders at the TRUE edges) out
+        of keypoint selection, and run that bucket's one compiled
+        program. Keypoint coordinates are unchanged by the padding."""
+        image = np.asarray(image)
+        h, w = image.shape[:2]
+        bucket = next(((bh, bw) for bh, bw in self._buckets if bh >= h and bw >= w), None)
+        if bucket is None:
+            raise ValueError(
+                f"input {h}x{w} exceeds every resolution bucket {self._buckets}")
+        bh, bw = bucket
+        img = np.pad(image, ((0, bh - h), (0, bw - w)), mode="edge") if (h, w) != (bh, bw) else image
+        b = self.cfg.superpoint.remove_borders
+        m = np.ones((bh, bw), np.uint8)
+        if mask is not None:
+            m[:h, :w] = (np.asarray(mask) != 0)[:h, :w]
+        if h < bh:
+            m[max(h - b, 0):, :] = 0
+        if w < bw:
+            m[:, max(w - b, 0):] = 0
+        prog = self._bucket_program(bh, bw, right)
+        return prog(self.sp_params, jnp.asarray(img), jnp.asarray(m))
+
     def extract(self, image: np.ndarray, mask: Optional[np.ndarray] = None, right: bool = False) -> FeatureBank:
         """``right=True`` rectifies with the right-camera map when the
         calibration ships one (parity with ``camera.cc:117-127``)."""
+        if self._buckets is not None:
+            return self._extract_bucketed(image, mask, right)
         if right:
             if mask is not None:
                 return self._extract_right_fn(self.sp_params, jnp.asarray(image), jnp.asarray(mask))

@@ -394,20 +394,29 @@ class Tracker:
                 K = cfg.superpoint.capacity
 
                 @jax.jit
-                def _chunk(sp_params, sg_params, key, ref_bank, snap, pose_pack, passed0, n_valid, images,
+                def _chunk(sp_params, sg_params, key, ref_bank, scal, images,
                            images_right=None):
-                    """``snap``: the (K, 6) fused_snapshot (col 5 is
-                    overwritten per frame with the carried last pose);
-                    ``pose_pack``: (24,) [R_last_cw(9) t_last_cw(3)
-                    kf_R_wc(9) kf_t_wc(3)]; ``images``: (C, H, W) u8;
-                    ``n_valid``: leading real frames (tail = padding).
-                    Returns (next_key, outs (C, 15+K), banks stacked);
-                    rows the loop never reached have num_match = -1.
-                    The stereo variant also extracts ``images_right``,
-                    folds the left-right match + disparity gate into the
-                    loop (frame.cc:95-126, as in _fused_impl), and
-                    appends the gated u_right column per row
-                    (outs (C, 15+2K))."""
+                    """``scal``: ONE packed (6K+26,) f32 upload —
+                    [fused_snapshot (K,6) raveled | pose_pack(24):
+                    R_last_cw(9) t_last_cw(3) kf_R_wc(9) kf_t_wc(3) |
+                    passed0 | n_valid] (round 4: the four separate small
+                    uploads each cost a relay round trip; one array is
+                    one). ``images``: (C, H, W) u8; n_valid = leading
+                    real frames (tail = padding). Returns (next_key,
+                    flat readback, banks stacked): the flat readback is
+                    [outs (C, 15+K or 15+2K) raveled | the CUT row's
+                    packed bank (kpts, valid, desc, scores — what
+                    _insert_keyframe materializes)], so a keyframe cut
+                    costs no second transfer. Rows the loop never
+                    reached have num_match = -1. The stereo variant also
+                    extracts ``images_right``, folds the left-right
+                    match + disparity gate into the loop (frame.cc:
+                    95-126, as in _fused_impl), and appends the gated
+                    u_right column per row."""
+                    snap = scal[: 6 * K].reshape(K, 6)
+                    pose_pack = scal[6 * K : 6 * K + 24]
+                    passed0 = scal[6 * K + 24]
+                    n_valid = scal[6 * K + 25].astype(jnp.int32)
                     H, W = images.shape[1], images.shape[2]
                     bank0 = ext_traceable(sp_params, jnp.zeros((H, W), images.dtype))
                     banks0 = jax.tree.map(
@@ -501,7 +510,19 @@ class Tracker:
                     state = (key, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
                              R_last0, t_last0, outs0, banks0)
                     key, i, stop, _R, _t, outs, banks = jax.lax.while_loop(cond, body, state)
-                    return key, outs, banks
+                    # cut row's bank, packed exactly like _bank_pack —
+                    # rides the one readback so a keyframe cut needs no
+                    # separate _materialize_bank transfer
+                    cut = jnp.maximum(i - 1, 0)
+                    bank_cut = jax.tree.map(
+                        lambda a: jax.lax.dynamic_index_in_dim(a, cut, keepdims=False), banks)
+                    cut_pack = jnp.concatenate([
+                        bank_cut.kpts.reshape(-1).astype(jnp.float32),
+                        bank_cut.valid.astype(jnp.float32),
+                        bank_cut.desc.reshape(-1).astype(jnp.float32),
+                        bank_cut.scores.astype(jnp.float32),
+                    ])
+                    return key, jnp.concatenate([outs.reshape(-1), cut_pack]), banks
 
                 return _chunk
 
@@ -735,25 +756,36 @@ class Tracker:
         R_last_cw = self._last_pose[:3, :3].T
         t_last_cw = -R_last_cw @ self._last_pose[:3, 3]
         kfp = self._last_keyframe_pose
-        pose_pack = np.concatenate([
+        K = self.cfg.superpoint.capacity
+        # one packed upload for everything scalar-sized (each separate
+        # jnp.asarray is a relay round trip)
+        scal = np.concatenate([
+            snap6.reshape(-1).astype(np.float32),
             R_last_cw.reshape(-1).astype(np.float32), t_last_cw.astype(np.float32),
             kfp[:3, :3].reshape(-1).astype(np.float32), kfp[:3, 3].astype(np.float32),
+            np.asarray([self._frame_counter - self._last_keyframe_frame_id,
+                        n_valid], np.float32),
         ])
-        passed0 = np.float32(self._frame_counter - self._last_keyframe_frame_id)
         ref_bank = _resolve_bank(self._ref_bank)
         with self.timer.span("track"):
             args = (
                 self.extractor.sp_params, self.extractor.sg_params, self._rng,
-                ref_bank, jnp.asarray(snap6), jnp.asarray(pose_pack),
-                jnp.asarray(passed0), jnp.asarray(np.int32(n_valid)),
-                jnp.asarray(images),
+                ref_bank, jnp.asarray(scal), jnp.asarray(images),
             )
             if stereo:
                 args = args + (jnp.asarray(images_right),)
-            self._rng, outs_d, banks = kern(*args)
-            outs = np.asarray(outs_d)  # ONE readback for the whole chunk
-
-        K = self.cfg.superpoint.capacity
+            self._rng, flat_d, banks = kern(*args)
+            flat = np.asarray(flat_d)  # ONE readback for the whole chunk
+        row_w = (15 + 2 * K) if stereo else (15 + K)
+        outs = flat[: C * row_w].reshape(C, row_w)
+        cut_pack = flat[C * row_w :]
+        D = (len(cut_pack) - 4 * K) // K
+        cut_mat = (
+            cut_pack[: 2 * K].reshape(K, 2).astype(np.float32),
+            cut_pack[2 * K : 3 * K] > 0.5,
+            cut_pack[3 * K : 3 * K + K * D].reshape(K, D).astype(np.float32),
+            cut_pack[3 * K + K * D :].astype(np.float32),
+        )
         min_match = self.cfg.keyframe.min_num_match
         results = []
         consumed = 0

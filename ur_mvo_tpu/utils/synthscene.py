@@ -158,26 +158,34 @@ def render_sequence(
     poses: Optional[np.ndarray] = None,
     baseline: float = 0.0,
     z_background: float = 6.0,
+    with_right_depth: bool = False,
 ) -> tuple:
     """Render a 3D-scene sequence.
 
     Returns ``(images, T_wc, depths)`` or, with ``baseline`` > 0,
-    ``(images, T_wc, depths, images_right)``. ``brightness_decay`` d
-    dims frame i by ``(1 - d)^i`` (photometric degradation)."""
+    ``(images, T_wc, depths, images_right)`` (plus ``depths_right`` when
+    ``with_right_depth`` — needed to occlusion-check left-right GT
+    correspondence for stereo matcher supervision). ``brightness_decay``
+    d dims frame i by ``(1 - d)^i`` (photometric degradation)."""
     scene = make_scene(seed, n_planes=n_planes, z_background=z_background)
     if poses is None:
         poses = default_trajectory(n_frames)
     images = np.zeros((n_frames, H, W), np.uint8)
     depths = np.zeros((n_frames, H, W), np.float32)
     images_r = np.zeros((n_frames, H, W), np.uint8) if baseline > 0 else None
+    depths_r = np.zeros((n_frames, H, W), np.float32) if (baseline > 0 and with_right_depth) else None
     for i in range(n_frames):
         b = (1.0 - brightness_decay) ** i
         images[i], depths[i] = render_view(scene, poses[i], fx, H, W, brightness=b)
         if baseline > 0:
             T_r = poses[i].copy()
             T_r[:3, 3] = T_r[:3, 3] + T_r[:3, :3] @ np.array([baseline, 0.0, 0.0])
-            images_r[i], _ = render_view(scene, T_r, fx, H, W, brightness=b)
+            images_r[i], d_r = render_view(scene, T_r, fx, H, W, brightness=b)
+            if depths_r is not None:
+                depths_r[i] = d_r
     if baseline > 0:
+        if with_right_depth:
+            return images, poses, depths, images_r, depths_r
         return images, poses, depths, images_r
     return images, poses, depths
 
