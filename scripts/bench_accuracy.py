@@ -59,10 +59,11 @@ SETUP_SCENES = {
 }
 
 
-def _production_cfg(matcher: str):
+def _production_cfg(matcher: str, sg_path: str = None):
     """The pure-default CLI configuration: v3 detector at the shipped
     SuperGlue checkpoint's embedded operating point (run_vo.py
-    discovery), with either that matcher or the mutual-NN fallback."""
+    discovery), with either that matcher or the mutual-NN fallback.
+    ``sg_path`` overrides the shipped checkpoint (candidate evaluation)."""
     from ur_mvo_tpu.config import Configs
     from ur_mvo_tpu.models.superglue import checkpoint_operating_point
 
@@ -70,7 +71,7 @@ def _production_cfg(matcher: str):
     cfg.superpoint.weights_path = os.path.join(REPO, "weights", "superpoint_scratch_v3.npz")
     cfg.superglue.image_width = W
     cfg.superglue.image_height = H
-    sg_path = os.path.join(REPO, "weights", "superglue_v3scene.npz")
+    sg_path = sg_path or os.path.join(REPO, "weights", "superglue_v3scene.npz")
     op = checkpoint_operating_point(sg_path) or {}
     cfg.superpoint.capacity = op.get("capacity", 1024)
     cfg.superpoint.max_keypoints = op.get("max_keypoints", 1000)
@@ -123,6 +124,8 @@ def main():
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--out", default=os.path.join(REPO, "ACCURACY.json"))
     ap.add_argument("--matchers", default="nn,sg")
+    ap.add_argument("--sg-path", default=None,
+                    help="evaluate a candidate SuperGlue checkpoint instead of the shipped one")
     ap.add_argument("--cells", default=None,
                     help="comma list like mono/plane,stereo/3d (default: all)")
     args = ap.parse_args()
@@ -156,7 +159,7 @@ def main():
             for m in matchers:
                 key = (setup, m)
                 if key not in engines:
-                    engines[key] = UR_MVO(_production_cfg(m), setups[setup], camera=cam)
+                    engines[key] = UR_MVO(_production_cfg(m, args.sg_path), setups[setup], camera=cam)
                 vo = engines[key]
                 ates = []
                 for s in range(args.seeds):

@@ -72,7 +72,13 @@ def test_chunked_matches_per_frame_path(scene):
     # cadence should agree closely (kept loose: host float round trips
     # through the packed readback differ at the ulp level)
     assert abs(kf1 - kf0) <= 3, (kf0, kf1)
-    assert ate0 < 0.5 and ate1 < 0.5, (ate0, ate1)
+    # tightened from the round-3 0.5 catch-all (verdict r3 item 6): the
+    # standing mono/3d mean is ~0.08-0.16 (ACCURACY.json); 0.35 bounds a
+    # genuine break while riding over single-run PnP-RNG spread
+    assert ate0 < 0.35 and ate1 < 0.35, (ate0, ate1)
+    # RNG-aligned A/B (same subkey stream since round 4): the two paths
+    # should land near each other, not merely both be sane
+    assert abs(ate1 - ate0) < 0.2, (ate0, ate1)
     # chunk replay feeds the same map lifecycle: growth beyond the init
     # set on both paths, comparable magnitude
     assert good1 > 0.5 * good0, (good0, good1)

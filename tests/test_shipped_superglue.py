@@ -120,14 +120,25 @@ def test_superglue_matches_beat_nn_on_3d_scene():
 @needs_ckpt
 @pytest.mark.slow
 def test_shipped_superglue_vo_at_least_nn():
-    """Engine roundtrip on the 3D benchmark scene: SuperGlue-matched VO
-    must produce a trajectory no worse than the NN-matched run (the
-    VERDICT's shipping criterion), and absolutely sane."""
+    """Engine roundtrip on the 3D benchmark family, 3-SEED MEANS
+    (verdict r3 item 6: single 24-frame runs swing 0.15-0.40 on PnP RNG
+    alone — a regression that doubled mono error could pass a single-run
+    0.45 catch-all): SuperGlue-matched VO must (a) initialize on every
+    seed, (b) mean-ATE no worse than the NN runs, and (c) mean-ATE
+    <= 0.25 (the standing ACCURACY.json mono means are 0.03-0.10 for the
+    shipped matcher; 0.25 is ~1.5-2x the hardest cell's mean)."""
     from ur_mvo_tpu.utils.synthscene import render_sequence
 
-    images, T_wc, _ = render_sequence(24, H, W, FX, seed=5, n_planes=3, brightness_decay=0.02)
-    ate_nn = _run(images, T_wc, "nn")
-    ate_sg = _run(images, T_wc, "superglue")
-    assert ate_sg is not None, "SuperGlue-matched VO failed to initialize"
-    assert ate_nn is None or ate_sg <= ate_nn * 1.15, (ate_sg, ate_nn)
-    assert ate_sg < 0.45, ate_sg
+    ates = {"nn": [], "superglue": []}
+    for seed in (5, 6, 7):
+        images, T_wc, _ = render_sequence(24, H, W, FX, seed=seed, n_planes=3,
+                                          brightness_decay=0.02)
+        for m in ates:
+            a = _run(images, T_wc, m)
+            if m == "superglue":
+                assert a is not None, f"SuperGlue VO failed to initialize (seed {seed})"
+            ates[m].append(a)
+    sg = float(np.mean(ates["superglue"]))
+    nn_ok = [a for a in ates["nn"] if a is not None]
+    assert sg < 0.25, ates
+    assert not nn_ok or sg <= float(np.mean(nn_ok)) * 1.15, ates
