@@ -162,13 +162,28 @@ def _stage_cost(fn, args, loop_mult: float = 1.0) -> tuple:
     try:
         import jax
 
-        c = jax.jit(fn).lower(*args).cost_analysis()
-        if isinstance(c, (list, tuple)):
-            c = c[0]
-        return (
-            float(c.get("flops", 0.0) or 0.0) * loop_mult,
-            float(c.get("bytes accessed", 0.0) or 0.0) * loop_mult,
-        )
+        def pick(c):
+            if isinstance(c, (list, tuple)):
+                c = c[0]
+            return (
+                float((c or {}).get("flops", 0.0) or 0.0),
+                float((c or {}).get("bytes accessed", 0.0) or 0.0),
+            )
+
+        low = jax.jit(fn).lower(*args)
+        flops, byts = 0.0, 0.0
+        try:
+            flops, byts = pick(low.cost_analysis())
+        except Exception:
+            pass
+        if flops == 0.0:
+            # the TPU backend's pre-compile lowering reports no cost
+            # model (measured: empty on the axon plugin; CPU fills it) —
+            # compile the pallas-off twin and read the compiled cost
+            # analysis instead. One-time: the persistent XLA cache keeps
+            # the twins across bench runs.
+            flops, byts = pick(low.compile().cost_analysis())
+        return flops * loop_mult, byts * loop_mult
     except Exception:
         return 0.0, 0.0
     finally:

@@ -232,7 +232,10 @@ class Backend:
         desc_b = np.zeros((K, st.cfg.descriptor_dim), np.float32)
         valid_b = np.zeros(K, bool)
         desc_b[: len(ids)] = st.mp_desc[ids].astype(np.float32)
-        valid_b[: len(ids)] = True
+        # zero-norm rows are points with no representative descriptor
+        # yet — they must not enter the match (they drag the centering
+        # mean and can win argmax as a degenerate hub)
+        valid_b[: len(ids)] = np.linalg.norm(desc_b[: len(ids)], axis=1) > 0.5
         bank_b = FeatureBank(
             scores=jnp.asarray(valid_b.astype(np.float32)),
             kpts=jnp.zeros((K, 2), jnp.float32),

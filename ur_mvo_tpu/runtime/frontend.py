@@ -259,6 +259,39 @@ class Tracker:
             )
 
         self._init_kernel = _init_kernel
+        # Fused mono-init attempt (neural path): match + two-view
+        # epipolar init as ONE program with ONE packed readback —
+        # [success, R21(9), t21(3), idx1(K), mvalid(K), tri(K), X(3K)].
+        # The unfused attempt paid ~7 transfers (match idx/valid, the
+        # result fields) PER RETRY FRAME until init succeeded; through
+        # the dev relay each is a ~24 ms round trip.
+        self._fused_init = None
+        if hasattr(extractor, "match_traceable"):
+            _match_for_init = extractor.match_traceable
+
+            @jax.jit
+            def _fused_init(sg_params, key, b0, b1):
+                k_m, k_i = jax.random.split(key)
+                m = _match_for_init(sg_params, k_m, b0, b1, True)
+                p1 = b0.kpts
+                p2 = b1.kpts[jnp.maximum(m.idx1, 0)]
+                res = two_view_init(
+                    k_i, p1, p2, m.valid, self.K_mat,
+                    iterations=init_cfg.ransac_iterations,
+                    sigma=init_cfg.sigma,
+                    min_triangulated=50,
+                    min_parallax_deg=init_cfg.min_parallax_deg,
+                )
+                return jnp.concatenate([
+                    res.success.astype(jnp.float32)[None],
+                    res.R21.reshape(-1), res.t21,
+                    m.idx1.astype(jnp.float32),
+                    m.valid.astype(jnp.float32),
+                    res.triangulated.astype(jnp.float32),
+                    res.points3d.reshape(-1),
+                ])
+
+            self._fused_init = _fused_init
 
         lmt = cfg.local_map_tracking
 
@@ -814,9 +847,12 @@ class Tracker:
             if is_kf:
                 bank_j = _LazyBankSlice(banks, j).resolve()
                 dl = depth_lookups[j] if depth_lookups is not None else None
+                # the kernel packed THIS row's bank into the chunk
+                # readback (the loop cuts at the keyframe row, so the
+                # cut pack is row j's) — no second materialize transfer
                 pose_out = self._insert_keyframe(
                     bank_j, None, pose, frame_track, ts, fid, dl, set_ref=True,
-                    u_right=u_right)
+                    u_right=u_right, materialized=cut_mat)
             final_pose = pose_out if pose_out is not None else pose
             self._publish_tracked(final_pose, ts, pose_out is not None)
             self._after_track(_LazyBankSlice(banks, j), final_pose, ts, fid,
@@ -918,29 +954,53 @@ class Tracker:
             self._init_frame_id = frame_id
             return None
 
-        matches = precomputed_match if precomputed_match is not None else self.extractor.match(self._init_bank, bank)
-        # build padded match-pair arrays
-        idx1 = np.asarray(matches.idx1)
-        valid = np.asarray(matches.valid)
-        K = idx1.shape[0]
-        p1 = np.asarray(self._init_bank.kpts)
-        kpts1 = np.asarray(bank.kpts)
-        p2 = kpts1[np.maximum(idx1, 0)]
-        res = self._init_kernel(self._next_key(), jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(valid))
-        n_tri = int(res.triangulated.sum())
-        if not bool(res.success) or n_tri < self.cfg.initializer.min_matches:
-            return None
+        if precomputed_match is None and self._fused_init is not None:
+            # ONE dispatch + ONE packed readback per init attempt
+            K = bank.capacity
+            flat = np.asarray(self._fused_init(
+                self.extractor.sg_params, self._next_key(), self._init_bank, bank))
+            success = flat[0] > 0.5
+            R21 = flat[1:10].reshape(3, 3)
+            t21 = flat[10:13]
+            idx1 = flat[13 : 13 + K].astype(np.int32)
+            tri = flat[13 + 2 * K : 13 + 3 * K] > 0.5
+            X = flat[13 + 3 * K :].reshape(K, 3)
+            # bank keypoints ride the packed bank materialization below
+            # only on success; until then nothing else crosses the link
+            n_tri = int(tri.sum())
+            if not success or n_tri < self.cfg.initializer.min_matches:
+                return None
+            kpts0, valid0, desc0, scores0 = self._materialize_bank(self._init_bank)
+            kpts1, valid1b, desc1, scores1 = self._materialize_bank(bank)
+            p1 = kpts0
+        else:
+            matches = precomputed_match if precomputed_match is not None else self.extractor.match(self._init_bank, bank)
+            # build padded match-pair arrays
+            idx1 = np.asarray(matches.idx1)
+            valid = np.asarray(matches.valid)
+            K = idx1.shape[0]
+            p1 = np.asarray(self._init_bank.kpts)
+            kpts1 = np.asarray(bank.kpts)
+            p2 = kpts1[np.maximum(idx1, 0)]
+            res = self._init_kernel(self._next_key(), jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(valid))
+            n_tri = int(res.triangulated.sum())
+            if not bool(res.success) or n_tri < self.cfg.initializer.min_matches:
+                return None
+            X = np.asarray(res.points3d)
+            tri = np.asarray(res.triangulated)
+            R21 = np.asarray(res.R21)
+            t21 = np.asarray(res.t21)
+            kpts0, valid0 = p1, np.asarray(self._init_bank.valid)
+            desc0, scores0 = np.asarray(self._init_bank.desc), np.asarray(self._init_bank.scores)
+            valid1b = np.asarray(bank.valid)
+            desc1, scores1 = np.asarray(bank.desc), np.asarray(bank.scores)
 
         # scale = 4.0 / median depth (tracking.cc:578-588)
-        X = np.asarray(res.points3d)
-        tri = np.asarray(res.triangulated)
         depths = np.sort(X[tri][:, 2])
         med = depths[(len(depths) - 1) // 2]
         scale = float(self.cfg.initializer.median_depth_scale) / max(med, 1e-6)
         Xw = X * scale  # world == first camera frame
-
-        R21 = np.asarray(res.R21)
-        t21 = np.asarray(res.t21) * scale
+        t21 = t21 * scale
         # T_wc2 = inv(T21) since world == cam1
         R_wc2 = R21.T
         t_wc2 = -R21.T @ t21
@@ -955,10 +1015,8 @@ class Tracker:
         # observed keypoints and cost inlier observations on the neural
         # path (identity-matched oracle tests could not see it).
         uvr1 = np.concatenate([p1, -np.ones((K, 1), np.float32)], axis=1)
-        valid1 = np.asarray(self._init_bank.valid)
-        slot0 = st.alloc_keyframe(self._init_frame_id, self._init_time, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), uvr1, valid1,
-                                  desc=np.asarray(self._init_bank.desc),
-                                  scores=np.asarray(self._init_bank.scores))
+        slot0 = st.alloc_keyframe(self._init_frame_id, self._init_time, np.eye(3, dtype=np.float32), np.zeros(3, np.float32), uvr1, valid0,
+                                  desc=desc0, scores=scores0)
         mp_ids = st.alloc_mappoints(int(tri.sum()))
         st.mp_pos[mp_ids] = Xw[tri]
         st.mp_good[mp_ids] = True
@@ -968,12 +1026,18 @@ class Tracker:
         # second keyframe
         uvr2 = np.concatenate([kpts1, -np.ones((K, 1), np.float32)], axis=1)
         slot1 = st.alloc_keyframe(frame_id, timestamp, R_wc2.astype(np.float32), t_wc2.astype(np.float32), uvr2,
-                                  np.asarray(bank.valid), desc=np.asarray(bank.desc),
-                                  scores=np.asarray(bank.scores))
+                                  valid1b, desc=desc1, scores=scores1)
         # observed feature slots in frame2 are idx1 of the matched slots
         feat2 = idx1[np.nonzero(tri)[0]]
         st.add_observations(slot1, mp_ids, feat2)
         st.snapshot_keyframe_geometry(slot1)
+        # representative descriptors for the init-born mappoints
+        # (mapping.cc:207-258 runs on every insertion; this path builds
+        # the two init keyframes directly on the store and used to skip
+        # it — init points never re-observed then kept ZERO descriptors,
+        # which poisoned loop/relocalization retrieval-verification on
+        # the neural path: 85/86 candidate rows zero-norm, 1 NN match)
+        st.update_descriptors(mp_ids)
 
         # frame track table for the new frame
         frame_track = np.full(K, -1, np.int32)
@@ -1023,6 +1087,9 @@ class Tracker:
         st.mp_good[mp_ids] = True
         st.add_observations(slot, mp_ids, np.nonzero(good)[0])
         st.snapshot_keyframe_geometry(slot)
+        # same init-descriptor fix as _try_initialize (zero mp_desc rows
+        # poisoned loop/reloc verification for init-only points)
+        st.update_descriptors(mp_ids)
 
         frame_track = np.full(K, -1, np.int32)
         frame_track[np.nonzero(good)[0]] = mp_ids
