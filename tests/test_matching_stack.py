@@ -219,3 +219,75 @@ def test_auto_matcher_resolution():
     cfg2.superglue.matcher = "superglue"
     ex2 = NeuralExtractor(cfg2, cam)
     assert ex2._matcher == "superglue"
+
+
+def test_decode_ambiguity_margin():
+    """The margin gate rejects matches whose row or column runner-up
+    sits within ``margin`` nats of the best — the ratio-test analog for
+    texture-aliased confident Sinkhorn assignments (round-4 metric-ATE
+    failure mode)."""
+    K = 8
+    v = jnp.arange(K) < 6
+    Z = jnp.full((K + 1, K + 1), -30.0)
+    # slot 0: unambiguous strong match to 1 (runner-up 25 nats away)
+    Z = Z.at[0, 1].set(0.0)
+    # slot 2: confident best to 3 but a near-tied ROW runner-up at 4
+    Z = Z.at[2, 3].set(0.0)
+    Z = Z.at[2, 4].set(-0.2)
+    # slot 4 -> 5 confident, but COLUMN 5 also wanted by slot 5 (near tie)
+    Z = Z.at[4, 5].set(0.0)
+    Z = Z.at[5, 5].set(-0.2)
+
+    m0 = decode_assignment(Z, v, v, threshold=0.5, margin=0.0)
+    assert bool(m0.valid[0]) and bool(m0.valid[2]) and bool(m0.valid[4])
+
+    m1 = decode_assignment(Z, v, v, threshold=0.5, margin=0.5)
+    assert bool(m1.valid[0])          # peaked both ways: kept
+    assert not bool(m1.valid[2])      # row-ambiguous: rejected
+    assert not bool(m1.valid[4])      # column-contested: rejected
+    assert int(m1.num_valid()) == 1
+
+
+def test_nn_fallback_min_matches():
+    """When the SuperGlue decode leaves too few matches, the extractor's
+    match program substitutes mutual-NN matches in the same dispatch
+    (min-match floor — init/dropout rescue)."""
+    from ur_mvo_tpu.camera import make_pinhole
+    from ur_mvo_tpu.config import Configs
+    from ur_mvo_tpu.runtime.extractor import NeuralExtractor
+
+    cam = make_pinhole(160, 128, 120.0, 120.0, 80.0, 64.0)
+    cfg = Configs()
+    cfg.superpoint.capacity = 128
+    cfg.superglue.image_width, cfg.superglue.image_height = 160, 128
+    cfg.superglue.matcher = "superglue"  # random init -> garbage scores
+    cfg.superglue.matching_threshold = 0.99  # decode leaves ~nothing
+    cfg.superglue.nn_fallback_min_matches = 10
+    cfg.superglue.nn_min_similarity = 0.9
+    ex = NeuralExtractor(cfg, cam)
+
+    key = jax.random.PRNGKey(3)
+    b0 = make_bank(key, 40, capacity=128, w=160, h=128)
+    # bank1 = same descriptors (cos=1 self-pairs) at shifted positions
+    b1 = FeatureBank(
+        scores=b0.scores,
+        kpts=b0.kpts + 1.5,
+        desc=b0.desc,
+        valid=b0.valid,
+    )
+    m = ex.match(b0, b1, outlier_rejection=False)
+    idx = np.asarray(m.idx1)
+    valid = np.asarray(m.valid)
+    # NN fallback fired: identity self-matches on the valid slots
+    assert valid.sum() >= 30
+    assert (idx[valid] == np.nonzero(valid)[0]).mean() > 0.9
+
+    # floor disabled -> the over-thresholded SG decode yields ~nothing
+    cfg2 = Configs()
+    cfg2.superpoint.capacity = 128
+    cfg2.superglue.image_width, cfg2.superglue.image_height = 160, 128
+    cfg2.superglue.matcher = "superglue"
+    cfg2.superglue.matching_threshold = 0.99
+    ex2 = NeuralExtractor(cfg2, cam)
+    m2 = ex2.match(b0, b1, outlier_rejection=False)
+    assert int(np.asarray(m2.valid).sum()) < 10

@@ -87,6 +87,19 @@ class SuperGlueConfig:
     # spaces; +0.10 recall with the shipped v3 detector). Thresholds
     # above apply to the CENTERED cosines when enabled.
     nn_center: bool = False
+    # Ambiguity gate on the Sinkhorn decode (ops/matching.py
+    # decode_assignment): keep a match only when its log-score beats the
+    # row AND column runner-up by this many nats — the ratio-test analog
+    # that rejects texture-aliased confident assignments (the round-4
+    # metric-ATE failure mode). 0 = off (reference decode).
+    match_margin: float = 0.0
+    # Min-match floor with mutual-NN fallback: when the SuperGlue decode
+    # yields fewer than this many matches for a pair, the SAME device
+    # program substitutes mutual-NN matches (one extra (K,K) einsum —
+    # trivial next to the GNN). Rescues init attempts and mid-sequence
+    # dropouts where the learned matcher leaves too little above its
+    # confidence threshold (the checkpoint operating-point cliff). 0 = off.
+    nn_fallback_min_matches: int = 0
     sinkhorn_iterations: int = 20
     num_layers: int = 9
     num_heads: int = 4

@@ -38,11 +38,22 @@ def decode_assignment(
     valid0: jax.Array,
     valid1: jax.Array,
     threshold: float = 0.5,
+    margin: float = 0.0,
 ) -> Matches:
     """(K0+1, K1+1) log-assignment matrix -> mutual-max matches.
 
     Mirrors the reference decode: argmax over the non-dustbin block both
     ways, mutual check, probability threshold.
+
+    ``margin`` > 0 adds an AMBIGUITY gate — the Sinkhorn analog of the
+    NN matcher's Lowe ratio test (which is what saves mutual-NN from
+    texture aliasing on repetitive scenes, the round-4 metric-ATE
+    diagnosis): a match is kept only when the best log-score beats the
+    runner-up in BOTH its row and its column by ``margin`` nats. On
+    repeated texture the assignment spreads mass over the repeats (or
+    confidently picks one while the runner-up sits close); a non-peaked
+    row/column is exactly the "two plausible partners" signature that
+    the probability threshold alone cannot see.
     """
     K0 = valid0.shape[0]
     K1 = valid1.shape[0]
@@ -57,6 +68,18 @@ def decode_assignment(
     mutual = best0[best1] == slot_ids
     score = jnp.where(mutual, jnp.exp(row_max), 0.0)
     valid = mutual & (score > threshold) & valid0 & (row_max > -jnp.inf)
+    if margin > 0.0:
+        # second-best along each axis with the argmax knocked out
+        S_r = S.at[jnp.arange(K0), best1].set(-jnp.inf)
+        second_row = jnp.max(S_r, axis=1)
+        S_c = S.at[best0, jnp.arange(K1)].set(-jnp.inf)
+        second_col = jnp.max(S_c, axis=0)
+        col_max = jnp.max(S, axis=0)
+        row_ok = jnp.where(jnp.isfinite(second_row), row_max - second_row >= margin, True)
+        col_peaked = jnp.where(jnp.isfinite(second_col), col_max - second_col >= margin, True)
+        col_ok = col_peaked[best1]
+        valid = valid & row_ok & col_ok
+        score = jnp.where(valid, score, 0.0)
     return Matches(
         idx1=jnp.where(valid, best1, -1).astype(jnp.int32),
         score=score.astype(jnp.float32),

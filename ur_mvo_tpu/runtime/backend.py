@@ -273,9 +273,12 @@ class Backend:
         keyframes as extra fixed views to restore the parallax baseline
         that triangulated the points in the first place.
 
-        Reuses the compiled windowed-BA program (``self._ba``) at its
-        padded shapes — no new compile, one extra BA solve per accepted
-        edge. ``poses_wc``: list of (R_wc, t_wc); ``fixed``: per-frame
+        Runs on the DEDICATED full-schedule refinement program built by
+        ``_build_loop_kernels`` (``self._loop_refine_ba``: tol=0, exact
+        10+5 LM schedule — the window program's early-exit budget made
+        refinement a no-op). Distinct program = one extra compile the
+        first time a loop/reloc edge is verified (minutes over the dev
+        relay, cached after). ``poses_wc``: list of (R_wc, t_wc); ``fixed``: per-frame
         bool (the query at ``free_idx`` is the one free frame); ``obs``:
         parallel arrays ``(obs_frame, obs_point, obs_uvr)`` where row k
         is frame ``obs_frame[k]`` observing point ``obs_point[k]`` at
@@ -287,6 +290,19 @@ class Backend:
         n_p = min(len(X0), P)
         keep = (obs_point < n_p)
         obs_frame, obs_point, obs_uvr = obs_frame[keep], obs_point[keep], obs_uvr[keep]
+        if len(obs_frame) > O:
+            # Round-robin interleave rows by within-view rank before the
+            # O-row cap so truncation thins EVERY view evenly instead of
+            # dropping whole trailing covis views (which exist to restore
+            # the parallax baseline — losing them silently re-creates the
+            # single-view-PnP bias this refinement fixes).
+            rank = np.empty(len(obs_frame), np.int64)
+            for f in np.unique(obs_frame):
+                rows = np.nonzero(obs_frame == f)[0]
+                rank[rows] = np.arange(len(rows))
+            order = np.argsort(rank, kind="stable")
+            obs_frame, obs_point, obs_uvr = (
+                obs_frame[order], obs_point[order], obs_uvr[order])
         n_o = min(len(obs_frame), O)
         if n_f > F:
             return None
@@ -582,6 +598,8 @@ class Backend:
             )
             if ref is not None and ref[2] >= cfg.loop_min_inliers:
                 R_wc, t_wc = ref[0], ref[1]
+                # report the inlier count of the pose actually adopted
+                n_inl = int(ref[2])
             pose = np.eye(4, dtype=np.float32)
             pose[:3, :3] = R_wc
             pose[:3, 3] = t_wc

@@ -140,9 +140,9 @@ class NeuralExtractor:
         self.match_threshold = match_threshold = superglue.resolve_matching_threshold(sg_cfg)
 
         def _match_impl(sg_params, key, bank0: FeatureBank, bank1: FeatureBank, outlier_rejection: bool = True) -> Matches:
-            if matcher == "nn":
-                from ur_mvo_tpu.ops.nn_matcher import match_nn
+            from ur_mvo_tpu.ops.nn_matcher import match_nn
 
+            if matcher == "nn":
                 m = match_nn(bank0, bank1, sg_cfg.nn_min_similarity, sg_cfg.nn_ratio,
                              center=sg_cfg.nn_center)
             else:
@@ -158,7 +158,22 @@ class NeuralExtractor:
                     use_pallas_sinkhorn=use_pallas_sink,
                     use_pallas_attention=use_pallas_attn,
                 )
-                m = decode_assignment(Z, bank0.valid, bank1.valid, match_threshold)
+                m = decode_assignment(Z, bank0.valid, bank1.valid, match_threshold,
+                                      margin=sg_cfg.match_margin)
+                if sg_cfg.nn_fallback_min_matches > 0:
+                    # min-match floor: too few confident SG matches ->
+                    # substitute mutual-NN in the SAME program (rescues
+                    # init retries and mid-sequence dropout frames; the
+                    # reference's recovery ladder never hard-fails a
+                    # sequence, tracking.cc:254-276, 500-513)
+                    m_nn = match_nn(bank0, bank1, sg_cfg.nn_min_similarity,
+                                    sg_cfg.nn_ratio, center=sg_cfg.nn_center)
+                    use_nn = m.num_valid() < sg_cfg.nn_fallback_min_matches
+                    m = Matches(
+                        idx1=jnp.where(use_nn, m_nn.idx1, m.idx1),
+                        score=jnp.where(use_nn, m_nn.score, m.score),
+                        valid=jnp.where(use_nn, m_nn.valid, m.valid),
+                    )
             if outlier_rejection:
                 p0, p1, valid = gather_match_points(m, bank0.kpts, bank1.kpts)
                 res = ransac_fundamental(key, p0, p1, valid, iterations=200, sigma=1.0)
@@ -238,11 +253,14 @@ class NeuralExtractor:
         program. Keypoint coordinates are unchanged by the padding."""
         image = np.asarray(image)
         h, w = image.shape[:2]
-        bucket = next(((bh, bw) for bh, bw in self._buckets if bh >= h and bw >= w), None)
-        if bucket is None:
+        # smallest-AREA fitting bucket, not first in (h, w) sort order —
+        # with a mixed-aspect ladder the lexicographic first fit can be a
+        # far larger bucket than necessary
+        fits = [(bh * bw, bh, bw) for bh, bw in self._buckets if bh >= h and bw >= w]
+        if not fits:
             raise ValueError(
                 f"input {h}x{w} exceeds every resolution bucket {self._buckets}")
-        bh, bw = bucket
+        _, bh, bw = min(fits)
         img = np.pad(image, ((0, bh - h), (0, bw - w)), mode="edge") if (h, w) != (bh, bw) else image
         b = self.cfg.superpoint.remove_borders
         m = np.ones((bh, bw), np.uint8)

@@ -753,12 +753,17 @@ class Tracker:
     def chunk_available(self) -> bool:
         # local-map tracking is a host-side refinement stage the chunk
         # kernel does not contain — chunking with it enabled would
-        # silently drop the refinement, so fall back to per-frame
+        # silently drop the refinement, so fall back to per-frame.
+        # Resolution buckets likewise: the chunk kernel extracts
+        # in-program with the base rectify map and no pad masking, so
+        # bucketed (variable-size) inputs must take the per-frame
+        # bucketed extract path.
         return (
             self._chunk_builder is not None
             and self._initialized
             and self._ref_bank is not None
             and not self.cfg.local_map_tracking.enabled
+            and getattr(self.extractor, "_buckets", None) is None
         )
 
     def process_chunk(self, images, timestamps, depth_lookups=None, n_valid=None,
