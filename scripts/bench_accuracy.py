@@ -59,11 +59,15 @@ SETUP_SCENES = {
 }
 
 
-def _production_cfg(matcher: str, sg_path: str = None):
+def _production_cfg(matcher: str, sg_path: str = None, margin: float = None,
+                    nn_floor: int = None, W: int = W, H: int = H,
+                    long_run: bool = False):
     """The pure-default CLI configuration: v3 detector at the shipped
     SuperGlue checkpoint's embedded operating point (run_vo.py
     discovery), with either that matcher or the mutual-NN fallback.
-    ``sg_path`` overrides the shipped checkpoint (candidate evaluation)."""
+    ``sg_path`` overrides the shipped checkpoint (candidate evaluation);
+    ``margin``/``nn_floor`` override the decode ambiguity gate and
+    NN-fallback floor (None = production defaults)."""
     from ur_mvo_tpu.config import Configs
     from ur_mvo_tpu.models.superglue import checkpoint_operating_point
 
@@ -78,10 +82,27 @@ def _production_cfg(matcher: str, sg_path: str = None):
     cfg.superpoint.keypoint_threshold = op.get("keypoint_threshold", 1e-4)
     cfg.initializer.min_matches = op.get("min_matches", 60)
     cfg.initializer.min_features_first = op.get("min_features_first", 100)
-    if matcher == "sg":
+    if matcher in ("sg", "hybrid"):
         cfg.superglue.weights_path = sg_path
+        if matcher == "hybrid":
+            cfg.superglue.matcher = "hybrid"
+        if margin is not None:
+            cfg.superglue.match_margin = margin
+        # production default (run_vo.py discovery): NN min-match floor
+        # + relocalization on — the recovery ladder that keeps a weak
+        # stretch from hard-failing a sequence
+        cfg.superglue.nn_fallback_min_matches = 40 if nn_floor is None else nn_floor
+        cfg.backend.relocalization = True
     else:
         cfg.superglue.matcher = "nn"
+    if long_run:
+        # long-sequence production config: map maintenance + recovery ON
+        # (culling keeps the store bounded over 100+ frames; loop closure
+        # and relocalization are the capabilities the long out-and-back
+        # protocol exists to exercise)
+        cfg.backend.enable_culling = True
+        cfg.backend.loop_closure = True
+        cfg.backend.relocalization = True
     return cfg
 
 
@@ -128,7 +149,21 @@ def main():
                     help="evaluate a candidate SuperGlue checkpoint instead of the shipped one")
     ap.add_argument("--cells", default=None,
                     help="comma list like mono/plane,stereo/3d (default: all)")
+    ap.add_argument("--margin", type=float, default=None,
+                    help="override superglue.match_margin (decode ambiguity gate)")
+    ap.add_argument("--nn-floor", type=int, default=None,
+                    help="override superglue.nn_fallback_min_matches")
+    ap.add_argument("--long", action="store_true",
+                    help="long-sequence protocol: 120-frame out-and-back "
+                         "(loop-bearing) mono+rgbd cells at 480x640 with "
+                         "culling/loop-closure/relocalization on; merges "
+                         "into an existing ACCURACY.json")
     args = ap.parse_args()
+    global H, W, FX
+    if args.long:
+        H, W, FX = 480, 640, 520.0
+        if args.frames == 24:
+            args.frames = 120
 
     import jax
 
@@ -146,31 +181,51 @@ def main():
     wanted = set(args.cells.split(",")) if args.cells else None
     setups = {"mono": SensorSetup.MONO, "stereo": SensorSetup.STEREO, "rgbd": SensorSetup.RGBD}
 
+    setup_scenes = SETUP_SCENES
+    poses_long = None
+    if args.long:
+        from ur_mvo_tpu.utils.synthscene import out_and_back_trajectory
+
+        setup_scenes = {"mono": ("long",), "rgbd": ("long",)}
+        SCENES["long"] = dict(n_planes=3, z_background=6.0, brightness_decay=0.0)
+        poses_long = out_and_back_trajectory(args.frames)
+
     results = {}
     engines = {}
     t_start = time.time()
-    for setup in SETUP_SCENES:
+    for setup in setup_scenes:
         cam = make_pinhole(W, H, FX, FX, W / 2, H / 2,
                            bf=FX * BASELINE_M if setup == "stereo" else 0.0)
-        for scene in SETUP_SCENES[setup]:
+        for scene in setup_scenes[setup]:
             cell = f"{setup}/{scene}"
             if wanted and cell not in wanted:
                 continue
             for m in matchers:
                 key = (setup, m)
                 if key not in engines:
-                    engines[key] = UR_MVO(_production_cfg(m, args.sg_path), setups[setup], camera=cam)
+                    engines[key] = UR_MVO(
+                        _production_cfg(m, args.sg_path, args.margin, args.nn_floor,
+                                        W=W, H=H, long_run=args.long),
+                        setups[setup], camera=cam)
                 vo = engines[key]
-                ates = []
+                ates, penalties = [], []
                 for s in range(args.seeds):
                     seed = 11 + s
                     out = render_sequence(
                         args.frames, H, W, FX, seed=seed,
                         baseline=BASELINE_M if setup == "stereo" else 0.0,
+                        poses=poses_long,
                         **SCENES[scene],
                     )
                     images, T_wc, depths = out[0], out[1], out[2]
                     images_r = out[3] if setup == "stereo" else None
+                    # a failed run scores as the GT trajectory extent —
+                    # the worst-case aligned error scale. A matcher that
+                    # fails 1/3 runs must not look better than one that
+                    # finishes 3/3 (round-4 verdict weak #2: means over
+                    # surviving runs silently forgave lost tracking).
+                    penalties.append(float(np.linalg.norm(
+                        T_wc[:, :3, 3].max(0) - T_wc[:, :3, 3].min(0))))
                     vo.reset()
                     ts, pos = _run_sequence(vo, images, images_r, depths, setup)
                     if len(ts) < 5:
@@ -183,26 +238,42 @@ def main():
                     ates.append(float(ate_rmse(pos, gt, align=True, correct_scale=scale_ok)))
                 arr = np.asarray(ates)
                 ok = np.isfinite(arr)
+                scored = np.where(ok, arr, np.asarray(penalties))
                 row = {
                     "runs": [round(a, 4) if np.isfinite(a) else None for a in ates],
-                    "mean": round(float(arr[ok].mean()), 4) if ok.any() else None,
-                    "spread": round(float(arr[ok].max() - arr[ok].min()), 4) if ok.any() else None,
+                    # headline mean: failures scored at penalty ATE
+                    "mean": round(float(scored.mean()), 4),
+                    "mean_finite": round(float(arr[ok].mean()), 4) if ok.any() else None,
+                    "spread": round(float(scored.max() - scored.min()), 4),
                     "failed": int((~ok).sum()),
                 }
                 results.setdefault(cell, {})[m] = row
                 print(f"{cell} [{m}]: mean {row['mean']} spread {row['spread']} "
-                      f"runs {row['runs']} ({time.time() - t_start:.0f}s)", flush=True)
+                      f"failed {row['failed']} runs {row['runs']} ({time.time() - t_start:.0f}s)", flush=True)
 
-    doc = {
-        "protocol": {
-            "frames": args.frames, "seeds": args.seeds, "H": H, "W": W, "fx": FX,
-            "baseline_m": BASELINE_M,
-            "ate": "umeyama-aligned; scale-corrected for mono only",
-            "config": "production (v3 detector at the shipped SG operating point)",
-        },
-        "generated_unix": int(time.time()),
-        "cells": results,
+    protocol = {
+        "frames": args.frames, "seeds": args.seeds, "H": H, "W": W, "fx": FX,
+        "baseline_m": BASELINE_M,
+        "ate": "umeyama-aligned; scale-corrected for mono only; "
+               "failed runs scored at GT-extent penalty in mean",
+        "config": "production (v3 detector at the shipped SG operating point)",
     }
+    if args.long:
+        protocol["trajectory"] = "out-and-back (loop-bearing)"
+        protocol["config"] += " + culling/loop-closure/relocalization"
+    doc = {}
+    if os.path.exists(args.out):
+        # merge: partial runs (--cells, --long) update only their cells
+        try:
+            with open(args.out) as f:
+                doc = json.load(f)
+        except Exception:
+            doc = {}
+    doc.setdefault("cells", {})
+    for cell, row in results.items():
+        doc["cells"].setdefault(cell, {}).update(row)
+    doc["protocol_long" if args.long else "protocol"] = protocol
+    doc["generated_unix"] = int(time.time())
     with open(args.out, "w") as f:
         json.dump(doc, f, indent=1)
     print(f"wrote {args.out}")

@@ -133,9 +133,19 @@ def main():
         for k in ("min_matches", "min_features_first"):
             if k in op:
                 setattr(cfg.initializer, k, op[k])
+        # production robustness defaults (round-4 verdict item 1: the
+        # reference's recovery ladder never hard-fails a sequence,
+        # tracking.cc:254-276): relocalization re-anchors after loss,
+        # and the NN min-match floor rescues frames/init attempts where
+        # the learned matcher leaves too little above its confidence
+        # threshold.
+        cfg.backend.relocalization = True
+        if cfg.superglue.nn_fallback_min_matches == 0:
+            cfg.superglue.nn_fallback_min_matches = 40
         print(f"using shipped SuperGlue matcher: {shipped_sg} "
               f"(threshold {resolve_matching_threshold(cfg.superglue)}, "
-              f"operating point {op}; pass --matcher nn or --sg-weights to override)",
+              f"operating point {op}, reloc+nn-floor on; "
+              f"pass --matcher nn or --sg-weights to override)",
               file=sys.stderr)
     # dataset-local calibration (written by make_synthetic_dataset.py)
     seq_cam = os.path.join(args.images, "camera.yaml")

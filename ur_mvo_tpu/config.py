@@ -76,9 +76,14 @@ class SuperGlueConfig:
     # (``read_configs.h:26-41``). An explicit float always wins.
     matching_threshold: Optional[float] = None
     # "superglue" (learned GNN+Sinkhorn), "nn" (mutual nearest-neighbor
-    # with ratio test — no trained weights required), or "auto"
-    # (superglue when weights_path is set, nn otherwise — a random-init
-    # SuperGlue cannot match)
+    # with ratio test — no trained weights required), "hybrid"
+    # (NN primary, SuperGlue substituted in-program when NN starves
+    # below nn_fallback_min_matches — the metric-setup production
+    # policy: NN's ratio test wins on clean repetitive-texture scenes
+    # where Sinkhorn confidently aliases, SG wins under photometric
+    # decay where raw descriptors collapse), or "auto" (superglue when
+    # weights_path is set, nn otherwise — a random-init SuperGlue
+    # cannot match)
     matcher: str = "auto"
     nn_min_similarity: float = 0.2
     nn_ratio: float = 0.95
@@ -89,9 +94,15 @@ class SuperGlueConfig:
     nn_center: bool = False
     # Ambiguity gate on the Sinkhorn decode (ops/matching.py
     # decode_assignment): keep a match only when its log-score beats the
-    # row AND column runner-up by this many nats — the ratio-test analog
-    # that rejects texture-aliased confident assignments (the round-4
-    # metric-ATE failure mode). 0 = off (reference decode).
+    # row AND column runner-up by this many nats. 0 = off (reference
+    # decode). MEASURED NEGATIVE for the texture-aliasing failure mode:
+    # at decode threshold 0.8 the post-Sinkhorn gap is >= log(4) by
+    # arithmetic (the gate never fires), and the pre-Sinkhorn logit
+    # gaps of correct vs aliased confident matches overlap almost
+    # completely (p50 8.35 vs 7.38 nats on the r4 diagnosis scene) — a
+    # margin in either space trades recall ~1:1. Kept for
+    # low-threshold/experimental configs; the production fix for
+    # aliasing is the NN floor / hybrid matcher below.
     match_margin: float = 0.0
     # Min-match floor with mutual-NN fallback: when the SuperGlue decode
     # yields fewer than this many matches for a pair, the SAME device

@@ -64,6 +64,10 @@ class NeuralExtractor:
         self._matcher = sg_cfg.matcher
         if self._matcher == "auto":
             self._matcher = "superglue" if sg_cfg.weights_path else "nn"
+        if self._matcher == "hybrid" and not sg_cfg.weights_path:
+            # hybrid's SG rescue needs trained weights; without them the
+            # primary NN path is all there is
+            self._matcher = "nn"
 
         undistort_map = (
             jnp.asarray(camera.undistort_map) if camera.undistort_map is not None else None
@@ -142,10 +146,11 @@ class NeuralExtractor:
         def _match_impl(sg_params, key, bank0: FeatureBank, bank1: FeatureBank, outlier_rejection: bool = True) -> Matches:
             from ur_mvo_tpu.ops.nn_matcher import match_nn
 
-            if matcher == "nn":
-                m = match_nn(bank0, bank1, sg_cfg.nn_min_similarity, sg_cfg.nn_ratio,
-                             center=sg_cfg.nn_center)
-            else:
+            def _nn():
+                return match_nn(bank0, bank1, sg_cfg.nn_min_similarity,
+                                sg_cfg.nn_ratio, center=sg_cfg.nn_center)
+
+            def _sg():
                 Z = superglue.match_scores(
                     sg_params,
                     bank0,
@@ -158,22 +163,40 @@ class NeuralExtractor:
                     use_pallas_sinkhorn=use_pallas_sink,
                     use_pallas_attention=use_pallas_attn,
                 )
-                m = decode_assignment(Z, bank0.valid, bank1.valid, match_threshold,
-                                      margin=sg_cfg.match_margin)
+                return decode_assignment(Z, bank0.valid, bank1.valid, match_threshold,
+                                         margin=sg_cfg.match_margin)
+
+            def _select(cond, a: Matches, b: Matches) -> Matches:
+                return Matches(
+                    idx1=jnp.where(cond, a.idx1, b.idx1),
+                    score=jnp.where(cond, a.score, b.score),
+                    valid=jnp.where(cond, a.valid, b.valid),
+                )
+
+            if matcher == "nn":
+                m = _nn()
+            elif matcher == "hybrid":
+                # Metric-setup production policy (round-4 verdict item 2,
+                # measured): mutual-NN PRIMARY — its ratio test rejects
+                # the texture-aliased pairs Sinkhorn confidently accepts
+                # on clean repetitive scenes (rgbd/3d metric: nn 0.056 vs
+                # sg 0.33) — with SuperGlue substituted in the SAME
+                # program when NN starves (photometric decay collapses
+                # raw descriptors: mono/decay nn 0.44 vs sg 0.01).
+                m_nn = _nn()
+                m_sg = _sg()
+                floor = sg_cfg.nn_fallback_min_matches or 40
+                m = _select(m_nn.num_valid() < floor, m_sg, m_nn)
+            else:
+                m = _sg()
                 if sg_cfg.nn_fallback_min_matches > 0:
                     # min-match floor: too few confident SG matches ->
                     # substitute mutual-NN in the SAME program (rescues
                     # init retries and mid-sequence dropout frames; the
                     # reference's recovery ladder never hard-fails a
                     # sequence, tracking.cc:254-276, 500-513)
-                    m_nn = match_nn(bank0, bank1, sg_cfg.nn_min_similarity,
-                                    sg_cfg.nn_ratio, center=sg_cfg.nn_center)
-                    use_nn = m.num_valid() < sg_cfg.nn_fallback_min_matches
-                    m = Matches(
-                        idx1=jnp.where(use_nn, m_nn.idx1, m.idx1),
-                        score=jnp.where(use_nn, m_nn.score, m.score),
-                        valid=jnp.where(use_nn, m_nn.valid, m.valid),
-                    )
+                    m_nn = _nn()
+                    m = _select(m.num_valid() < sg_cfg.nn_fallback_min_matches, m_nn, m)
             if outlier_rejection:
                 p0, p1, valid = gather_match_points(m, bank0.kpts, bank1.kpts)
                 res = ransac_fundamental(key, p0, p1, valid, iterations=200, sigma=1.0)

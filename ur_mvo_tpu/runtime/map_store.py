@@ -471,6 +471,8 @@ class MapStore:
             state["loop_R"] = np.stack([e[2] for e in self.loop_edges]).astype(np.float32)
             state["loop_t"] = np.stack([e[3] for e in self.loop_edges]).astype(np.float32)
             state["loop_w"] = np.asarray([e[4] for e in self.loop_edges], np.float32)
+            state["loop_s"] = np.asarray(
+                [e[5] if len(e) > 5 else 1.0 for e in self.loop_edges], np.float32)
         np.savez_compressed(path, **state)
 
     @classmethod
@@ -512,10 +514,13 @@ class MapStore:
         if "kf_gdesc" in data and data["kf_gdesc"].shape == store.kf_gdesc.shape:
             store.kf_gdesc = data["kf_gdesc"].copy()
         if "loop_i" in data:
+            loop_s = (data["loop_s"] if "loop_s" in data
+                      else np.ones(len(data["loop_i"]), np.float32))
             store.loop_edges = [
-                (int(i), int(j), R.copy(), t.copy(), float(w))
-                for i, j, R, t, w in zip(
-                    data["loop_i"], data["loop_j"], data["loop_R"], data["loop_t"], data["loop_w"]
+                (int(i), int(j), R.copy(), t.copy(), float(w), float(s))
+                for i, j, R, t, w, s in zip(
+                    data["loop_i"], data["loop_j"], data["loop_R"], data["loop_t"],
+                    data["loop_w"], loop_s
                 )
             ]
         if rebuild_snaps:
