@@ -302,6 +302,9 @@ def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
         for k in ("capacity", "max_keypoints", "keypoint_threshold"):
             if k in op:
                 setattr(cfg.superpoint, k, op[k])
+        # production robustness defaults (run_vo.py discovery parity)
+        cfg.superglue.nn_fallback_min_matches_init = 40
+        cfg.backend.relocalization = True
     cfg.superglue.image_width = W
     cfg.superglue.image_height = H
     # permissive init gates: at the --tiny smoke resolution the plane

@@ -88,10 +88,13 @@ def _production_cfg(matcher: str, sg_path: str = None, margin: float = None,
             cfg.superglue.matcher = "hybrid"
         if margin is not None:
             cfg.superglue.match_margin = margin
-        # production default (run_vo.py discovery): NN min-match floor
-        # + relocalization on — the recovery ladder that keeps a weak
-        # stretch from hard-failing a sequence
-        cfg.superglue.nn_fallback_min_matches = 40 if nn_floor is None else nn_floor
+        # production default (run_vo.py discovery): INIT-ONLY NN
+        # min-match floor + relocalization on — the recovery ladder that
+        # keeps a weak stretch from hard-failing a sequence. --nn-floor
+        # overrides the TRACKING floor for experiments.
+        cfg.superglue.nn_fallback_min_matches_init = 40
+        if nn_floor is not None:
+            cfg.superglue.nn_fallback_min_matches = nn_floor
         cfg.backend.relocalization = True
     else:
         cfg.superglue.matcher = "nn"

@@ -75,6 +75,9 @@ def main():
     cfg.superglue.image_height = H
     cfg.initializer.min_matches = 40
     cfg.initializer.min_features_first = 80
+    # production robustness defaults (bench.py / run_vo.py parity)
+    cfg.superglue.nn_fallback_min_matches_init = 40
+    cfg.backend.relocalization = True
 
     # --- instrument device->host transfers -----------------------------
     from ur_mvo_tpu.utils.timing import count_d2h

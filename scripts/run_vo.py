@@ -101,20 +101,23 @@ def main():
     # trained against the v3 detector's descriptor space, so it is the
     # default matcher exactly when that detector is in use (matcher
     # "auto" then resolves to superglue; see NeuralExtractor). It fires
-    # only on the pure-default MONO path (no --config: a config file
-    # states its own matcher choice), and it ADOPTS the checkpoint's
-    # embedded validated operating point — running the matcher inside an
-    # untested detector configuration measurably degrades VO. Measured
-    # with the v2 (multires 1024) checkpoint: LR match precision on 3D
-    # stereo pairs is far better than NN (89% vs 41%), but end-to-end
-    # stereo (distorted-right plane) fails init and RGB-D ATE regresses
-    # 0.02->0.14 on the clean 3d scene — metric-depth setups keep the NN
-    # default until the matcher wins there too (--sg-weights opts in).
+    # on the pure-default path for EVERY sensor setup (no --config: a
+    # config file states its own matcher choice) and ADOPTS the
+    # checkpoint's embedded validated operating point — running the
+    # matcher inside an untested detector configuration measurably
+    # degrades VO. Per-setup matcher policy (round-4 verdict item 2,
+    # pinned by ACCURACY.json means): MONO runs SuperGlue primary (beats
+    # NN on every mono cell); STEREO/RGB-D run "hybrid" — mutual-NN
+    # primary (its ratio test rejects the texture-aliased confident
+    # Sinkhorn assignments that broke metric scale: rgbd/3d nn 0.056 vs
+    # sg 0.33) with SuperGlue substituted in-program when NN starves
+    # (photometric decay). Matches the reference running SuperGlue on
+    # every setup (super_glue.cpp:166-241 via tracking.cc:338-377) while
+    # beating its matcher where NN is measurably better.
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     shipped_sg = os.path.join(repo, "weights", "superglue_v3scene.npz")
     if (
         args.config is None
-        and args.setup == "mono"
         and cfg.superglue.matcher != "nn"
         and cfg.superglue.weights_path is None
         and cfg.superpoint.weights_path
@@ -124,6 +127,9 @@ def main():
         from ur_mvo_tpu.models.superglue import checkpoint_operating_point, resolve_matching_threshold
 
         cfg.superglue.weights_path = shipped_sg
+        if args.setup != "mono" and cfg.superglue.matcher == "auto":
+            # explicit --matcher superglue/hybrid wins over the policy
+            cfg.superglue.matcher = "hybrid"
         op = checkpoint_operating_point(shipped_sg) or {}
         for k in ("capacity", "max_keypoints"):
             if k in op:
@@ -136,12 +142,14 @@ def main():
         # production robustness defaults (round-4 verdict item 1: the
         # reference's recovery ladder never hard-fails a sequence,
         # tracking.cc:254-276): relocalization re-anchors after loss,
-        # and the NN min-match floor rescues frames/init attempts where
-        # the learned matcher leaves too little above its confidence
-        # threshold.
+        # and the INIT-ONLY NN min-match floor rescues two-view-init
+        # attempts where the learned matcher leaves too little above
+        # its confidence threshold (measured: rescues the mono/3d
+        # 2-of-3-seed init failures; a floor on TRACKING frames instead
+        # taxes the cells SG wins — plane 0.028->0.065).
         cfg.backend.relocalization = True
-        if cfg.superglue.nn_fallback_min_matches == 0:
-            cfg.superglue.nn_fallback_min_matches = 40
+        if cfg.superglue.nn_fallback_min_matches_init == 0:
+            cfg.superglue.nn_fallback_min_matches_init = 40
         print(f"using shipped SuperGlue matcher: {shipped_sg} "
               f"(threshold {resolve_matching_threshold(cfg.superglue)}, "
               f"operating point {op}, reloc+nn-floor on; "

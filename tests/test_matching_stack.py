@@ -291,3 +291,56 @@ def test_nn_fallback_min_matches():
     ex2 = NeuralExtractor(cfg2, cam)
     m2 = ex2.match(b0, b1, outlier_rejection=False)
     assert int(np.asarray(m2.valid).sum()) < 10
+
+
+def test_hybrid_matcher_policy():
+    """matcher='hybrid': NN primary — bit-identical to the NN matcher
+    when NN has support — with the SuperGlue assignment substituted in
+    the same program when NN starves (the metric-setup production
+    policy; rgbd/3d metric nn 0.056 vs sg 0.33, but NN collapses under
+    photometric decay where SG holds)."""
+    import os
+
+    import pytest
+
+    from ur_mvo_tpu.camera import make_pinhole
+    from ur_mvo_tpu.config import Configs
+    from ur_mvo_tpu.runtime.extractor import NeuralExtractor
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sg_ckpt = os.path.join(repo, "weights", "superglue_v3scene.npz")
+    if not os.path.exists(sg_ckpt):
+        pytest.skip("shipped SuperGlue checkpoint not present")
+
+    cam = make_pinhole(160, 128, 120.0, 120.0, 80.0, 64.0)
+
+    def cfg_for(matcher, min_sim=0.2):
+        cfg = Configs()
+        cfg.superpoint.capacity = 256
+        cfg.superglue.image_width, cfg.superglue.image_height = 160, 128
+        cfg.superglue.matcher = matcher
+        cfg.superglue.weights_path = sg_ckpt
+        cfg.superglue.nn_min_similarity = min_sim
+        return cfg
+
+    key = jax.random.PRNGKey(5)
+    b0 = make_bank(key, 80, capacity=256, w=160, h=128)
+    b1 = FeatureBank(scores=b0.scores, kpts=b0.kpts + 2.0, desc=b0.desc, valid=b0.valid)
+
+    # plentiful NN support -> hybrid IS the NN matcher
+    m_h = NeuralExtractor(cfg_for("hybrid"), cam).match(b0, b1, outlier_rejection=False)
+    m_n = NeuralExtractor(cfg_for("nn"), cam).match(b0, b1, outlier_rejection=False)
+    assert int(np.asarray(m_n.valid).sum()) >= 40  # NN has support here
+    np.testing.assert_array_equal(np.asarray(m_h.idx1), np.asarray(m_n.idx1))
+
+    # starved NN (impossible similarity bar) -> hybrid falls through to SG
+    m_h2 = NeuralExtractor(cfg_for("hybrid", min_sim=2.0), cam).match(b0, b1, outlier_rejection=False)
+    m_n2 = NeuralExtractor(cfg_for("nn", min_sim=2.0), cam).match(b0, b1, outlier_rejection=False)
+    m_s2 = NeuralExtractor(cfg_for("superglue"), cam).match(b0, b1, outlier_rejection=False)
+    assert int(np.asarray(m_n2.valid).sum()) == 0
+    np.testing.assert_array_equal(np.asarray(m_h2.idx1), np.asarray(m_s2.idx1))
+
+    # hybrid without SG weights degrades to plain NN
+    cfg_now = cfg_for("hybrid")
+    cfg_now.superglue.weights_path = None
+    assert NeuralExtractor(cfg_now, cam)._matcher == "nn"

@@ -107,10 +107,18 @@ class SuperGlueConfig:
     # Min-match floor with mutual-NN fallback: when the SuperGlue decode
     # yields fewer than this many matches for a pair, the SAME device
     # program substitutes mutual-NN matches (one extra (K,K) einsum —
-    # trivial next to the GNN). Rescues init attempts and mid-sequence
-    # dropouts where the learned matcher leaves too little above its
-    # confidence threshold (the checkpoint operating-point cliff). 0 = off.
+    # trivial next to the GNN). Rescues mid-sequence dropouts where the
+    # learned matcher leaves too little above its confidence threshold
+    # (the checkpoint operating-point cliff). 0 = off. Measured: floor
+    # 40 during TRACKING taxes the cells SG wins (mono/plane 0.028 ->
+    # 0.065, mono/decay 0.10 -> 0.15) — production mono keeps this 0 and
+    # uses the init-only floor below, where the hard failures lived.
     nn_fallback_min_matches: int = 0
+    # Same floor applied ONLY to two-view init attempts (the fused init
+    # program): the seed-dependent hard failures of the production mono
+    # stack were INIT failures (mono/3d failed 2/3 seeds -> 0/3 at
+    # floor 40, other cells untouched). 0 = off.
+    nn_fallback_min_matches_init: int = 0
     sinkhorn_iterations: int = 20
     num_layers: int = 9
     num_heads: int = 4

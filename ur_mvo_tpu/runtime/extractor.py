@@ -143,8 +143,12 @@ class NeuralExtractor:
         # explicit config value > checkpoint-embedded calibration > 0.5
         self.match_threshold = match_threshold = superglue.resolve_matching_threshold(sg_cfg)
 
-        def _match_impl(sg_params, key, bank0: FeatureBank, bank1: FeatureBank, outlier_rejection: bool = True) -> Matches:
+        def _match_impl(sg_params, key, bank0: FeatureBank, bank1: FeatureBank, outlier_rejection: bool = True,
+                        floor: "int | None" = None) -> Matches:
             from ur_mvo_tpu.ops.nn_matcher import match_nn
+
+            if floor is None:
+                floor = sg_cfg.nn_fallback_min_matches
 
             def _nn():
                 return match_nn(bank0, bank1, sg_cfg.nn_min_similarity,
@@ -185,18 +189,17 @@ class NeuralExtractor:
                 # raw descriptors: mono/decay nn 0.44 vs sg 0.01).
                 m_nn = _nn()
                 m_sg = _sg()
-                floor = sg_cfg.nn_fallback_min_matches or 40
-                m = _select(m_nn.num_valid() < floor, m_sg, m_nn)
+                m = _select(m_nn.num_valid() < (floor or 40), m_sg, m_nn)
             else:
                 m = _sg()
-                if sg_cfg.nn_fallback_min_matches > 0:
+                if floor > 0:
                     # min-match floor: too few confident SG matches ->
                     # substitute mutual-NN in the SAME program (rescues
                     # init retries and mid-sequence dropout frames; the
                     # reference's recovery ladder never hard-fails a
                     # sequence, tracking.cc:254-276, 500-513)
                     m_nn = _nn()
-                    m = _select(m.num_valid() < sg_cfg.nn_fallback_min_matches, m_nn, m)
+                    m = _select(m.num_valid() < floor, m_nn, m)
             if outlier_rejection:
                 p0, p1, valid = gather_match_points(m, bank0.kpts, bank1.kpts)
                 res = ransac_fundamental(key, p0, p1, valid, iterations=200, sigma=1.0)

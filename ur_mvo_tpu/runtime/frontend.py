@@ -268,11 +268,16 @@ class Tracker:
         self._fused_init = None
         if hasattr(extractor, "match_traceable"):
             _match_for_init = extractor.match_traceable
+            # init-only NN floor (config.py nn_fallback_min_matches_init):
+            # the production mono stack's seed-dependent hard failures
+            # were two-view-init match starvation; the floor rescues
+            # those attempts without taxing tracking frames
+            _init_floor = cfg.superglue.nn_fallback_min_matches_init or None
 
             @jax.jit
             def _fused_init(sg_params, key, b0, b1):
                 k_m, k_i = jax.random.split(key)
-                m = _match_for_init(sg_params, k_m, b0, b1, True)
+                m = _match_for_init(sg_params, k_m, b0, b1, True, floor=_init_floor)
                 p1 = b0.kpts
                 p2 = b1.kpts[jnp.maximum(m.idx1, 0)]
                 res = two_view_init(
