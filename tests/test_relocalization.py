@@ -84,11 +84,15 @@ def test_relocalization_reanchors_into_existing_map():
     st = vo.tracker.backend.store
     # keyframes resumed after the blackout, in the SAME map
     assert post.sum() >= 2, post.sum()
-    # ...and PROMPTLY: the reloc keyframe lands on the first or second
-    # re-entry frame (frame 23/24 of the sequence), not the tail
+    # ...and PROMPTLY: within reloc_after_failures (3) frames of
+    # re-entry (frame 23), not the tail. Failed attempts during the
+    # blackout back off by reloc_after_failures losses each
+    # (_handle_lost: an every-frame retry cost ~26 ms per lost frame in
+    # marginal scenes), so the attempt cadence — not the re-entry frame
+    # itself — bounds the landing time.
     kts_all = st.kf_timestamp[st.keyframe_slots()]
     first_post_ts = np.min(kts_all[kts_all > 22.5 / 30.0])
-    assert first_post_ts <= 24.5 / 30.0, first_post_ts
+    assert first_post_ts <= 26.5 / 30.0, first_post_ts
     # one consistent world frame: a single similarity alignment over ALL
     # keyframes (pre- and post-loss) matches ground truth tightly
     ate = ate_rmse(est, gt, align=True, correct_scale=True)

@@ -184,6 +184,7 @@ class Tracker:
         self._last_track_well = False
         self._num_since_last_keyframe = 0
         self._lost_count = 0  # consecutive lost frames (relocalization)
+        self._reloc_next_attempt = 0  # failed-reloc backoff (_handle_lost)
 
         # reference keyframe state
         self._ref_slot = None
@@ -588,6 +589,7 @@ class Tracker:
         self._last_track_well = False
         self._num_since_last_keyframe = 0
         self._lost_count = 0
+        self._reloc_next_attempt = 0
         self._ref_slot = None
         self._ref_bank = None
         self._ref_frame_id = -1
@@ -1420,6 +1422,8 @@ class Tracker:
         self._last_track_well = track_well
         self._num_since_last_keyframe += 1
         self._lost_count = 0 if track_well else self._lost_count
+        if track_well:
+            self._reloc_next_attempt = 0
 
     def adopt_map(self) -> None:
         """Enter LOCALIZATION mode against the backend's current map
@@ -1474,15 +1478,23 @@ class Tracker:
     def _handle_lost(self, bank, timestamp, frame_id, depth_lookup=None, uvr=None):
         """Shared tail of a frame that could not be tracked: after
         ``reloc_after_failures`` consecutive losses, attempt to re-anchor
-        into the existing map (config ``backend.relocalization``)."""
+        into the existing map (config ``backend.relocalization``). A
+        FAILED attempt backs off for another ``reloc_after_failures``
+        losses before retrying — in marginal scenes where tracking
+        flickers, an every-frame reloc attempt (~26 ms host + device
+        round trips each) dominated the frame budget (measured: 27
+        attempts over a 40-frame tiny-resolution run)."""
         self._lost_count += 1
         bcfg = self.cfg.backend
         if (bcfg.relocalization and self._initialized
-                and self._lost_count >= bcfg.reloc_after_failures):
+                and self._lost_count >= bcfg.reloc_after_failures
+                and self._lost_count >= self._reloc_next_attempt):
             out = self._relocalize(bank, timestamp, frame_id, depth_lookup, uvr=uvr)
             if out is not None:
                 self._lost_count = 0
+                self._reloc_next_attempt = 0
                 return out
+            self._reloc_next_attempt = self._lost_count + bcfg.reloc_after_failures
         self._after_track(bank, None, timestamp, frame_id, track_well=False, uvr=uvr)
         return None
 
