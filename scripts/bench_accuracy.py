@@ -211,7 +211,7 @@ def main():
                                         W=W, H=H, long_run=args.long),
                         setups[setup], camera=cam)
                 vo = engines[key]
-                ates, penalties = [], []
+                ates, penalties, ates_pgo = [], [], []
                 for s in range(args.seeds):
                     seed = 11 + s
                     out = render_sequence(
@@ -239,6 +239,19 @@ def main():
                     # metric gate for depth-observing setups
                     scale_ok = setup == "mono"
                     ates.append(float(ate_rmse(pos, gt, align=True, correct_scale=scale_ok)))
+                    if args.long:
+                        # loop-bearing protocol: consume the detected
+                        # loop edges (Sim3 scale + SE(3) pose graph +
+                        # full BA) and score the FINAL keyframe
+                        # trajectory too — the online number above never
+                        # benefits from closure
+                        vo.tracker.backend.global_optimize()
+                        kts, kpos, _ = vo.keyframe_trajectory()
+                        kidx = np.clip((np.asarray(kts) * FPS).round().astype(int),
+                                       0, args.frames - 1)
+                        ates_pgo.append(float(ate_rmse(
+                            np.asarray(kpos), T_wc[kidx][:, :3, 3],
+                            align=True, correct_scale=scale_ok)))
                 arr = np.asarray(ates)
                 ok = np.isfinite(arr)
                 scored = np.where(ok, arr, np.asarray(penalties))
@@ -250,6 +263,9 @@ def main():
                     "spread": round(float(scored.max() - scored.min()), 4),
                     "failed": int((~ok).sum()),
                 }
+                if ates_pgo:
+                    row["pgo_runs"] = [round(a, 4) for a in ates_pgo]
+                    row["pgo_mean"] = round(float(np.mean(ates_pgo)), 4)
                 results.setdefault(cell, {})[m] = row
                 print(f"{cell} [{m}]: mean {row['mean']} spread {row['spread']} "
                       f"failed {row['failed']} runs {row['runs']} ({time.time() - t_start:.0f}s)", flush=True)

@@ -925,6 +925,14 @@ class Backend:
     def _round_up(x: int, m: int) -> int:
         return ((x + m - 1) // m) * m
 
+    @staticmethod
+    def _bucket_pow2(x: int, mult: int) -> int:
+        """Smallest mult * 2^k >= x (shape-bucketed padding)."""
+        m = mult
+        while m < x:
+            m *= 2
+        return m
+
     # ------------------------------------------------------------------
     # Global optimization (beyond the reference: pose graph + full BA)
     # ------------------------------------------------------------------
@@ -1117,8 +1125,12 @@ class Backend:
 
         mult = 8 if mesh is None else 8 * mesh.devices.size
         F = self._round_up(n, 8)
-        P = self._round_up(max(len(mp_sel), mult), mult)
-        O = self._round_up(max(len(pi), mult), mult)
+        # power-of-two shape buckets: one compile per OCTAVE instead of
+        # one per exact problem size — full-BA point/obs counts differ
+        # run to run, and each distinct padded shape is a fresh XLA
+        # program (minutes over the dev relay)
+        P = self._bucket_pow2(len(mp_sel), mult)
+        O = self._bucket_pow2(len(pi), mult)
 
         def pad(a, m, tail=(), dtype=np.float32):
             out = np.zeros((m,) + tail, dtype)
