@@ -743,14 +743,19 @@ class Tracker:
         self.publisher.publish_frame_pose(FramePoseMessage(time=timestamp, pose=final_pose))
         if is_keyframe:
             st = self.backend.store
-            slots = st.keyframe_slots()
-            self.publisher.publish_keyframe(
-                KeyframeMessage(ids=st.kf_frame_id[slots].tolist(),
-                                poses=[np.concatenate([np.concatenate([st.kf_R[s2], st.kf_t[s2][:, None]], 1),
-                                                       [[0, 0, 0, 1]]], 0) for s2 in slots])
-            )
-            good = st.mp_good & ~st.mp_bad
-            self.publisher.publish_map(MapMessage(ids=np.nonzero(good)[0], points=st.mp_pos[good]))
+            if self.publisher.has_listeners("keyframe"):
+                slots = st.keyframe_slots()
+                n = len(slots)
+                poses = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+                poses[:, :3, :3] = st.kf_R[slots]
+                poses[:, :3, 3] = st.kf_t[slots]
+                self.publisher.publish_keyframe(
+                    KeyframeMessage(ids=st.kf_frame_id[slots].tolist(),
+                                    poses=list(poses)))
+            if self.publisher.has_listeners("map"):
+                good = st.mp_good & ~st.mp_bad
+                self.publisher.publish_map(
+                    MapMessage(ids=np.nonzero(good)[0], points=st.mp_pos[good]))
 
     # ------------------------------------------------------------------
     # Multi-frame chunk tracking (see the chunk-kernel comment in

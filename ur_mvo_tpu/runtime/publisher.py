@@ -115,6 +115,13 @@ class Publisher:
     def register(self, channel: str, cb: Callable[[Any], None]) -> None:
         self.channels[channel].register(cb)
 
+    def has_listeners(self, channel: str) -> bool:
+        """Callers use this to skip MESSAGE CONSTRUCTION (not just the
+        drop inside publish): the keyframe/map payloads copy the whole
+        keyframe list + point cloud, ~ms per keyframe at scale — pure
+        waste when nothing is subscribed."""
+        return bool(self.channels[channel]._callbacks)
+
     def publish_feature(self, msg: FeatureMessage) -> None:
         self.channels["feature"].publish(msg)
 
