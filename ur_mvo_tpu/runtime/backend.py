@@ -15,6 +15,7 @@ to the capacities in ``BackendConfig`` so the solver compiles once.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -493,16 +494,56 @@ class Backend:
             # by progressively rescaling the odometry chain (scale drift
             # accrues along the leg) before the SE(3) pose graph runs.
             s_ij = 1.0
-            # PnP-inlier rows only: the median-of-ratios estimator is
-            # robust, but descriptor-only matches at a revisit carry
-            # enough aliasing to bias even the median on small sets
+            # Dual-point harvest. The query keyframe's OWN track table is
+            # too thin (measured on the production stack: 63 matched
+            # rows, only 8 with a triangulated current-leg point, 4
+            # surviving the PnP-inlier cut), so pair candidate-snapshot
+            # points with the whole RETURN-LEG LOCAL MAP instead:
+            # project every good mappoint observed by the query's
+            # covisible window into the query view (live pose) and
+            # associate to PnP-inlier rows by pixel proximity — the same
+            # physical point seen by both legs, identified geometrically.
             inl_rows = np.asarray(res.inliers).astype(bool) & mvalid
+            rows_inl = np.nonzero(inl_rows)[0]
+            row_of = {int(r): k for k, r in enumerate(rows)}
+            sel = np.asarray([row_of[int(r)] for r in rows_inl if int(r) in row_of])
+            Xa_c, Xb_c = [], []
+            if len(sel) >= 4:
+                win = st.window_frames(int(slot), self.cfg.window_opt_frames)
+                tr_w = st.kf_track[win]
+                ids_w = np.unique(tr_w[tr_w >= 0])
+                ids_w = ids_w[st.mp_good[ids_w] & ~st.mp_bad[ids_w]]
+                if len(ids_w) >= 8:
+                    Rq = st.kf_R[slot].T  # R_cw of the query (live)
+                    tq = -Rq @ st.kf_t[slot]
+                    Xc = st.mp_pos[ids_w] @ Rq.T + tq
+                    z = Xc[:, 2]
+                    front = z > 1e-3
+                    cam_ = self.camera
+                    u = cam_.fx * Xc[:, 0] / np.maximum(z, 1e-3) + cam_.cx
+                    v = cam_.fy * Xc[:, 1] / np.maximum(z, 1e-3) + cam_.cy
+                    pts_uv = np.stack([u, v], 1)[front]
+                    ids_f = ids_w[front]
+                    q_uv = bank_kpts[rows[sel]]
+                    if len(pts_uv):
+                        d2 = ((q_uv[:, None, :] - pts_uv[None, :, :]) ** 2).sum(-1)
+                        nn_j = d2.argmin(1)
+                        ok_px = d2[np.arange(len(sel)), nn_j] < 3.0 ** 2
+                        Xa_c.append(X0[sel[ok_px]])
+                        Xb_c.append(st.mp_pos[ids_f[nn_j[ok_px]]])
+            # union with the direct track-table pairs
             cur_ids = st.kf_track[slot][rows]
             have = (cur_ids >= 0) & inl_rows[rows]
             have[have] &= st.mp_good[cur_ids[have]] & ~st.mp_bad[cur_ids[have]]
-            if have.sum() >= 8:
-                Xa = X0[have]                   # candidate-leg scale
-                Xb = st.mp_pos[cur_ids[have]]   # current-leg scale
+            Xa_c.append(X0[have])
+            Xb_c.append(st.mp_pos[cur_ids[have]])
+            Xa = np.concatenate(Xa_c)
+            Xb = np.concatenate(Xb_c)
+            if os.environ.get("URMVO_DEBUG_LOOP"):
+                print(f"# loop scale: rows={len(rows)} inl={inl_rows.sum()} "
+                      f"track-dual={int(have.sum())} proj-dual={len(Xa) - int(have.sum())}",
+                      flush=True)
+            if len(Xa) >= 8:
                 rng = np.random.default_rng(0)
                 n_h = len(Xa)
                 p_i = rng.integers(0, n_h, 256)
