@@ -279,9 +279,15 @@ def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
     from ur_mvo_tpu.utils.synthscene import render_sequence
 
     fx = 260.0 * (W / 320.0)
-    # plane at z=4: enough two-view parallax within a few frames of the
-    # default trajectory to clear the 2-degree init gate
-    images, T_wc, _ = render_sequence(n_frames, H, W, fx, seed=3, n_planes=0, z_background=4.0)
+    # 3D scene (multi-plane, z~6): the scene family the production
+    # operating point is VALIDATED on (ACCURACY.json mono/3d). Round-5
+    # health audit: the old plane-at-z4 scene at >=480p silently LOSES
+    # tracking ~frame 10 on every backend (repetitive texture + the v3
+    # descriptors' patch-scale shift put it outside the matcher
+    # envelope) — the e2e then timed a mostly-lost run while looking
+    # healthy in keyframe counts. e2e must time REAL tracking;
+    # e2e_frames_lost below guards it.
+    images, T_wc, _ = render_sequence(n_frames, H, W, fx, seed=3, n_planes=3, z_background=6.0)
     cam = make_pinhole(W, H, fx, fx, W / 2, H / 2)
     cfg = Configs()
     cfg.superpoint.capacity = 1024
@@ -318,8 +324,11 @@ def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
         per frame: thread CPU time of the process() call minus the
         thread CPU time spent inside d2h transfers DURING that call —
         same clock, so the relay client's busy-poll inside transfers
-        (~0.5 s/frame of fake "host work") drops out exactly."""
+        (~0.5 s/frame of fake "host work") drops out exactly. Returns
+        (n_keyframes, n_lost): lost = frames whose track failed — a
+        mostly-lost run must not masquerade as a healthy e2e timing."""
         n_kf = 0
+        n_lost = 0
         frames = [Frame(image=Image(images[i], i / 30.0)) for i in range(n_frames)]
         for i in range(n_frames):
             nxt = frames[i + 1] if i + 1 < n_frames else None
@@ -332,15 +341,18 @@ def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
                 out = vo.process(frames[i], next_data=nxt)
             if out is not None:
                 n_kf += 1
-        return n_kf
+            if vo.tracker.initialized and not vo.tracker._last_track_well:
+                n_lost += 1
+        return n_kf, n_lost
 
     vo = UR_MVO(cfg, SensorSetup.MONO, camera=cam)
     matcher = "superglue" if cfg.superglue.weights_path else "nn"
-    run(vo)  # warm/compile pass
-    if not vo.tracker.initialized and matcher == "superglue":
-        # the shipped matcher may not cover this scene/resolution yet —
-        # an uninitialized run times the (unrepresentative) init-retry
-        # path, so fall back to the NN matcher and say so
+    _, warm_lost = run(vo)  # warm/compile pass
+    if matcher == "superglue" and (
+            not vo.tracker.initialized or warm_lost > n_frames // 3):
+        # the shipped matcher may not cover this scene/resolution — an
+        # uninitialized or mostly-lost run times the (unrepresentative)
+        # recovery path, so fall back to the NN matcher and say so
         matcher = "nn"
         cfg.superglue.weights_path = None
         vo = UR_MVO(cfg, SensorSetup.MONO, camera=cam)
@@ -358,7 +370,7 @@ def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
     with count_d2h(xfer):
         t0 = time.perf_counter()
         th0 = time.thread_time()
-        n_kf = run(vo, xfer, per_frame)
+        n_kf, n_lost = run(vo, xfer, per_frame)
         wall = time.perf_counter() - t0
         host_thread = time.thread_time() - th0
     # main-thread CPU time minus the thread CPU time INSIDE d2h
@@ -378,6 +390,9 @@ def _bench_e2e(H: int, W: int, n_frames: int = 40) -> dict:
         "d2h_wall_ms_per_frame": xfer["t"] / n_frames * 1e3,
         "e2e_frames": n_frames,
         "e2e_keyframes": n_kf,
+        "e2e_frames_lost": n_lost,
+        "e2e_H": H,
+        "e2e_W": W,
         "e2e_initialized": bool(vo.tracker.initialized),
         "e2e_matcher": matcher,
     }
@@ -684,7 +699,15 @@ def main():
     # the host-CPU time per frame (process_time excludes blocking waits),
     # whose max with the device-sustained time is the projected
     # locally-attached e2e rate.
-    e2e = _bench_e2e(H, W, n_frames=12 if args.tiny else 40)
+    # e2e at the VALIDATED production operating point (240x320, the
+    # resolution the shipped checkpoints are accuracy-gated at —
+    # ACCURACY.json): the e2e exists to time real tracking, and at the
+    # 512x640 stage-bench shapes the neural stack is outside its matcher
+    # envelope (silent mid-sequence loss, see _bench_e2e docstring).
+    # Host/dispatch costs are the quantities of interest here and are
+    # resolution-independent except the image upload; e2e_H/W label it.
+    e2e = _bench_e2e(H if args.tiny else 240, W if args.tiny else 320,
+                     n_frames=12 if args.tiny else 40)
     relay_floor_ms = _measure_sync_floor()
     # production per-frame device time: extract (dispatched a frame
     # early by the lookahead pipeline, but the chip still serializes it)
@@ -743,6 +766,8 @@ def main():
         out["d2h_wall_ms_per_frame"] = round(e2e["d2h_wall_ms_per_frame"], 3)
         out["e2e_fps_projected_local"] = round(proj, 3)
         out["e2e_keyframes"] = e2e["e2e_keyframes"]
+        out["e2e_frames_lost"] = e2e["e2e_frames_lost"]
+        out["e2e_H"], out["e2e_W"] = e2e["e2e_H"], e2e["e2e_W"]
         out["e2e_initialized"] = e2e["e2e_initialized"]
         out["e2e_matcher"] = e2e["e2e_matcher"]
         print(

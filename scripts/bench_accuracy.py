@@ -106,6 +106,10 @@ def _production_cfg(matcher: str, sg_path: str = None, margin: float = None,
         cfg.backend.enable_culling = True
         cfg.backend.loop_closure = True
         cfg.backend.relocalization = True
+        if matcher in ("sg", "hybrid"):
+            # 480x640 is beyond the validated 240x320 envelope: the
+            # run_vo resolution guard engages the tracking-time NN floor
+            cfg.superglue.nn_fallback_min_matches = 40
     return cfg
 
 

@@ -159,6 +159,29 @@ def main():
     seq_cam = os.path.join(args.images, "camera.yaml")
     if cfg.camera_config_path is None and os.path.exists(seq_cam):
         cfg.camera_config_path = seq_cam
+    # Resolution-conditioned robustness (round-5 health audit): INSIDE
+    # the validated envelope (~240x320, where ACCURACY.json gates the
+    # checkpoints) pure SuperGlue tracks best and the floors stay
+    # init-only; BEYOND it (>2x those pixels) the v3 descriptors'
+    # patch-scale shift makes SG matching collapse mid-sequence on
+    # repetitive texture (measured at 480p+: num_match -> 0 by frame
+    # ~10, silent loss for the rest of the run) — engage the
+    # TRACKING-time NN floor there too, which keeps the recovery ladder
+    # alive (measured: the same 480p run stays anchored end-to-end).
+    if (cfg.superglue.weights_path and cfg.superglue.matcher != "nn"
+            and cfg.superglue.nn_fallback_min_matches == 0
+            and cfg.camera_config_path and os.path.exists(cfg.camera_config_path)):
+        try:
+            from ur_mvo_tpu.camera import Camera
+
+            c = Camera.from_yaml(cfg.camera_config_path)
+            if c.width * c.height > 2 * 320 * 240:
+                cfg.superglue.nn_fallback_min_matches = 40
+                print(f"high-resolution input ({c.width}x{c.height}): tracking-time "
+                      "NN min-match floor engaged (matcher envelope guard)",
+                      file=sys.stderr)
+        except Exception:
+            pass
     if args.loop_closure:
         cfg.backend.loop_closure = True
     if args.reloc:

@@ -839,9 +839,16 @@ class Tracker:
         min_match = self.cfg.keyframe.min_num_match
         results = []
         consumed = 0
+        import os as _os
+        _dbg = _os.environ.get("URMVO_DEBUG_CHUNK")
         for j in range(n_valid):
             row = outs[j]
             num_match = int(row[0])
+            if _dbg:
+                print(f"# chunk row j={j} fid={self._frame_counter + j} "
+                      f"num_match={num_match} n_inl={int(row[1])} "
+                      f"is_kf={row[(14 + 2 * K) if stereo else (14 + K)] > 0.5}",
+                      flush=True)
             if num_match < 0:
                 break  # the device loop cut before this row
             n_inl = int(row[1])
@@ -1275,6 +1282,10 @@ class Tracker:
                     self.extractor.sg_params, self._rng, self._ref_bank, bank, jnp.asarray(snap)
                 )
             arr = np.asarray(packed)
+        import os as _os
+        if _os.environ.get("URMVO_DEBUG_CHUNK"):
+            print(f"# frame fid={self._frame_counter} num_match={int(arr[0])} "
+                  f"n_inl={int(arr[1])}", flush=True)
         return self.parse_fused_packed(arr)
 
     def _track_local_map(self, bank, pose, frame_track, num_inliers):
