@@ -18,6 +18,7 @@ dispatch overlaps host bookkeeping with device compute). Decisions
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -40,6 +41,11 @@ from ur_mvo_tpu.runtime.publisher import (
     Publisher,
 )
 from ur_mvo_tpu.utils.timing import StageTimer
+
+# per-frame tracking-health trace (num_match / n_inl per frame + per
+# chunk row) — the round-5 silent-loss audit tool; resolved once at
+# import so the hot path pays nothing when off
+_DEBUG_TRACK = bool(os.environ.get("URMVO_DEBUG_CHUNK"))
 
 
 def fused_track_core(k_pnp, m, uvr, snapshot, K_mat, fx, fy, cx, cy, bf,
@@ -839,12 +845,10 @@ class Tracker:
         min_match = self.cfg.keyframe.min_num_match
         results = []
         consumed = 0
-        import os as _os
-        _dbg = _os.environ.get("URMVO_DEBUG_CHUNK")
         for j in range(n_valid):
             row = outs[j]
             num_match = int(row[0])
-            if _dbg:
+            if _DEBUG_TRACK:
                 print(f"# chunk row j={j} fid={self._frame_counter + j} "
                       f"num_match={num_match} n_inl={int(row[1])} "
                       f"is_kf={row[(14 + 2 * K) if stereo else (14 + K)] > 0.5}",
@@ -1282,8 +1286,7 @@ class Tracker:
                     self.extractor.sg_params, self._rng, self._ref_bank, bank, jnp.asarray(snap)
                 )
             arr = np.asarray(packed)
-        import os as _os
-        if _os.environ.get("URMVO_DEBUG_CHUNK"):
+        if _DEBUG_TRACK:
             print(f"# frame fid={self._frame_counter} num_match={int(arr[0])} "
                   f"n_inl={int(arr[1])}", flush=True)
         return self.parse_fused_packed(arr)
