@@ -210,3 +210,51 @@ def test_cli_superglue_beats_nn_under_photometric_decay(tmp_path):
     # 24-frame single runs swing up to ~0.25 -> gate at mean + ~2x the
     # worst observed single-run excursion.
     assert ates["sg"] < 0.35, ates
+
+
+@pytest.mark.slow
+def test_cli_high_resolution_engages_tracking_floor(tmp_path):
+    """Resolution-conditioned envelope guard (round-5 health audit): at
+    input resolutions beyond ~2x the validated 240x320 operating point
+    the v3+SG stack silently loses tracking mid-sequence (measured at
+    480p: num_match -> 0 by frame ~10); run_vo must engage the
+    tracking-time NN min-match floor there and say so. 4 frames keeps
+    this a wiring test, not an accuracy run."""
+    seq = tmp_path / "seq480"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_synthetic_dataset.py"),
+         "--out", str(seq), "--frames", "4", "--size", "480", "640",
+         "--fx", "520", "--scene", "3d"],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_vo.py"),
+         "--images", str(seq), "--platform", "cpu",
+         "--results", str(tmp_path / "out480"),
+         "--weights", os.path.join(REPO, "weights", "superpoint_scratch_v3.npz"),
+         "--kpt-threshold", "1e-4"],
+        capture_output=True, text=True, timeout=1200, cwd=REPO,
+        env=dict(os.environ, URMVO_COMPILE_CACHE=str(tmp_path / "cache")),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "tracking-time NN min-match floor engaged" in proc.stderr, proc.stderr[-800:]
+    # inside the envelope the guard must NOT fire (240x320 dataset)
+    seq2 = tmp_path / "seq240"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_synthetic_dataset.py"),
+         "--out", str(seq2), "--frames", "4", "--scene", "3d"],
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_vo.py"),
+         "--images", str(seq2), "--platform", "cpu",
+         "--results", str(tmp_path / "out240"),
+         "--weights", os.path.join(REPO, "weights", "superpoint_scratch_v3.npz"),
+         "--kpt-threshold", "1e-4"],
+        capture_output=True, text=True, timeout=1200, cwd=REPO,
+        env=dict(os.environ, URMVO_COMPILE_CACHE=str(tmp_path / "cache")),
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "tracking-time NN min-match floor engaged" not in proc.stderr
