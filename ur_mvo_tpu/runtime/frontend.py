@@ -1259,7 +1259,8 @@ class Tracker:
         K = self.cfg.superpoint.capacity
         num_match = int(arr[0])
         n_inl = int(arr[1])
-        uvr = arr[14 + K : 14 + 4 * K].reshape(K, 3).astype(np.float32)
+        # view, not copy: arr is an owned f32 host array (one per frame)
+        uvr = arr[14 + K : 14 + 4 * K].reshape(K, 3)
         if n_inl >= self.cfg.keyframe.min_num_match and np.all(np.isfinite(arr[2:14])):
             R_cw = arr[2:11].reshape(3, 3)
             pose = np.eye(4, dtype=np.float32)
